@@ -1,0 +1,38 @@
+"""Operator inventory.
+
+Each operator module exports:
+
+* ``QUERIES``: dict[name -> callable(spark, sf_dir) -> DataFrame]
+* ``ORACLES``: dict[name -> ANSI SQL string runnable by DuckDB on the
+  same parquet tables]  (a query without an oracle entry is checked
+  rows-only by the driver — reserved for genuinely non-SQL ops).
+
+``__spark_entry__.py`` merges these dicts for the driver contract.
+"""
+
+from decision_tree_analytics_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+
+ALL_MODULES = (relational, dedup, similarity, text, multimodal)
+
+
+def all_queries():
+    out = {}
+    for m in ALL_MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        if overlap:
+            raise RuntimeError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in ALL_MODULES:
+        out.update(m.ORACLES)
+    return out

@@ -1,0 +1,4 @@
+"""Placeholder — filled in this round."""
+
+QUERIES = {}
+ORACLES = {}

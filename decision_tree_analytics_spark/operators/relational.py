@@ -1,0 +1,474 @@
+"""Relational operator surface — SURVEY.md §2.4 Q01–Q24.
+
+The reference (``/root/reference``, a CDAP decision-tree plugin pair)
+implements no relational operators itself — it delegates them to the
+host pipeline (SURVEY §2.3).  This module is the declared relational
+inventory of the rebuilt engine: scans, projections, filters, the five
+join types, aggregation/rollup, three window classes, sort/top-k, set
+ops, and the scalar-function families, each expressed as a declarative
+DataFrame plan so Catalyst handles pushdown, pruning, join selection,
+and AQE handles runtime re-planning.
+
+Cross-engine determinism rules (every query here has a DuckDB oracle):
+
+* every output row is uniquely ordered by the harness over all columns
+  — queries with window/rank semantics use explicit unique tie-breaks;
+* integer-typed derived columns are cast to ``bigint`` on the Spark
+  side to match DuckDB's default BIGINT arithmetic;
+* DuckDB ``SUM(integer)`` returns HUGEINT — oracles cast back to
+  BIGINT;
+* ``events.ts`` time arithmetic uses integer epoch-µs on both engines
+  (Spark: ``ts div 1000`` of the nanos int64; DuckDB: ``epoch_us(ts)``
+  after its ns→µs read truncation);
+* ``timestamp_ntz`` columns (``o_orderdate``, ``l_shipdate``) are
+  naive on both engines, so date-part extraction is timezone-free.
+
+Scale notes (100 TB stance) are given per query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------
+# Q01 — parquet scan + projection.
+# Scale: column pruning reaches the scan (ReadSchema shows only the two
+# columns); no shuffle at all.
+def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+# Q02 — exclude-list projection (reference O3 exclude semantics,
+# SparkMLTrainer.java:114-116): keep schema order of remaining columns.
+# The timestamp column is rendered as an ISO date string so the output
+# is engine-representation-free (temporal outputs are the one place
+# Spark/DuckDB client types diverge).
+def q02_project_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.drop("l_returnflag", "l_linestatus").withColumn(
+        "l_shipdate", F.date_format("l_shipdate", "yyyy-MM-dd")
+    )
+
+
+# Q03 — null-drop filter (reference O4: drop records with null label,
+# SparkMLTrainer.java:118-127).  Predicate pushes to the parquet scan.
+def q03_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# Q04 — threshold label derivation (reference O14:
+# DecisionTreeRegressionTest.java:154-155, delayed = depDelay > 40).
+def q04_label_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 40, F.lit(1.0)).otherwise(F.lit(0.0)).alias("delayed"),
+    )
+
+
+# Q05 — compound predicate; all three conjuncts push down to parquet.
+def q05_compound_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice")
+
+
+# Q06 — inner equi join orders ⋈ customer on custkey.
+# Scale: both sides are fact-sized at 100 TB → shuffle (sort-merge)
+# join on the key; AQE converts to broadcast when the build side is
+# small at runtime.  No hint on purpose.
+def q06_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name"
+    )
+
+
+# Q07 — star join through bounded dims.  nation (25 rows) and region
+# (5 rows) are bounded at ANY scale → explicit broadcast; the fact
+# side streams through map-side hash joins with zero shuffle.
+def q07_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+# Q08 — left outer join + per-customer order count (nulls count as 0).
+def q08_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+
+
+# Q09 — left semi: customers having ≥1 order.  Semi joins ship only
+# the key column of the probe side; at scale this is a shuffle on the
+# join key with early duplicate elimination.
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# Q10 — left anti: customers with no orders.
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# Q11 — TPC-H Q1 core: hash aggregation with map-side partial agg.
+# Scale: partial aggregation collapses each input partition to ≤ |RF×LS|
+# rows before the shuffle — the shuffle moves O(groups), not O(rows).
+def q11_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("cnt_order"),
+    )
+
+
+# Q12 — distinct aggregation: exact distinct users per event_type.
+# Scale: Spark expands COUNT(DISTINCT) into a two-stage agg (dedup on
+# (event_type, user_id) then count) — both stages partial-agg first.
+def q12_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("uniq_users")
+    )
+
+
+# Q13 — cardinality discovery: exact distinct counts of candidate
+# categorical columns (backs the reference's cardinalityMapping
+# validation, DecisionTreeTrainer.java:53-55).
+def q13_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("event_type").alias("event_type_card"),
+        F.countDistinct("user_id").alias("user_id_card"),
+    )
+
+
+# Q14 — approximate distinct (HLL++).  No DuckDB oracle: sketch
+# estimates are engine-specific; the driver records rows-only and the
+# pytest suite checks the ≤5%-of-exact tolerance instead.
+# Scale: HLL sketches merge associatively — constant memory per group
+# regardless of input size; this is the 100 TB path for Q12.
+def q14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_uniq_users")
+    )
+
+
+# Q15 — ROLLUP grouping sets.
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# Q16 — window ranking / dedup-keep-first: first order per customer.
+# Unique tie-break (o_orderdate, o_orderkey) makes the winner
+# deterministic on both engines.
+# Scale: one shuffle on o_custkey; rank+filter is pipelined after the
+# sort — no second shuffle.
+def q16_window_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# Q17 — window analytic: per-user value delta between consecutive
+# events.  Ordering key is integer epoch-µs (cross-engine contract).
+def q17_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = (F.col("ts") / F.lit(1000)).cast("long")
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+# Q18 — window frame aggregate: running revenue per customer.
+# ROWS UNBOUNDED PRECEDING with a unique ordering → the running sum is
+# the same addition sequence on both engines (bitwise-stable doubles).
+def q18_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("o_totalprice").over(w).alias("running_total"),
+    )
+
+
+# Q19 — global top-k.  Spark plans orderBy().limit() as TakeOrderedAndProject:
+# each partition keeps a local k-heap, the driver merges k×partitions
+# rows — no global sort at any scale.
+def q19_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# Q20 — set operations over two overlapping orderkey slices, tagged
+# and unioned into one result.  intersect = set semantics (distinct),
+# exceptAll = bag semantics, matching SQL INTERSECT / EXCEPT ALL.
+def q20_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    a = o.filter(F.col("o_orderkey") < 1000)
+    b = o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "o_orderkey", "o_orderstatus")
+    return (
+        tag(a.unionByName(b), "union_all")
+        .unionByName(tag(a.intersect(b), "intersect"))
+        .unionByName(tag(a.exceptAll(b), "except_all"))
+    )
+
+
+# Q21 — string functions over documents (text-analysis base layer).
+def q21_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("text_norm"),
+        F.length("text").cast("long").alias("text_len"),
+        F.regexp_extract("text", r"^\s*(\w+)", 1).alias("first_word"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+
+
+# Q22 — date functions on the lineitem⋈orders join.
+def q22_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_ship"),
+    )
+
+
+# Q23 — math functions (all whole-stage-codegen'd JVM expressions).
+# round-to-cents is spelled floor(x*100 + 0.5)/100 because builtin
+# round() semantics differ between engines (Spark: HALF_UP on the
+# shortest decimal repr; DuckDB: numeric rounding on the raw double) —
+# this formula is the same IEEE op sequence everywhere.
+def q23_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(disc * 100 + 0.5) / 100).alias("disc_price"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("abs_disc_tax"),
+        F.log(F.col("l_extendedprice") + 1).alias("ln_price"),
+    )
+
+
+# Q24 — exact dedup of documents on (text, lang), keeping the lowest
+# doc_id (reference keep-first pattern, generalized).
+# Scale: groupBy-min shuffles each (text,lang) group once with partial
+# aggregation — strictly cheaper than the window/row_number variant,
+# which must materialize and sort every group.  For 100 TB text keys,
+# group on a fingerprint hash instead (see operators/dedup.py).
+def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text", "lang")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("doc_id", "lang", "n_dupes")
+    )
+
+
+QUERIES = {
+    "q01_scan_project": q01_scan_project,
+    "q02_project_exclude": q02_project_exclude,
+    "q03_null_filter": q03_null_filter,
+    "q04_label_derive": q04_label_derive,
+    "q05_compound_filter": q05_compound_filter,
+    "q06_inner_join": q06_inner_join,
+    "q07_broadcast_dim_join": q07_broadcast_dim_join,
+    "q08_left_join": q08_left_join,
+    "q09_semi_join": q09_semi_join,
+    "q10_anti_join": q10_anti_join,
+    "q11_hash_agg": q11_hash_agg,
+    "q12_distinct_agg": q12_distinct_agg,
+    "q13_cardinality": q13_cardinality,
+    "q14_approx_distinct": q14_approx_distinct,
+    "q15_rollup": q15_rollup,
+    "q16_window_keep_first": q16_window_keep_first,
+    "q17_window_lag": q17_window_lag,
+    "q18_window_running_sum": q18_window_running_sum,
+    "q19_topk": q19_topk,
+    "q20_set_ops": q20_set_ops,
+    "q21_string_fns": q21_string_fns,
+    "q22_date_fns": q22_date_fns,
+    "q23_math_fns": q23_math_fns,
+    "q24_exact_dedup": q24_exact_dedup,
+}
+
+ORACLES = {
+    "q01_scan_project": "SELECT l_orderkey, l_quantity FROM lineitem",
+    "q02_project_exclude": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,"
+        " l_extendedprice, l_discount, l_tax, strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate"
+        " FROM lineitem"
+    ),
+    "q03_null_filter": (
+        "SELECT event_id, user_id, event_type, value FROM events"
+        " WHERE value IS NOT NULL"
+    ),
+    "q04_label_derive": (
+        "SELECT event_id, CASE WHEN value > 40 THEN 1.0 ELSE 0.0 END AS delayed"
+        " FROM events"
+    ),
+    "q05_compound_filter": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice"
+        " FROM lineitem"
+        " WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "q06_inner_join": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "q07_broadcast_dim_join": (
+        "SELECT c_custkey, c_name, n_name, r_name"
+        " FROM customer"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+    ),
+    "q08_left_join": (
+        "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders"
+        " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+        " GROUP BY c_custkey"
+    ),
+    "q09_semi_join": (
+        "SELECT c_custkey, c_name FROM customer"
+        " WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "q10_anti_join": (
+        "SELECT c_custkey, c_name FROM customer"
+        " WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "q11_hash_agg": (
+        "SELECT l_returnflag, l_linestatus,"
+        " SUM(l_quantity) AS sum_qty,"
+        " AVG(l_extendedprice) AS avg_price,"
+        " COUNT(*) AS cnt_order"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q12_distinct_agg": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users"
+        " FROM events GROUP BY event_type"
+    ),
+    "q13_cardinality": (
+        "SELECT COUNT(DISTINCT event_type) AS event_type_card,"
+        " COUNT(DISTINCT user_id) AS user_id_card FROM events"
+    ),
+    # q14_approx_distinct: intentionally no oracle (engine-specific HLL).
+    "q15_rollup": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt"
+        " FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+    "q16_window_keep_first": (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn"
+        "  FROM orders) WHERE rn = 1"
+    ),
+    "q17_window_lag": (
+        "SELECT event_id, user_id,"
+        " value - lag(value) OVER ("
+        "   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS value_delta"
+        " FROM events"
+    ),
+    "q18_window_running_sum": (
+        "SELECT o_orderkey, o_custkey,"
+        " SUM(o_totalprice) OVER ("
+        "   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total"
+        " FROM orders"
+    ),
+    "q19_topk": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "q20_set_ops": (
+        "WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000),"
+        " b AS (SELECT o_orderkey, o_orderstatus FROM orders"
+        "       WHERE o_orderkey >= 500 AND o_orderkey < 1500)"
+        " SELECT 'union_all' AS op, * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)"
+        " UNION ALL"
+        " SELECT 'intersect' AS op, * FROM (SELECT * FROM a INTERSECT SELECT * FROM b)"
+        " UNION ALL"
+        " SELECT 'except_all' AS op, * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)"
+    ),
+    "q21_string_fns": (
+        "SELECT doc_id, lower(trim(text)) AS text_norm,"
+        " CAST(length(text) AS BIGINT) AS text_len,"
+        " regexp_extract(text, '^\\s*(\\w+)', 1) AS first_word,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+        " FROM documents"
+    ),
+    "q22_date_fns": (
+        "SELECT l_orderkey, l_linenumber,"
+        " CAST(year(l_shipdate) AS BIGINT) AS ship_year,"
+        " CAST(month(l_shipdate) AS BIGINT) AS ship_month,"
+        " CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))"
+        "      AS BIGINT) AS days_to_ship"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ),
+    "q23_math_fns": (
+        "SELECT l_orderkey, l_linenumber,"
+        " floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS disc_price,"
+        " abs(l_discount - l_tax) AS abs_disc_tax,"
+        " ln(l_extendedprice + 1) AS ln_price"
+        " FROM lineitem"
+    ),
+    "q24_exact_dedup": (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, lang, COUNT(*) AS n_dupes"
+        " FROM documents GROUP BY text, lang"
+    ),
+}

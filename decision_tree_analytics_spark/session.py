@@ -1,0 +1,83 @@
+"""SparkSession factory + session preparation.
+
+Scale stance: every knob here is chosen for a 1000-executor cluster and
+then overridden downward for local test runs.
+
+* AQE on — runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast conversion are the main levers that
+  keep the declared plans healthy at 100 TB without per-query tuning.
+* ``spark.sql.shuffle.partitions`` is only the *initial* value; AQE
+  coalesces.  On a real cluster this would be sized ~2-3× total cores.
+* Session timezone pinned to UTC so timestamp semantics are
+  deterministic and oracle-comparable.
+* ``spark.sql.legacy.parquet.nanosAsLong`` — the ``events`` table is
+  written with parquet TIMESTAMP(NANOS), which Spark cannot represent
+  natively; we read it as an int64 nanosecond epoch and do all time
+  arithmetic on integers (timezone-free, lossless).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session we are handed (the
+# driver creates its own session for verify/bench runs).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the engine's runtime confs to a session.
+
+    Safe to call per-query: every conf here is runtime-settable.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be static on some builds; never fail a query
+            # over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "decision-tree-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local mode uses ``local[$SPARK_GRAFT_CPUS]`` (default 32).  On a
+    real cluster the same builder is used with ``master`` unset so
+    spark-submit's cluster manager wins.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Broadcast threshold: bounded dims (region/nation) always fit;
+        # AQE upgrades joins whose runtime size turns out small.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return prepare_session(builder.getOrCreate())

@@ -1,0 +1,1 @@
+from decision_tree_analytics_spark.sources.tables import TABLES, load_table, load_tables  # noqa: F401
