@@ -1,0 +1,71 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is fully materialized via a count-style reduction
+(``df.write`` would measure the sink; ``collect`` would measure
+driver transfer) — we time plan + execution to completion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the BASELINE.md M5 contract (agg, join, window-dedup,
+# top-k) plus one representative of each extension family.
+HEADLINE = [
+    "q11_hash_agg",
+    "q06_inner_join",
+    "q16_window_keep_first",
+    "q19_topk",
+    "q23_math_fns",
+    "q24_exact_dedup",
+]
+
+
+def main() -> None:
+    from decision_tree_analytics_spark import operators
+    from decision_tree_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="dta-spark-bench")
+    queries = operators.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # Optional extras declared by modules (e.g. ML/dedup heavies).
+    names += [n for n in getattr(operators, "BENCH_EXTRAS", []) if n in queries and n not in names]
+
+    # Warm the JVM + parquet footer caches once (excluded from timing).
+    queries[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -12,13 +12,17 @@ Each operator module exports:
 
 from decision_tree_analytics_spark.operators import (  # noqa: F401
     dedup,
+    ml_inventory,
     multimodal,
     relational,
     similarity,
     text,
 )
 
-ALL_MODULES = (relational, dedup, similarity, text, multimodal)
+ALL_MODULES = (relational, ml_inventory, dedup, similarity, text, multimodal)
+
+# Extra bench queries beyond bench.py's HEADLINE set.
+BENCH_EXTRAS = ["q26_dt_train_predict"]
 
 
 def all_queries():
