@@ -1,4 +1,272 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators — exact and near-dup families.
 
-QUERIES = {}
-ORACLES = {}
+The reference's only dedup-adjacent primitive is keep-first semantics
+(SURVEY Q16/Q24); the north star (BASELINE.json) asks for the full
+LLM-corpus dedup toolbox.  All hashing here is **content-derived
+(md5)**, not engine-seeded, so every stage — including MinHash
+signatures and LSH bands — is reproducible across engines and across
+cluster topologies, and each query has a DuckDB oracle.  (Spark's
+builtin ``MinHashLSH`` draws engine-private random coefficients; a
+content-hash scheme gives the same recall with portable results.)
+
+Scale design:
+
+* exact dedup groups on a 128-bit fingerprint, never on raw text —
+  the shuffle moves 16-byte keys, not documents;
+* MinHash: explode shingles → per-(doc, hash-index) min-aggregate
+  (partial agg collapses before the shuffle) → band keys → bucket
+  self-join.  Cost is O(total shingles × k); the bucket join only
+  touches colliding groups — this is the 100 TB near-dup path;
+* SimHash: one explode over (token × 32 bit-positions) then a single
+  groupBy — embarrassingly parallel;
+* pairwise Jaccard is quadratic and therefore only ever run on a
+  bounded candidate set (LSH buckets, or the explicit subset here).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+MINHASH_K = 16  # signature length
+MINHASH_BAND_ROWS = 4  # rows per band → 4 bands
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.trim(F.col("text"))), " ")
+
+
+def _word_shingles(n: int = 3) -> Column:
+    """n-word shingles as strings (distinct per doc at use site).
+    slice() yields an empty array for short docs (sequence() would
+    produce a descending [1,0] — avoid)."""
+    toks = _tokens()
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(
+        F.slice(toks, 1, k),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(toks, i + 1 + j) for j in range(1, n)]
+        ),
+    )
+
+
+# ------------------------------------------------------------------
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5(normalized text) — group keys are 16-byte
+    hashes so the shuffle never carries document bodies.  Keeps the
+    lowest doc_id (reference keep-first contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").cast("long").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------------
+def _minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, h (0..k-1), sig) — sig = lexicographic-min md5 of the
+    salted shingle, the content-derived MinHash."""
+    shingled = d.select(
+        "doc_id", F.explode(F.array_distinct(_word_shingles())).alias("shingle")
+    )
+    salted = shingled.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("h"),
+        F.col("shingle"),
+    )
+    return (
+        salted.withColumn(
+            "hv", F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle")))
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("sig"))
+    )
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, one row per (doc, hash index)."""
+    d = load_table(spark, sf_dir, "documents")
+    return _minhash_signatures(d).select(
+        "doc_id", F.col("h").cast("long").alias("h"), "sig"
+    )
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band = md5 of 4 consecutive sig values;
+    docs sharing any band bucket are candidates (doc_a < doc_b)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_signatures(d)
+    bands = (
+        sigs.withColumn("band", (F.col("h") / MINHASH_BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("h"), F.col("sig")))
+                        ),
+                        lambda s: s.sig,
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the distinct-token set.
+
+    Each token's 32 hash bits come from its first 8 md5 hex digits;
+    per bit position the ±1 votes are summed and the sign forms the
+    fingerprint bit.  Pure explode→groupBy — no shuffle of text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    ).withColumn("th", F.md5("tok"))
+    bits = toks.select(
+        "doc_id",
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+    )
+    # nibble value of hex digit j//4, bit (3 - j%4) of that nibble —
+    # identical arithmetic to the DuckDB oracle (strpos/instr both
+    # 1-based, floor division, pow shift).
+    bit = F.expr(
+        "floor((instr('0123456789abcdef',"
+        " substr(th, cast(floor(j / 4) as int) + 1, 1)) - 1)"
+        " / pow(2, 3 - j % 4)) % 2"
+    )
+    votes = bits.withColumn("vote", (bit * 2 - 1)).groupBy("doc_id", "j").agg(
+        F.sum("vote").alias("v")
+    )
+    fingerprint = votes.withColumn(
+        "contrib",
+        F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("j").cast("double")).cast("long")).otherwise(F.lit(0)),
+    ).groupBy("doc_id").agg(F.sum("contrib").cast("long").alias("simhash32"))
+    return fingerprint.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash32")
+
+
+# ------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over a bounded candidate set
+    (doc_id < 100): explode distinct tokens, self-join on token,
+    |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.5.
+
+    At scale the candidate set comes from LSH buckets
+    (dedup_minhash_lsh_pairs), never from a full self-join."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jacc = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return jacc
+
+
+QUERIES = {
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "dedup_minhash_signature": dedup_minhash_signature,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+_SQL_TOKS = "string_split(lower(trim(text)), ' ')"
+_SQL_SHINGLES = (
+    "list_transform(range(1, greatest(len({t}) - 2, 0) + 1),"
+    " i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2]))"
+).format(t=_SQL_TOKS)
+
+_SQL_SIGS = (
+    "SELECT doc_id, h, min(md5(concat(h, ':', shingle))) AS sig FROM ("
+    "  SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents"
+    f" ), range({MINHASH_K}) r(h) GROUP BY doc_id, h"
+).format(sh=_SQL_SHINGLES)
+
+ORACLES = {
+    "dedup_exact_fingerprint": (
+        "SELECT md5(lower(trim(text))) AS fingerprint,"
+        " CAST(min(doc_id) AS BIGINT) AS keep_doc_id,"
+        " COUNT(*) AS n_copies"
+        " FROM documents GROUP BY 1"
+    ),
+    "dedup_minhash_signature": f"SELECT doc_id, CAST(h AS BIGINT) AS h, sig FROM ({_SQL_SIGS})",
+    "dedup_minhash_lsh_pairs": (
+        "WITH sigs AS (" + _SQL_SIGS + "),"
+        f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
+        "   md5(string_agg(sig, ',' ORDER BY h)) AS band_key"
+        "   FROM sigs GROUP BY 1, 2)"
+        " SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,"
+        " CAST(b.doc_id AS BIGINT) AS doc_b"
+        " FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    ),
+    "dedup_simhash": (
+        "WITH toks AS (SELECT doc_id, md5(unnest(list_distinct("
+        + _SQL_TOKS
+        + "))) AS th FROM documents),"
+        " bits AS (SELECT doc_id, th, j,"
+        "   floor((strpos('0123456789abcdef', substr(th, CAST(j // 4 AS INT) + 1, 1)) - 1)"
+        "         / pow(2, 3 - j % 4)) % 2 AS bit"
+        "   FROM toks, range(32) r(j)),"
+        " votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2)"
+        " SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        "   AS simhash32"
+        " FROM votes GROUP BY doc_id"
+    ),
+    "dedup_ngram_jaccard": (
+        "WITH toks AS (SELECT doc_id, unnest(list_distinct(" + _SQL_TOKS + ")) AS tok"
+        "   FROM documents WHERE doc_id < 100),"
+        " sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),"
+        " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common"
+        "   FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id"
+        "   GROUP BY 1, 2)"
+        " SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,"
+        " CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard"
+        " FROM inter JOIN sizes sa ON doc_a = sa.doc_id"
+        " JOIN sizes sb ON doc_b = sb.doc_id"
+        " WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"
+    ),
+}

@@ -1,4 +1,128 @@
-"""Placeholder — filled in this round."""
+"""Multimodal-column plumbing — images/audio/video as opaque binary
+columns with typed metadata.
 
-QUERIES = {}
-ORACLES = {}
+The container has no codec libraries, so actual decoding is stubbed
+(``MultimodalDecoder.decode`` raises ``NotImplementedError``); what is
+real — and tested/oracle-checked — is the Spark-side machinery a 100 TB
+media pipeline needs:
+
+* binary payload column + deterministic per-item metadata,
+* Arrow-batched ``mapInPandas`` with a stable output schema (the
+  exact shape a real decode/resize/frame-sample UDF plugs into),
+* partition-size awareness: binary payloads dominate memory, so the
+  batch size is bounded via ``maxRecordsPerBatch`` rather than row
+  count heuristics.
+
+``mm_binary_meta`` derives the payload from ``documents.text``
+(utf-8 bytes) so the whole path — binary column → pandas batch →
+hashlib → metadata — is verifiable against DuckDB's ``encode``/
+``octet_length``/``md5``.  A real deployment swaps the payload source
+for image bytes and the fake decode for PIL/ffmpeg; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+    ]
+)
+
+
+class MultimodalDecoder:
+    """Decode stub: deterministic fake metadata from the content hash.
+
+    ``decode`` is the integration point for a real codec (PIL, ffmpeg,
+    torchaudio…) — it raises until one is installed, per the design
+    rule that media libs are absent in this environment.
+    """
+
+    def decode(self, payload: bytes):
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "use fake_metadata() for deterministic pipeline testing"
+        )
+
+    @staticmethod
+    def fake_metadata(payload: bytes) -> tuple[int, str, int, int, int]:
+        digest = hashlib.md5(payload).hexdigest()
+        b0 = int(digest[0:2], 16)
+        b1 = int(digest[2:4], 16)
+        return (
+            len(payload),
+            digest,
+            64 + b0 % 192,  # width
+            64 + b1 % 192,  # height
+            3,  # channels
+        )
+
+
+def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    dec = MultimodalDecoder()
+    for pdf in batches:
+        metas = [dec.fake_metadata(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [m[0] for m in metas],
+                "content_md5": [m[1] for m in metas],
+                "width": [m[2] for m in metas],
+                "height": [m[3] for m in metas],
+                "channels": [m[4] for m in metas],
+            }
+        )
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque binary column (utf-8 bytes of the text here;
+    real pipelines read media files instead)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8").cast(BinaryType()))
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(_meta_batches, META_SCHEMA)
+
+
+QUERIES = {"mm_binary_meta": mm_binary_meta}
+
+# DuckDB replicates the deterministic fake-decode arithmetic: hex
+# pair k of md5 → byte value via strpos arithmetic.
+_B = (
+    "((strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)"
+)
+
+ORACLES = {
+    "mm_binary_meta": (
+        "SELECT doc_id,"
+        " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+        " md5(text) AS content_md5,"
+        f" CAST(64 + {_B.format(a=1, b=2)} % 192 AS BIGINT) AS width,"
+        f" CAST(64 + {_B.format(a=3, b=4)} % 192 AS BIGINT) AS height,"
+        " CAST(3 AS BIGINT) AS channels"
+        " FROM documents"
+    ),
+}

@@ -1,4 +1,209 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the ``embeddings`` table (64-dim float
+vectors) — north-star ANN surface.
 
-QUERIES = {}
-ORACLES = {}
+Three tiers:
+
+* ``sim_cosine_topk`` — exact brute-force top-k for a bounded probe
+  set: broadcast the probes, stream the corpus once, per-probe top-k
+  via window rank.  The corpus is never shuffled; at 100 TB this is
+  the correct "small probe batch × huge corpus" plan (cost O(N·k·d),
+  one pass).
+* ``sim_embed_nn`` — all-pairs nearest neighbor on an explicitly
+  bounded subset (pairwise is quadratic; the operator refuses to be
+  the scale path by construction).
+* ``sim_ann_buckets`` — the scale path: sign-random-projection LSH.
+  The 16 hyperplanes are content-derived (md5 of plane/dim indices →
+  ±1), so bucketing is deterministic across engines and runs — no
+  engine-seeded randomness.  ANN then probes only same-bucket
+  candidates (bucket join), turning O(N²) into O(N·B) where B is
+  bucket occupancy.
+
+All cosine math is double-precision JVM expressions (zip_with +
+aggregate); rounding to 6 decimals before ranking makes the order
+identical across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+N_PLANES = 16
+DIM = 64
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign p,i = parity of the first
+    md5 hex digit of "p:i".  Content-derived → identical in any
+    engine/run; statistically indistinguishable from seeded ±1."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            d = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            row.append(1 if int(d[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def _vecd(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _round6(c: Column) -> Column:
+    # floor(x*1e6 + 0.5)/1e6 — engine-portable round-half-up.
+    return F.floor(c * 1e6 + 0.5) / 1e6
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for probes vec_id < 10 (SURVEY Q29)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    probes = emb.select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    ).filter(F.col("probe_id") < 10)
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _round6(
+            _dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def sim_embed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor within the bounded subset vec_id % 25 == 0
+    (embedding-cosine near-dup pattern on a candidate set)."""
+    from pyspark.sql import Window
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 25 == 0)
+        .select("vec_id", _vecd("embedding").alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        _round6(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_a").cast("long").alias("vec_id"),
+            F.col("id_b").cast("long").alias("nn_id"),
+            "cos_sim",
+        )
+    )
+
+
+def sim_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucket id per vector (scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    planes = _hyperplanes()
+    bucket = None
+    for p, signs in enumerate(planes):
+        sv = F.array(*[F.lit(float(s)) for s in signs])
+        bit = (_dot(F.col("v"), sv) > 0).cast("long") * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), bucket.alias("bucket")
+    )
+
+
+def _sql_planes_values() -> str:
+    """The same hyperplanes as a DuckDB VALUES list (p, i, sign)."""
+    rows = []
+    for p, signs in enumerate(_hyperplanes()):
+        for i, s in enumerate(signs):
+            rows.append(f"({p},{i},{s})")
+    return ",".join(rows)
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_embed_nn": sim_embed_nn,
+    "sim_ann_buckets": sim_ann_buckets,
+}
+
+# Exploded (vec_id, dim index, double value) view of embeddings.
+_SQL_EXPLODED = (
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
+    " unnest(embedding)::DOUBLE AS x FROM embeddings"
+)
+_SQL_NORMS = "SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id"
+
+ORACLES = {
+    "sim_cosine_topk": (
+        f"WITH e AS ({_SQL_EXPLODED}),"
+        f" norms AS ({_SQL_NORMS}),"
+        " dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,"
+        "   sum(p.x * c.x) AS dot"
+        "   FROM e p JOIN e c ON p.i = c.i AND p.vec_id < 10 AND c.vec_id <> p.vec_id"
+        "   GROUP BY 1, 2),"
+        " scored AS (SELECT probe_id, neighbor_id,"
+        "   floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS cos_sim"
+        "   FROM dots JOIN norms np ON probe_id = np.vec_id"
+        "   JOIN norms nc ON neighbor_id = nc.vec_id)"
+        " SELECT probe_id, neighbor_id, cos_sim, rank FROM ("
+        "   SELECT *, row_number() OVER (PARTITION BY probe_id"
+        "     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)"
+        " WHERE rank <= 5"
+    ),
+    "sim_embed_nn": (
+        f"WITH e AS ({_SQL_EXPLODED.replace('FROM embeddings', 'FROM embeddings WHERE vec_id % 25 = 0')}),"
+        f" norms AS ({_SQL_NORMS}),"
+        " dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot"
+        "   FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),"
+        " scored AS (SELECT id_a, id_b,"
+        "   floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 AS cos_sim"
+        "   FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)"
+        " SELECT CAST(id_a AS BIGINT) AS vec_id, CAST(id_b AS BIGINT) AS nn_id, cos_sim"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY id_a"
+        "   ORDER BY cos_sim DESC, id_b ASC) AS rn FROM scored) WHERE rn = 1"
+    ),
+    "sim_ann_buckets": (
+        f"WITH planes(p, i, s) AS (VALUES {_sql_planes_values()}),"
+        f" e AS ({_SQL_EXPLODED}),"
+        " dots AS (SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS dot"
+        "   FROM e JOIN planes pl ON e.i = pl.i + 1 GROUP BY 1, 2)"
+        " SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)"
+        "      AS BIGINT) AS bucket"
+        " FROM dots GROUP BY vec_id"
+    ),
+}

@@ -1,4 +1,170 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators over ``documents`` — the north-star
+LLM-pipeline surface (BASELINE.json): token counting, quality
+scoring, language-ID, document fingerprinting.
 
-QUERIES = {}
-ORACLES = {}
+Everything is built from JVM-side expression primitives (split /
+transform / filter / aggregate / regexp) — no Python in the hot path —
+so the plans stay inside whole-stage codegen and scale as narrow maps:
+zero shuffles for per-document scores.
+
+Cross-engine note: every query here has a DuckDB oracle; scoring
+formulas use only integer arithmetic + one final double division so
+results are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+# Tiny per-language stopword profiles (public common-word lists).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+
+_TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish: words + standalone punctuation
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.trim(F.col(col))), " ")
+
+
+def _stop_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens in the stopword list (bigint)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def _sql_stop_hits(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split(lower(trim(text)), ' '),"
+        f" t -> t IN ({lst}))) AS BIGINT)"
+    )
+
+
+def ns_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish) tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_re_tokens"),
+    )
+
+
+def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio, and
+    a composite score — the standard cheap pre-filter for LLM corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("long")
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    stop_hits = _stop_hits(toks, STOPWORDS["en"])
+    avg_tok = tok_len_sum.cast("double") / n_tokens.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_tokens.cast("double")
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.5
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-profile overlap with a fixed preference
+    order (en > de > fr > es) on ties — deterministic argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    s = {lang: _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        s["en"].alias("s_en"),
+        s["de"].alias("s_de"),
+        s["fr"].alias("s_fr"),
+        s["es"].alias("s_es"),
+    )
+
+
+def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprint (sorted distinct token set → md5) —
+    the canonical normalize-then-hash dedup key.  At 100 TB the
+    fingerprint becomes the shuffle key for exact-dedup so full text
+    never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_tokens())), " ")
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+QUERIES = {
+    "ns_text_tokens": ns_text_tokens,
+    "ns_text_quality": ns_text_quality,
+    "ns_text_langid": ns_text_langid,
+    "ns_text_fingerprint": ns_text_fingerprint,
+}
+
+_SQL_TOKS = "string_split(lower(trim(text)), ' ')"
+
+ORACLES = {
+    "ns_text_tokens": (
+        "SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,"
+        " CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_re_tokens"
+        " FROM documents"
+    ),
+    "ns_text_quality": (
+        "SELECT doc_id,"
+        " CAST(length(text) AS BIGINT) AS n_chars_m,"
+        f" CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,"
+        f" CAST(list_sum(list_transform({_SQL_TOKS}, t -> length(t))) AS DOUBLE)"
+        f"   / len({_SQL_TOKS}) AS avg_token_len,"
+        f" CAST({_sql_stop_hits(STOPWORDS['en'])} AS DOUBLE) / len({_SQL_TOKS})"
+        "   AS stopword_ratio,"
+        f" least(CAST(len({_SQL_TOKS}) AS DOUBLE) / 50.0, 1.0) * 0.5"
+        f"   + (CAST({_sql_stop_hits(STOPWORDS['en'])} AS DOUBLE) / len({_SQL_TOKS})) * 0.5"
+        "   AS quality_score"
+        " FROM documents"
+    ),
+    "ns_text_langid": (
+        "SELECT doc_id,"
+        " CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'"
+        "      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'"
+        "      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,"
+        " s_en, s_de, s_fr, s_es FROM ("
+        "SELECT doc_id,"
+        + ", ".join(
+            f" {_sql_stop_hits(words)} AS s_{lang}" for lang, words in STOPWORDS.items()
+        )
+        + " FROM documents)"
+    ),
+    "ns_text_fingerprint": (
+        "SELECT doc_id,"
+        f" md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))"
+        " AS fingerprint"
+        " FROM documents"
+    ),
+}

@@ -1,0 +1,109 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.3: ``cdap-data-streams`` is
+merely listed as a compatible parent artifact) — this module is the
+rebuild's streaming story: the same event-table semantics expressed
+as an incremental plan with event-time watermarks.
+
+Design:
+
+* file-source stream with an explicit schema (schema inference is a
+  batch luxury; a production stream pins its schema),
+* event-time = ``timestamp_micros(ts_ns div 1000)`` — the same
+  integer-µs contract as the batch operators,
+* watermark bounds state: windowed aggregation state is dropped once
+  the watermark passes the window end, so state size is
+  O(windows_in_flight × groups), independent of stream length —
+  the property that matters at 100 TB/day,
+* ``dropDuplicatesWithinWatermark`` gives bounded-state streaming
+  dedup keyed on event_id (the streaming twin of Q24/exact dedup).
+
+Tests drive these with ``trigger(availableNow=True)`` against the
+static parquet and assert equality with the batch answers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from decision_tree_analytics_spark.session import prepare_session
+
+# events schema with ts as int64 nanoseconds (nanosAsLong read).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table with event-time column."""
+    prepare_session(spark)
+    # File stream sources take a directory; select just the events
+    # file via glob (a production stream points at a landing dir).
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window counts + value sum per event_type with a
+    late-data watermark (state pruned past window end + watermark)."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Bounded-state exact dedup on event_id within the watermark."""
+    return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain an availableNow trigger into a memory sink; returns the
+    finished StreamingQuery (caller reads ``spark.table(name)``).
+
+    Aggregations should pass ``output_mode='complete'`` — in append
+    mode a window only emits once the watermark passes it, and a
+    bounded availableNow replay ends with open windows unemitted."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
