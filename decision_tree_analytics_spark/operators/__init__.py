@@ -22,7 +22,12 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
 ALL_MODULES = (relational, ml_inventory, dedup, similarity, text, multimodal)
 
 # Extra bench queries beyond bench.py's HEADLINE set.
-BENCH_EXTRAS = ["q26_dt_train_predict"]
+BENCH_EXTRAS = [
+    "q26_dt_train_predict",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "ns_text_quality",
+]
 
 
 def all_queries():

@@ -68,56 +68,65 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
-def _minhash_signatures(d: DataFrame) -> DataFrame:
-    """(doc_id, h (0..k-1), sig) — sig = lexicographic-min md5 of the
-    salted shingle, the content-derived MinHash."""
+def _minhash_wide(d: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — one row per doc, column i holding the
+    lexicographic-min md5 of the i-salted shingles (content-derived
+    MinHash).
+
+    Shape matters at scale: the k hashes are computed as k expressions
+    over ONE explode of the shingles (not an explode × k blowup), and
+    the k-column min-aggregate partial-combines map-side, so the
+    shuffle carries one k×32-byte row per document per partition.
+
+    The input is spread across all cores first: a small-file table
+    arrives as one partition, and the hash work is CPU-bound — without
+    the repartition the k·|shingles| md5s run on a single thread."""
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
     shingled = d.select(
         "doc_id", F.explode(F.array_distinct(_word_shingles())).alias("shingle")
     )
-    salted = shingled.select(
+    hashed = shingled.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("h"),
-        F.col("shingle"),
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ],
     )
-    return (
-        salted.withColumn(
-            "hv", F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle")))
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("sig"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
     )
 
 
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature, one row per (doc, hash index)."""
     d = load_table(spark, sf_dir, "documents")
-    return _minhash_signatures(d).select(
-        "doc_id", F.col("h").cast("long").alias("h"), "sig"
+    wide = _minhash_wide(d)
+    stack = ", ".join(f"CAST({i} AS BIGINT), h{i}" for i in range(MINHASH_K))
+    return wide.select(
+        "doc_id", F.expr(f"stack({MINHASH_K}, {stack}) AS (h, sig)")
     )
 
 
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: band = md5 of 4 consecutive sig values;
-    docs sharing any band bucket are candidates (doc_a < doc_b)."""
+    docs sharing any band bucket are candidates (doc_a < doc_b).
+    Band keys are derived from the wide signature row — no second
+    aggregation; the only joins are on 32-byte band keys."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_signatures(d)
-    bands = (
-        sigs.withColumn("band", (F.col("h") / MINHASH_BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("h"), F.col("sig")))
-                        ),
-                        lambda s: s.sig,
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    wide = _minhash_wide(d)
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_cols = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS)]
+        band_cols.append(F.md5(F.concat_ws(",", *cols)).alias(f"b{b}"))
+    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_cols).select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack}) AS (band, band_key)")
     )
+    # The self-join would recompute the whole signature pipeline for
+    # each side; persist the (k/r × 40-byte per doc) band table — at
+    # scale this is the signature store you'd write to parquet.
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -140,8 +149,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each token's 32 hash bits come from its first 8 md5 hex digits;
     per bit position the ±1 votes are summed and the sign forms the
-    fingerprint bit.  Pure explode→groupBy — no shuffle of text."""
+    fingerprint bit.  Pure explode→groupBy — no shuffle of text.
+    Repartitioned first: the bit-explode is CPU-bound and must not run
+    on a single input partition."""
     d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
     ).withColumn("th", F.md5("tok"))

@@ -1,0 +1,90 @@
+"""Physical-plan shape locks — the scale-design assertions.
+
+Each test pins a property that matters at 100 TB; a change that
+de-optimizes a plan (lost pushdown, surprise shuffle, broken codegen)
+fails here rather than in production."""
+
+from __future__ import annotations
+
+from decision_tree_analytics_spark.operators import dedup as D
+from decision_tree_analytics_spark.operators import relational as R
+from decision_tree_analytics_spark.operators import text as T
+from decision_tree_analytics_spark.plans.inspect import (
+    count_shuffles,
+    has_broadcast_join,
+    has_python_eval,
+    has_whole_stage_codegen,
+    pushed_filters,
+    scan_read_schemas,
+    simple_plan,
+    uses_top_k_sort,
+)
+
+
+def test_q01_scan_prunes_columns(spark, sf_dir):
+    plan = simple_plan(R.q01_scan_project(spark, sf_dir))
+    assert scan_read_schemas(plan) == [["l_orderkey", "l_quantity"]]
+
+
+def test_q03_filter_pushed_to_scan(spark, sf_dir):
+    plan = simple_plan(R.q03_null_filter(spark, sf_dir))
+    assert "IsNotNull(value)" in pushed_filters(plan)
+
+
+def test_q05_compound_predicates_pushed(spark, sf_dir):
+    # formatted mode: the simple-mode FileScan line truncates long
+    # filter lists.
+    from decision_tree_analytics_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(R.q05_compound_filter(spark, sf_dir))
+    pf = pushed_filters(plan)
+    assert "GreaterThanOrEqual(l_discount,0.05)" in pf
+    assert "LessThan(l_quantity,24.0)" in pf
+
+
+def test_q07_dims_are_broadcast_and_fact_never_shuffles(spark, sf_dir):
+    plan = simple_plan(R.q07_broadcast_dim_join(spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert count_shuffles(plan) == 0
+
+
+def test_q11_agg_is_partial_then_final(spark, sf_dir):
+    plan = simple_plan(R.q11_hash_agg(spark, sf_dir))
+    assert "partial_sum" in plan and "partial_avg" in plan
+    assert has_whole_stage_codegen(plan)
+    assert count_shuffles(plan) == 1
+
+
+def test_q16_single_shuffle_for_window(spark, sf_dir):
+    plan = simple_plan(R.q16_window_keep_first(spark, sf_dir))
+    assert count_shuffles(plan) == 1  # one hashpartitioning on o_custkey
+
+
+def test_q19_topk_never_global_sorts(spark, sf_dir):
+    plan = simple_plan(R.q19_topk(spark, sf_dir))
+    assert uses_top_k_sort(plan)
+
+
+def test_q23_math_stays_in_codegen(spark, sf_dir):
+    plan = simple_plan(R.q23_math_fns(spark, sf_dir))
+    assert has_whole_stage_codegen(plan)
+    assert not has_python_eval(plan)
+
+
+def test_q24_dedup_partial_aggregates(spark, sf_dir):
+    plan = simple_plan(R.q24_exact_dedup(spark, sf_dir))
+    assert "partial_min" in plan  # map-side combine before the shuffle
+    assert count_shuffles(plan) == 1
+
+
+def test_text_ops_have_no_python_and_no_shuffle(spark, sf_dir):
+    for q in (T.ns_text_tokens, T.ns_text_quality, T.ns_text_langid, T.ns_text_fingerprint):
+        plan = simple_plan(q(spark, sf_dir))
+        assert not has_python_eval(plan), q.__name__
+        assert count_shuffles(plan) == 0, q.__name__
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    plan = simple_plan(D.dedup_exact_fingerprint(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert "partial_min" in plan
