@@ -322,6 +322,36 @@ def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_cube — CUBE grouping sets (rollup's sibling; Spark expands both
+# to a single Expand + aggregate, one shuffle).
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+
+
+# rel_json_fns — JSON scalar extraction from the events props column
+# (JVM-side JsonPath; at scale prefer from_json with a schema so the
+# parse happens once per row, not per extraction).
+def rel_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# rel_percentile — exact interpolated median per group (both engines
+# define it as linear interpolation between closest ranks).
+def rel_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("median_value")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_project_exclude": q02_project_exclude,
@@ -347,6 +377,9 @@ QUERIES = {
     "q22_date_fns": q22_date_fns,
     "q23_math_fns": q23_math_fns,
     "q24_exact_dedup": q24_exact_dedup,
+    "rel_cube": rel_cube,
+    "rel_json_fns": rel_json_fns,
+    "rel_percentile": rel_percentile,
 }
 
 ORACLES = {
@@ -470,5 +503,18 @@ ORACLES = {
     "q24_exact_dedup": (
         "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, lang, COUNT(*) AS n_dupes"
         " FROM documents GROUP BY text, lang"
+    ),
+    "rel_cube": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,"
+        " SUM(o_totalprice) AS sum_price"
+        " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    "rel_json_fns": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
+        " FROM events"
+    ),
+    "rel_percentile": (
+        "SELECT event_type, quantile_cont(value, 0.5) AS median_value"
+        " FROM events GROUP BY event_type"
     ),
 }

@@ -1,0 +1,57 @@
+"""Source/sink roundtrip tests: csv, json, partitioned parquet."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from decision_tree_analytics_spark.sources.formats import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from decision_tree_analytics_spark.sources.tables import load_table
+
+
+def _orders_sample(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(200)
+    )
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    df = _orders_sample(spark, sf_dir)
+    p = str(tmp_path / "orders_csv")
+    write_csv(df, p)
+    back = read_csv(spark, p, df.schema, header=True)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    df = _orders_sample(spark, sf_dir)
+    p = str(tmp_path / "orders_json")
+    write_json(df, p)
+    back = read_json(spark, p, df.schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    df = _orders_sample(spark, sf_dir)
+    p = str(tmp_path / "orders_part")
+    write_parquet(df, p, partition_by=["o_orderstatus"], target_files=2)
+    statuses = [d for d in os.listdir(p) if d.startswith("o_orderstatus=")]
+    assert len(statuses) >= 2  # hive-style layout → partition pruning
+
+    back = spark.read.parquet(p).filter(F.col("o_orderstatus") == "F")
+    from decision_tree_analytics_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(back)
+    # the status predicate must become a partition filter, not a scan filter
+    assert "PartitionFilters" in plan
+    want = df.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == want
