@@ -154,10 +154,53 @@ def _sql_planes_values() -> str:
     return ",".join(rows)
 
 
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: exact cosine ranking restricted to same-LSH-bucket
+    candidates — the complete scale path (bucket equi-join instead of
+    a cross join; recall traded via N_PLANES).
+
+    At 100 TB: buckets are the shuffle key; each bucket's candidate
+    set is small, so the pairwise stage is linear in Σ bucket².  Skewed
+    (hot) buckets would be split by AQE skew-join handling."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    buckets = sim_ann_buckets(spark, sf_dir)
+    both = emb.join(buckets, "vec_id").persist()
+    a = both.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = both.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        _round6(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("id_a").cast("long").alias("vec_id"),
+            F.col("id_b").cast("long").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_embed_nn": sim_embed_nn,
     "sim_ann_buckets": sim_ann_buckets,
+    "sim_ann_topk": sim_ann_topk,
 }
 
 # Exploded (vec_id, dim index, double value) view of embeddings.
@@ -205,5 +248,29 @@ ORACLES = {
         " CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)"
         "      AS BIGINT) AS bucket"
         " FROM dots GROUP BY vec_id"
+    ),
+    "sim_ann_topk": (
+        f"WITH planes(p, i, s) AS (VALUES {_sql_planes_values()}),"
+        f" e AS ({_SQL_EXPLODED}),"
+        " pdots AS (SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS dot"
+        "   FROM e JOIN planes pl ON e.i = pl.i + 1 GROUP BY 1, 2),"
+        " buckets AS (SELECT vec_id,"
+        "   sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket"
+        "   FROM pdots GROUP BY vec_id),"
+        f" norms AS ({_SQL_NORMS}),"
+        " dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot"
+        "   FROM e a JOIN buckets ba ON a.vec_id = ba.vec_id"
+        "   JOIN buckets bb ON ba.bucket = bb.bucket"
+        "   JOIN e b ON b.vec_id = bb.vec_id AND a.i = b.i"
+        "   WHERE a.vec_id <> b.vec_id GROUP BY 1, 2),"
+        " scored AS (SELECT id_a, id_b,"
+        "   floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 AS cos_sim"
+        "   FROM dots JOIN norms na ON id_a = na.vec_id"
+        "   JOIN norms nb ON id_b = nb.vec_id)"
+        " SELECT CAST(id_a AS BIGINT) AS vec_id, CAST(id_b AS BIGINT) AS neighbor_id,"
+        " cos_sim, rank FROM ("
+        "   SELECT *, row_number() OVER (PARTITION BY id_a"
+        "     ORDER BY cos_sim DESC, id_b ASC) AS rank FROM scored)"
+        " WHERE rank <= 3"
     ),
 }

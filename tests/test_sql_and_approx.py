@@ -1,0 +1,42 @@
+"""SQL entry-point parity + approx-distinct tolerance (SURVEY Q14's
+5%-of-exact contract, which hash-matching can't express)."""
+
+from __future__ import annotations
+
+from decision_tree_analytics_spark.operators.relational import (
+    q11_hash_agg,
+    q12_distinct_agg,
+    q14_approx_distinct,
+)
+from decision_tree_analytics_spark.sql import run_sql
+
+
+def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
+    sql_rows = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               AVG(l_extendedprice) AS avg_price,
+               COUNT(*) AS cnt_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    ).collect()
+    df_rows = q11_hash_agg(spark, sf_dir).collect()
+    norm = lambda rows: sorted(
+        (r.l_returnflag, r.l_linestatus, round(r.sum_qty, 6), round(r.avg_price, 6), r.cnt_order)
+        for r in rows
+    )
+    assert norm(sql_rows) == norm(df_rows)
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    exact = {r.event_type: r.uniq_users for r in q12_distinct_agg(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r.approx_uniq_users
+        for r in q14_approx_distinct(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 0.05 * ex), (k, ex, approx[k])
