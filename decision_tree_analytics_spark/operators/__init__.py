@@ -16,10 +16,19 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     similarity,
+    streaming_inventory,
     text,
 )
 
-ALL_MODULES = (relational, ml_inventory, dedup, similarity, text, multimodal)
+ALL_MODULES = (
+    relational,
+    ml_inventory,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    streaming_inventory,
+)
 
 # Extra bench queries beyond bench.py's HEADLINE set.
 BENCH_EXTRAS = [

@@ -216,12 +216,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jacc
 
 
+# ------------------------------------------------------------------
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates from the LSH
+    buckets (similarity.sim_ann_buckets), confirmed by exact cosine ≥
+    0.9.  The quadratic stage only ever sees same-bucket candidates —
+    the embedding twin of MinHash-LSH → Jaccard-verify."""
+    from decision_tree_analytics_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _round6,
+        _vecd,
+        sim_ann_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    both = emb.join(sim_ann_buckets(spark, sf_dir), "vec_id").persist()
+    a = both.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = both.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            F.col("id_a").cast("long").alias("vec_a"),
+            F.col("id_b").cast("long").alias("vec_b"),
+            _round6(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .distinct()
+    )
+
+
 QUERIES = {
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_signature": dedup_minhash_signature,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_neardup": dedup_embedding_neardup,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -282,3 +318,36 @@ ORACLES = {
         " WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"
     ),
 }
+
+
+def _embedding_neardup_oracle() -> str:
+    from decision_tree_analytics_spark.operators.similarity import (
+        _SQL_EXPLODED,
+        _SQL_NORMS,
+        _sql_planes_values,
+    )
+
+    return (
+        f"WITH planes(p, i, s) AS (VALUES {_sql_planes_values()}),"
+        f" e AS ({_SQL_EXPLODED}),"
+        " pdots AS (SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS dot"
+        "   FROM e JOIN planes pl ON e.i = pl.i + 1 GROUP BY 1, 2),"
+        " buckets AS (SELECT vec_id,"
+        "   sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket"
+        "   FROM pdots GROUP BY vec_id),"
+        f" norms AS ({_SQL_NORMS}),"
+        " dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot"
+        "   FROM e a JOIN buckets ba ON a.vec_id = ba.vec_id"
+        "   JOIN buckets bb ON ba.bucket = bb.bucket"
+        "   JOIN e b ON b.vec_id = bb.vec_id AND a.i = b.i"
+        "   WHERE a.vec_id < b.vec_id GROUP BY 1, 2)"
+        " SELECT DISTINCT CAST(id_a AS BIGINT) AS vec_a,"
+        " CAST(id_b AS BIGINT) AS vec_b,"
+        " floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 AS cos_sim"
+        " FROM dots JOIN norms na ON id_a = na.vec_id"
+        " JOIN norms nb ON id_b = nb.vec_id"
+        " WHERE floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 >= 0.9"
+    )
+
+
+ORACLES["dedup_embedding_neardup"] = _embedding_neardup_oracle()

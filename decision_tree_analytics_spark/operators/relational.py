@@ -352,6 +352,41 @@ def rel_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_sessionize — batch sessionization as window composition:
+# session boundary = gap > 30 min since previous event (lag), session
+# id = running count of boundaries (cumulative sum), then aggregate
+# per session.  The streaming twin is streaming/sessionize.py's
+# native session_window; identical gap semantics.
+# Scale: one shuffle on user_id; both windows share the same
+# partitioning+ordering so Catalyst plans a single sort.
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    with_gap = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        ts_us.alias("t"),
+        F.when(
+            (ts_us - F.lag(ts_us).over(w)) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_new"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = with_gap.withColumn(
+        "session_id", F.sum("is_new").over(wc).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("session_start_us"),
+        F.max("t").alias("session_end_us"),
+        F.sum("value").alias("session_value"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_project_exclude": q02_project_exclude,
@@ -380,6 +415,7 @@ QUERIES = {
     "rel_cube": rel_cube,
     "rel_json_fns": rel_json_fns,
     "rel_percentile": rel_percentile,
+    "rel_sessionize": rel_sessionize,
 }
 
 ORACLES = {
@@ -516,5 +552,20 @@ ORACLES = {
     "rel_percentile": (
         "SELECT event_type, quantile_cont(value, 0.5) AS median_value"
         " FROM events GROUP BY event_type"
+    ),
+    "rel_sessionize": (
+        "WITH base AS (SELECT event_id, user_id, value, epoch_us(ts) AS t"
+        "   FROM events),"
+        " gaps AS (SELECT *, CASE WHEN t - lag(t) OVER ("
+        "     PARTITION BY user_id ORDER BY t, event_id) > 1800000000"
+        "     THEN 1 ELSE 0 END AS is_new FROM base),"
+        " sess AS (SELECT *, CAST(sum(is_new) OVER ("
+        "     PARTITION BY user_id ORDER BY t, event_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        "     AS session_id FROM gaps)"
+        " SELECT user_id, session_id, COUNT(*) AS n_events,"
+        " min(t) AS session_start_us, max(t) AS session_end_us,"
+        " SUM(value) AS session_value"
+        " FROM sess GROUP BY user_id, session_id"
     ),
 }

@@ -60,7 +60,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return raw.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 

@@ -28,7 +28,7 @@ def test_session_windows_match_batch(spark, sf_dir):
     }
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
     batch = (
         ev.groupBy(F.session_window("event_time", "30 minutes"), "user_id")

@@ -27,7 +27,7 @@ def test_windowed_counts_match_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     batch = (
         ev.withColumn(
-            "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
         )
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
