@@ -387,6 +387,22 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_pivot — pivot with explicitly declared values (never let Spark
+# run the values-discovery job at scale); plans as one conditional
+# aggregation, same as the SQL FILTER form.
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"cnt_{c.lower()}") for c in ("F", "O", "P")],
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_project_exclude": q02_project_exclude,
@@ -416,6 +432,7 @@ QUERIES = {
     "rel_json_fns": rel_json_fns,
     "rel_percentile": rel_percentile,
     "rel_sessionize": rel_sessionize,
+    "rel_pivot": rel_pivot,
 }
 
 ORACLES = {
@@ -567,5 +584,12 @@ ORACLES = {
         " min(t) AS session_start_us, max(t) AS session_end_us,"
         " SUM(value) AS session_value"
         " FROM sess GROUP BY user_id, session_id"
+    ),
+    "rel_pivot": (
+        "SELECT o_orderpriority,"
+        " COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,"
+        " COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,"
+        " COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p"
+        " FROM orders GROUP BY o_orderpriority"
     ),
 }

@@ -120,11 +120,34 @@ def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+def ns_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between consecutive documents' first words —
+    string-similarity primitive (fuzzy matching / OCR-dedup building
+    block).  Window pairing keeps it linear; at scale the pairing key
+    comes from a blocking stage (fingerprint prefix), never a cross
+    join."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_extract("text", r"^\s*(\w+)", 1).alias("w")
+    )
+    win = Window.orderBy("doc_id")
+    return (
+        d.withColumn("prev_w", F.lag("w").over(win))
+        .filter(F.col("prev_w").isNotNull())
+        .select(
+            "doc_id",
+            F.levenshtein("w", "prev_w").cast("long").alias("edit_dist"),
+        )
+    )
+
+
 QUERIES = {
     "ns_text_tokens": ns_text_tokens,
     "ns_text_quality": ns_text_quality,
     "ns_text_langid": ns_text_langid,
     "ns_text_fingerprint": ns_text_fingerprint,
+    "ns_text_levenshtein": ns_text_levenshtein,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -166,5 +189,12 @@ ORACLES = {
         f" md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))"
         " AS fingerprint"
         " FROM documents"
+    ),
+    "ns_text_levenshtein": (
+        "SELECT doc_id, CAST(levenshtein(w, prev_w) AS BIGINT) AS edit_dist FROM ("
+        "  SELECT doc_id, w, lag(w) OVER (ORDER BY doc_id) AS prev_w FROM ("
+        "    SELECT doc_id, regexp_extract(text, '^\\s*(\\w+)', 1) AS w"
+        "    FROM documents))"
+        " WHERE prev_w IS NOT NULL"
     ),
 }
