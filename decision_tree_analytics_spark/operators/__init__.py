@@ -18,6 +18,7 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
     similarity,
     streaming_inventory,
     text,
+    udf_inventory,
 )
 
 ALL_MODULES = (
@@ -28,6 +29,7 @@ ALL_MODULES = (
     text,
     multimodal,
     streaming_inventory,
+    udf_inventory,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.
