@@ -403,6 +403,17 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_explode — lateral expansion with position (posexplode): the
+# row→rows generator underlying every shingle/token pipeline.
+# Scale: pipelined generate, no shuffle; output size is the term count.
+def rel_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("pos", "token"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_project_exclude": q02_project_exclude,
@@ -433,6 +444,7 @@ QUERIES = {
     "rel_percentile": rel_percentile,
     "rel_sessionize": rel_sessionize,
     "rel_pivot": rel_pivot,
+    "rel_explode": rel_explode,
 }
 
 ORACLES = {
@@ -591,5 +603,12 @@ ORACLES = {
         " COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,"
         " COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p"
         " FROM orders GROUP BY o_orderpriority"
+    ),
+    "rel_explode": (
+        "SELECT doc_id,"
+        " CAST(generate_subscripts(string_split(lower(trim(text)), ' '), 1) - 1"
+        "      AS BIGINT) AS pos,"
+        " unnest(string_split(lower(trim(text)), ' ')) AS token"
+        " FROM documents WHERE doc_id < 50"
     ),
 }
