@@ -18,6 +18,7 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
     similarity,
     streaming_inventory,
     text,
+    tpch,
     udf_inventory,
 )
 
@@ -30,6 +31,7 @@ ALL_MODULES = (
     multimodal,
     streaming_inventory,
     udf_inventory,
+    tpch,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.
@@ -38,6 +40,7 @@ BENCH_EXTRAS = [
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk",
     "ns_text_quality",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

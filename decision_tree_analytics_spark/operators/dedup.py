@@ -38,11 +38,14 @@ def _tokens() -> Column:
     return F.split(F.lower(F.trim(F.col("text"))), " ")
 
 
-def _word_shingles(n: int = 3) -> Column:
-    """n-word shingles as strings (distinct per doc at use site).
-    slice() yields an empty array for short docs (sequence() would
-    produce a descending [1,0] — avoid)."""
-    toks = _tokens()
+def _word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from a *materialized* token array column.
+
+    Callers must bind the tokenization to a real column first
+    (``select(_tokens().alias("toks"))``) — referencing the split()
+    expression inside the lambda would re-tokenize the document for
+    every element_at lookup.  slice() yields an empty array for short
+    docs (sequence() would produce a descending [1,0] — avoid)."""
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     return F.transform(
         F.slice(toks, 1, k),
@@ -68,29 +71,36 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+MINHASH_PRIME = 4294967291  # largest 32-bit prime
+
+
 def _minhash_wide(d: DataFrame) -> DataFrame:
     """(doc_id, h0..h{k-1}) — one row per doc, column i holding the
-    lexicographic-min md5 of the i-salted shingles (content-derived
-    MinHash).
+    min of the i-th Carter-Wegman hash over the doc's shingles.
 
-    Shape matters at scale: the k hashes are computed as k expressions
-    over ONE explode of the shingles (not an explode × k blowup), and
-    the k-column min-aggregate partial-combines map-side, so the
-    shuffle carries one k×32-byte row per document per partition.
+    One md5 per shingle; the k hash family is g_i = (h1 + i·h2) mod p
+    with (h1, h2) carved from the md5 hex — pure integer arithmetic,
+    so the k-way family costs k multiply-adds instead of k extra
+    md5s, and signatures shuffle as 8-byte longs instead of 32-char
+    strings.  Content-derived, hence engine-portable (the DuckDB
+    oracle parses the same hex).
 
-    The input is spread across all cores first: a small-file table
-    arrives as one partition, and the hash work is CPU-bound — without
-    the repartition the k·|shingles| md5s run on a single thread."""
+    Shape at scale: one explode of shingles, k expressions, k-column
+    min-aggregate with map-side partial combine.  The input is spread
+    across all cores first: a small-file table arrives as one
+    partition, and hashing is CPU-bound."""
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    shingled = d.select(
-        "doc_id", F.explode(F.array_distinct(_word_shingles())).alias("shingle")
+    toked = d.select("doc_id", _tokens().alias("toks"))
+    shingled = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_shingles(F.col("toks")))).alias("shingle"),
     )
+    base = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(base, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(base, 9, 8), 16, 10).cast("long") * 2 + 1
     hashed = shingled.select(
         "doc_id",
-        *[
-            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ],
+        *[((h1 + i * h2) % MINHASH_PRIME).alias(f"h{i}") for i in range(MINHASH_K)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
@@ -104,7 +114,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack = ", ".join(f"CAST({i} AS BIGINT), h{i}" for i in range(MINHASH_K))
     return wide.select(
         "doc_id", F.expr(f"stack({MINHASH_K}, {stack}) AS (h, sig)")
-    )
+    ).select("doc_id", "h", F.col("sig").cast("long").alias("sig"))
 
 
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,10 +277,13 @@ _SQL_SHINGLES = (
 ).format(t=_SQL_TOKS)
 
 _SQL_SIGS = (
-    "SELECT doc_id, h, min(md5(concat(h, ':', shingle))) AS sig FROM ("
-    "  SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents"
+    "SELECT doc_id, h, min((h1 + h * h2) % {p}) AS sig FROM ("
+    "  SELECT doc_id,"
+    "    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,"
+    "    ('0x' || substr(md5(shingle), 9, 8))::BIGINT * 2 + 1 AS h2"
+    "  FROM (SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents)"
     f" ), range({MINHASH_K}) r(h) GROUP BY doc_id, h"
-).format(sh=_SQL_SHINGLES)
+).format(sh=_SQL_SHINGLES, p=MINHASH_PRIME)
 
 ORACLES = {
     "dedup_exact_fingerprint": (
@@ -283,7 +296,7 @@ ORACLES = {
     "dedup_minhash_lsh_pairs": (
         "WITH sigs AS (" + _SQL_SIGS + "),"
         f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
-        "   md5(string_agg(sig, ',' ORDER BY h)) AS band_key"
+        "   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY h)) AS band_key"
         "   FROM sigs GROUP BY 1, 2)"
         " SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,"
         " CAST(b.doc_id AS BIGINT) AS doc_b"

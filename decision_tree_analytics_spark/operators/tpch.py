@@ -1,0 +1,155 @@
+"""Classic TPC-H query shapes adapted to the testdata star schema.
+
+Q01 (the flagship) lives in relational.py as q11_hash_agg; this module
+adds the canonical multi-way-join shapes — Q3 (join+agg+top-k), Q5
+(5-way star with dim broadcast), Q10 (returned items), Q18 (having +
+semi-join on an aggregate) — each column-adapted to the columns the
+synthetic tables actually have (FIXTURES.md §B).
+
+These are the queries where Catalyst's join reordering, broadcast
+selection, and AQE earn their keep; the plans are left entirely to
+the optimizer on purpose (only bounded dims get explicit broadcast
+hints).  Date filters use ISO string comparison against timestamp_ntz
+(timezone-free on both engines); date outputs render as ISO strings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of undelivered orders for one market segment: 3-way
+    join, aggregate, top-10 by revenue."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(rev)
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue where customer and supplier share a nation, per nation:
+    5-way join; nation/region broadcast, customer–supplier co-location
+    expressed as an equi-condition the optimizer can use."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(rev)
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned items, ranked by lost revenue (top-20)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold (HAVING over a
+    child aggregate, then join back to headers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+QUERIES = {
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
+}
+
+_REV = "SUM(l_extendedprice * (1 - l_discount))"
+
+ORACLES = {
+    "tpch_q3_shipping_priority": (
+        "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,"
+        f" {_REV} AS revenue"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON o_orderkey = l_orderkey"
+        " WHERE c_mktsegment = 'BUILDING'"
+        "   AND o_orderdate < TIMESTAMP '1998-01-01'"
+        "   AND l_shipdate > TIMESTAMP '1998-01-01'"
+        " GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')"
+        " ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+    ),
+    "tpch_q5_local_supplier_volume": (
+        f"SELECT n_name, {_REV} AS revenue"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON o_orderkey = l_orderkey"
+        " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " GROUP BY n_name"
+    ),
+    "tpch_q10_returned_items": (
+        f"SELECT c_custkey, c_name, n_name, {_REV} AS revenue"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON o_orderkey = l_orderkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " WHERE l_returnflag = 'R'"
+        " GROUP BY c_custkey, c_name, n_name"
+        " ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+    ),
+    "tpch_q18_large_volume_customers": (
+        "WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty"
+        "   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)"
+        " SELECT c_custkey, c_name, o_orderkey,"
+        " strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,"
+        " o_totalprice, total_qty"
+        " FROM big JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+    ),
+}
