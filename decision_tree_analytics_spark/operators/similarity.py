@@ -196,11 +196,83 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus, search
+    only the ``n_probe`` nearest cells per probe.
+
+    The second scale path next to LSH (sim_ann_buckets): cluster ids
+    are the shuffle key; each query touches n_probe/n_clusters of the
+    corpus.  At 100 TB the index build is a one-off job persisted as a
+    (vec_id, cluster) table + tiny centroid table; here it runs
+    inline.  KMeans is seeded but engine-specific → rows-only check;
+    recall vs exact brute force is asserted in tests/test_similarity.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    vecs = emb.withColumn("features", array_to_vector("v")).cache()
+    km = KMeans(k=n_clusters, seed=12345, featuresCol="features", predictionCol="cluster")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "v", "cluster")
+
+    # Tiny centroid table (n_clusters × dim) — broadcast to rank cells
+    # per probe.
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, cv array<double>",
+    )
+    probes = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    probe_cells = probes.join(F.broadcast(centroids), how="cross").select(
+        "probe_id",
+        "pv",
+        "cluster",
+        _dot(F.col("pv"), F.col("cv")).alias("cdot"),
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("cdot").desc(), F.col("cluster"))
+    chosen = (
+        probe_cells.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= n_probe)
+        .select("probe_id", "pv", "cluster")
+    )
+
+    cands = chosen.join(assigned, "cluster").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _round6(
+            _dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_embed_nn": sim_embed_nn,
     "sim_ann_buckets": sim_ann_buckets,
     "sim_ann_topk": sim_ann_topk,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 # Exploded (vec_id, dim index, double value) view of embeddings.
