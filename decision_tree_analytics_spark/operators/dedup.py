@@ -31,7 +31,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from decision_tree_analytics_spark.sources.tables import load_table
 
 MINHASH_K = 16  # signature length
-MINHASH_BAND_ROWS = 4  # rows per band → 4 bands
+# rows-per-band sets the LSH similarity threshold ≈ (1/b)^(1/r):
+# r=2, b=8 → ~0.35, tuned to catch one-edit near-dups (J≈0.8) with
+# P≈1-(1-J²)⁸ > 0.999 while random word-salad docs (J≈0.05) stay out.
+MINHASH_BAND_ROWS = 2
 
 
 def _tokens() -> Column:

@@ -403,6 +403,49 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_funnel — sequential conversion: users whose first 'signup' is
+# later followed by a 'purchase'.  Min-timestamp-per-step conditional
+# aggregation: one shuffle on user_id, no self-join.
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ts_us)).alias("t_signup"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", ts_us)
+        ).alias("t_last_purchase"),
+    )
+    return steps.select(
+        "user_id",
+        F.col("t_signup").isNotNull().cast("long").alias("did_signup"),
+        F.coalesce(
+            (
+                F.col("t_signup").isNotNull()
+                & (F.col("t_last_purchase") > F.col("t_signup"))
+            ).cast("long"),
+            F.lit(0),
+        ).alias("converted"),
+    )
+
+
+# rel_profile — one-pass column profiling of lineitem (null counts,
+# ranges, distincts): the data-quality primitive every ingest
+# pipeline runs.  Single aggregate, map-side partials; at scale this
+# is exactly the pre-flight job run before committing a 100 TB load.
+def rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_returnflag").alias("n_returnflags"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
 # rel_explode — lateral expansion with position (posexplode): the
 # row→rows generator underlying every shingle/token pipeline.
 # Scale: pipelined generate, no shuffle; output size is the term count.
@@ -445,6 +488,8 @@ QUERIES = {
     "rel_sessionize": rel_sessionize,
     "rel_pivot": rel_pivot,
     "rel_explode": rel_explode,
+    "rel_funnel": rel_funnel,
+    "rel_profile": rel_profile,
 }
 
 ORACLES = {
@@ -610,5 +655,27 @@ ORACLES = {
         "      AS BIGINT) AS pos,"
         " unnest(string_split(lower(trim(text)), ' ')) AS token"
         " FROM documents WHERE doc_id < 50"
+    ),
+    "rel_funnel": (
+        "WITH steps AS (SELECT user_id,"
+        "   min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,"
+        "   max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)"
+        "     AS t_last_purchase"
+        "   FROM events GROUP BY user_id)"
+        " SELECT user_id,"
+        " CAST(t_signup IS NOT NULL AS BIGINT) AS did_signup,"
+        " coalesce(CAST(t_signup IS NOT NULL AND t_last_purchase > t_signup"
+        "   AS BIGINT), 0) AS converted"
+        " FROM steps"
+    ),
+    "rel_profile": (
+        "SELECT COUNT(*) AS n_rows,"
+        " CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS null_qty,"
+        " min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,"
+        " min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,"
+        " COUNT(DISTINCT l_returnflag) AS n_returnflags,"
+        " COUNT(DISTINCT l_partkey) AS n_parts"
+        " FROM lineitem"
     ),
 }

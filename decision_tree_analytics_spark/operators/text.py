@@ -142,12 +142,48 @@ def ns_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (doc_id < 50 slice).
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)).  Two aggregations
+    sharing the token explode + one broadcast-sized df join + one
+    window — the corpus-statistics shape (vocabulary tables are tiny
+    relative to the corpus, so the df join broadcasts at any scale).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    n_docs = 50  # fixed slice size keeps idf deterministic and portable
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        (
+            F.col("tf").cast("double")
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
+
+
 QUERIES = {
     "ns_text_tokens": ns_text_tokens,
     "ns_text_quality": ns_text_quality,
     "ns_text_langid": ns_text_langid,
     "ns_text_fingerprint": ns_text_fingerprint,
     "ns_text_levenshtein": ns_text_levenshtein,
+    "ns_text_tfidf_top": ns_text_tfidf_top,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -196,5 +232,19 @@ ORACLES = {
         "    SELECT doc_id, regexp_extract(text, '^\\s*(\\w+)', 1) AS w"
         "    FROM documents))"
         " WHERE prev_w IS NOT NULL"
+    ),
+    "ns_text_tfidf_top": (
+        "WITH toks AS (SELECT doc_id, unnest(" + _SQL_TOKS + ") AS tok"
+        "   FROM documents WHERE doc_id < 50),"
+        " tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),"
+        " dfx AS (SELECT tok, COUNT(*) AS df FROM ("
+        "   SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),"
+        " scored AS (SELECT doc_id, tf.tok,"
+        "   CAST(tf AS DOUBLE) * ln((50 + 1.0) / (df + 1.0)) AS tfidf"
+        "   FROM tf JOIN dfx ON tf.tok = dfx.tok)"
+        " SELECT doc_id, tok, tfidf, rnk FROM ("
+        "   SELECT *, CAST(row_number() OVER (PARTITION BY doc_id"
+        "     ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk FROM scored)"
+        " WHERE rnk <= 3"
     ),
 }

@@ -1,0 +1,60 @@
+"""Near-dup recall: genuine near-duplicates must surface as LSH
+candidate pairs, and unrelated docs must not flood the bucket join.
+
+The oracle tests prove Spark computes the same pairs as DuckDB; this
+test proves the pairs are the RIGHT ones when true near-dups exist —
+by running the same pipeline functions on a crafted corpus
+(registered over a temp parquet dir so load_table sees it)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from decision_tree_analytics_spark.operators.dedup import (
+    dedup_minhash_lsh_pairs,
+    dedup_simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "the bird sing a song about data pipelines at scale every morning"
+)
+NEAR_DUP = BASE.replace("morning", "evening")  # one-token edit
+UNRELATED = (
+    "completely different content talking about spark shuffles and "
+    "catalyst optimizer rules with no overlap in phrasing whatsoever here"
+)
+
+
+def _write_corpus(spark, tmp_path):
+    rows = [
+        (0, BASE, "en", "src0", len(BASE)),
+        (1, NEAR_DUP, "en", "src1", len(NEAR_DUP)),
+        (2, UNRELATED, "en", "src2", len(UNRELATED)),
+        (3, BASE, "en", "src3", len(BASE)),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_minhash_finds_true_near_dups(spark, tmp_path):
+    sf_dir = _write_corpus(spark, tmp_path)
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # one-token edit caught
+    # the unrelated doc must not pair with anything
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_distance_reflects_similarity(spark, tmp_path):
+    sf_dir = _write_corpus(spark, tmp_path)
+    sh = {r.doc_id: r.simhash32 for r in dedup_simhash(spark, sf_dir).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[0] == sh[3]  # identical docs, identical fingerprint
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])  # near-dup closer than unrelated
