@@ -446,6 +446,18 @@ def rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_unpivot — wide→long melt of the lineitem rate columns via the
+# native DataFrame.unpivot (Expand node: no shuffle, no UDF).
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # rel_explode — lateral expansion with position (posexplode): the
 # row→rows generator underlying every shingle/token pipeline.
 # Scale: pipelined generate, no shuffle; output size is the term count.
@@ -490,6 +502,7 @@ QUERIES = {
     "rel_explode": rel_explode,
     "rel_funnel": rel_funnel,
     "rel_profile": rel_profile,
+    "rel_unpivot": rel_unpivot,
 }
 
 ORACLES = {
@@ -667,6 +680,13 @@ ORACLES = {
         " coalesce(CAST(t_signup IS NOT NULL AND t_last_purchase > t_signup"
         "   AS BIGINT), 0) AS converted"
         " FROM steps"
+    ),
+    "rel_unpivot": (
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,"
+        "   l_quantity AS value FROM lineitem"
+        " UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount"
+        "   FROM lineitem"
+        " UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"
     ),
     "rel_profile": (
         "SELECT COUNT(*) AS n_rows,"
