@@ -105,10 +105,52 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between two nations per ship year (customer nation
+    × supplier nation matrix through orders/lineitem)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("c_nationkey") == F.col("c_nk"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(rev)
+    )
+
+
+def tpch_q16_parts_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part brand/size (touches the part table):
+    distinct suppliers offering each (p_brand, p_size) through the
+    lineitem fact."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q16_parts_promotion": tpch_q16_parts_promotion,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
 }
 
@@ -142,6 +184,22 @@ ORACLES = {
         " WHERE l_returnflag = 'R'"
         " GROUP BY c_custkey, c_name, n_name"
         " ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+    ),
+    "tpch_q7_volume_shipping": (
+        "SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,"
+        f" CAST(year(l_shipdate) AS BIGINT) AS ship_year, {_REV} AS revenue"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON o_orderkey = l_orderkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+        " JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+        " WHERE n1.n_name <> n2.n_name"
+        " GROUP BY 1, 2, 3"
+    ),
+    "tpch_q16_parts_promotion": (
+        "SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " GROUP BY p_brand, p_size"
     ),
     "tpch_q18_large_volume_customers": (
         "WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty"

@@ -1,0 +1,55 @@
+"""Streaming sink pattern: foreachBatch → idempotent parquet upsert.
+
+The production-grade way to land streaming aggregates in a lake
+format: each micro-batch overwrites its own partition (idempotent on
+replay).  availableNow replay must leave exactly the batch answer on
+disk."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from decision_tree_analytics_spark.sources.tables import load_table
+from decision_tree_analytics_spark.streaming.events_stream import (
+    events_stream,
+    windowed_event_counts,
+)
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "win_counts_parquet")
+
+    def upsert(batch_df, batch_id: int):
+        (
+            batch_df.withColumn(
+                "window_start_us", F.unix_micros("window_start")
+            )
+            .drop("window_start")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        windowed_event_counts(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(out_dir)
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in landed.collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            (F.expr("ts div 1000") - F.expr("ts div 1000") % 3_600_000_000).alias("ws"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    want = {(r.ws, r.event_type): (r.n, round(r.s, 6)) for r in batch.collect()}
+    assert got == want and len(got) > 0
