@@ -1,0 +1,60 @@
+"""Engine-independent reference check for text operators.
+
+The DuckDB oracles prove Spark↔DuckDB agreement; this test checks the
+*semantics* against a pure-Python reference implementation on random
+inputs, so a shared misunderstanding of a SQL function can't hide."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from decision_tree_analytics_spark.operators.text import (
+    STOPWORDS,
+    ns_text_fingerprint,
+    ns_text_quality,
+)
+
+WORDS = ["the", "fast", "key", "order", "sort", "merge", "a", "of", "scan", "härte", "データ"]
+
+
+def _random_corpus(n=40, seed=99):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        text = " ".join(rng.choices(WORDS, k=rng.randrange(3, 30)))
+        rows.append((i, text, "en", "src", len(text)))
+    return rows
+
+
+def _write(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_fingerprint_matches_python(spark, tmp_path):
+    rows = _random_corpus()
+    sf_dir = _write(spark, tmp_path, rows)
+    got = {r.doc_id: r.fingerprint for r in ns_text_fingerprint(spark, sf_dir).collect()}
+    for doc_id, text, *_ in rows:
+        norm = " ".join(sorted(set(text.strip().lower().split(" "))))
+        want = hashlib.md5(norm.encode("utf-8")).hexdigest()
+        assert got[doc_id] == want, doc_id
+
+
+def test_quality_matches_python(spark, tmp_path):
+    rows = _random_corpus(seed=7)
+    sf_dir = _write(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in ns_text_quality(spark, sf_dir).collect()}
+    for doc_id, text, *_ in rows:
+        toks = text.strip().lower().split(" ")
+        n = len(toks)
+        stop = sum(1 for t in toks if t in STOPWORDS["en"])
+        r = got[doc_id]
+        assert r.n_tokens == n
+        assert abs(r.avg_token_len - sum(map(len, toks)) / n) < 1e-9
+        assert abs(r.stopword_ratio - stop / n) < 1e-9
