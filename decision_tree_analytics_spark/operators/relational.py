@@ -446,6 +446,38 @@ def rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_rank_family — the remaining ranking window functions in one
+# query (rank / dense_rank / ntile / first_value), all over one
+# window spec → single shuffle+sort.
+def rel_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("top_order"),
+    )
+
+
+# rel_array_fns — array aggregation over the embedding column (cast
+# element-wise to double first so both engines compute in double).
+def rel_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.array_min(vd).alias("v_min"),
+        F.array_max(vd).alias("v_max"),
+        F.aggregate(vd, F.lit(0.0), lambda a, x: a + x).alias("v_sum"),
+    )
+
+
 # rel_unpivot — wide→long melt of the lineitem rate columns via the
 # native DataFrame.unpivot (Expand node: no shuffle, no UDF).
 def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,6 +535,8 @@ QUERIES = {
     "rel_funnel": rel_funnel,
     "rel_profile": rel_profile,
     "rel_unpivot": rel_unpivot,
+    "rel_rank_family": rel_rank_family,
+    "rel_array_fns": rel_array_fns,
 }
 
 ORACLES = {
@@ -680,6 +714,22 @@ ORACLES = {
         " coalesce(CAST(t_signup IS NOT NULL AND t_last_purchase > t_signup"
         "   AS BIGINT), 0) AS converted"
         " FROM steps"
+    ),
+    "rel_rank_family": (
+        "SELECT o_orderkey, o_orderstatus,"
+        " CAST(rank() OVER w AS BIGINT) AS rnk,"
+        " CAST(dense_rank() OVER w AS BIGINT) AS drnk,"
+        " CAST(ntile(4) OVER w AS BIGINT) AS quartile,"
+        " first_value(o_orderkey) OVER w AS top_order"
+        " FROM orders WINDOW w AS ("
+        "   PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)"
+    ),
+    "rel_array_fns": (
+        "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,"
+        " list_min(list_transform(embedding, x -> x::DOUBLE)) AS v_min,"
+        " list_max(list_transform(embedding, x -> x::DOUBLE)) AS v_max,"
+        " list_sum(list_transform(embedding, x -> x::DOUBLE)) AS v_sum"
+        " FROM embeddings"
     ),
     "rel_unpivot": (
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,"
