@@ -446,6 +446,39 @@ def rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_conditional_fns — null-handling / conditional scalar family
+# (coalesce, nullif, greatest, least, multi-branch case).
+def rel_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_flag"
+        ),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+    )
+
+
+# rel_string_pad_fns — string manipulation family (pad, concat,
+# substr, replace, repeat, reverse).
+def rel_string_pad_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("tagged"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
 # rel_rank_family — the remaining ranking window functions in one
 # query (rank / dense_rank / ntile / first_value), all over one
 # window spec → single shuffle+sort.
@@ -537,6 +570,8 @@ QUERIES = {
     "rel_unpivot": rel_unpivot,
     "rel_rank_family": rel_rank_family,
     "rel_array_fns": rel_array_fns,
+    "rel_conditional_fns": rel_conditional_fns,
+    "rel_string_pad_fns": rel_string_pad_fns,
 }
 
 ORACLES = {
@@ -714,6 +749,24 @@ ORACLES = {
         " coalesce(CAST(t_signup IS NOT NULL AND t_last_purchase > t_signup"
         "   AS BIGINT), 0) AS converted"
         " FROM steps"
+    ),
+    "rel_conditional_fns": (
+        "SELECT l_orderkey, l_linenumber,"
+        " coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_flag,"
+        " greatest(l_discount, l_tax) AS max_rate,"
+        " least(l_discount, l_tax) AS min_rate,"
+        " CASE WHEN l_quantity < 10 THEN 'low'"
+        "      WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band"
+        " FROM lineitem"
+    ),
+    "rel_string_pad_fns": (
+        "SELECT c_custkey,"
+        " lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,"
+        " concat_ws('|', c_name, c_mktsegment) AS tagged,"
+        " substr(c_name, 1, 8) AS name_prefix,"
+        " replace(c_name, 'Customer', 'Cust') AS short_name,"
+        " reverse(c_mktsegment) AS seg_rev"
+        " FROM customer"
     ),
     "rel_rank_family": (
         "SELECT o_orderkey, o_orderstatus,"
