@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
 
 MINHASH_K = 16  # signature length
@@ -138,10 +139,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The self-join would recompute the whole signature pipeline for
     # each side; persist the (k/r × 40-byte per doc) band table — at
-    # scale this is the signature store you'd write to parquet.
+    # scale this is the signature store you'd write to parquet.  The
+    # cache is released when the caller drops the result (tether below).
     bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -154,6 +156,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return tether_cache(result, bands)
 
 
 # ------------------------------------------------------------------
@@ -250,7 +253,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = both.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = both.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    return (
+    result = (
         pairs.select(
             F.col("id_a").cast("long").alias("vec_a"),
             F.col("id_b").cast("long").alias("vec_b"),
@@ -262,6 +265,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.9)
         .distinct()
     )
+    return tether_cache(result, both)
 
 
 QUERIES = {

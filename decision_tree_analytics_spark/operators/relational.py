@@ -206,7 +206,10 @@ def q16_window_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events.  Ordering key is integer epoch-µs (cross-engine contract).
 def q17_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ts_us = (F.col("ts") / F.lit(1000)).cast("long")
+    # Integer `div`, never float division: int64-ns magnitudes exceed
+    # double's 53-bit mantissa, so (ts/1000).cast would mis-key ~12% of
+    # rows by 1µs (CLAUDE.md rule 1).
+    ts_us = F.expr("ts div 1000")
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     return ev.select(
         "event_id",

@@ -30,6 +30,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
 
 N_PLANES = 16
@@ -184,7 +185,7 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select(
@@ -194,6 +195,7 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+    return tether_cache(result, both)
 
 
 def sim_ivf_topk(
@@ -260,11 +262,12 @@ def sim_ivf_topk(
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
+    return tether_cache(result, vecs)
 
 
 QUERIES = {

@@ -120,18 +120,28 @@ def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+LEVENSHTEIN_BLOCK = 100  # docs per pairing block (bounded window partitions)
+
+
 def ns_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit distance between consecutive documents' first words —
-    string-similarity primitive (fuzzy matching / OCR-dedup building
-    block).  Window pairing keeps it linear; at scale the pairing key
-    comes from a blocking stage (fingerprint prefix), never a cross
-    join."""
+    """Edit distance between consecutive documents' first words within
+    a blocking partition — string-similarity primitive (fuzzy matching
+    / OCR-dedup building block).
+
+    The pairing window is partitioned by a blocking key
+    (``doc_id div 100``), never a global ordering: a partitionless
+    window funnels the whole table through one task at any scale.
+    Block count grows with the data, each block is bounded, and pairs
+    never cross blocks — the shape a blocking stage (fingerprint
+    prefix) produces at 100 TB."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.regexp_extract("text", r"^\s*(\w+)", 1).alias("w")
     )
-    win = Window.orderBy("doc_id")
+    win = Window.partitionBy(F.expr(f"doc_id div {LEVENSHTEIN_BLOCK}")).orderBy(
+        "doc_id"
+    )
     return (
         d.withColumn("prev_w", F.lag("w").over(win))
         .filter(F.col("prev_w").isNotNull())
@@ -228,7 +238,9 @@ ORACLES = {
     ),
     "ns_text_levenshtein": (
         "SELECT doc_id, CAST(levenshtein(w, prev_w) AS BIGINT) AS edit_dist FROM ("
-        "  SELECT doc_id, w, lag(w) OVER (ORDER BY doc_id) AS prev_w FROM ("
+        "  SELECT doc_id, w, lag(w) OVER ("
+        f"    PARTITION BY doc_id // {LEVENSHTEIN_BLOCK} ORDER BY doc_id"
+        "  ) AS prev_w FROM ("
         "    SELECT doc_id, regexp_extract(text, '^\\s*(\\w+)', 1) AS w"
         "    FROM documents))"
         " WHERE prev_w IS NOT NULL"

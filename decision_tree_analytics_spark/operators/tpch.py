@@ -135,11 +135,16 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q16_parts_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier variety per part brand/size (touches the part table):
     distinct suppliers offering each (p_brand, p_size) through the
-    lineitem fact."""
+    lineitem fact.
+
+    No broadcast hint on ``part``: unlike nation/region it grows with
+    scale factor, so forcing a broadcast would OOM the driver at
+    100 TB.  AQE picks broadcast at small SF and sort-merge at large —
+    the module policy (only bounded dims get explicit hints)."""
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

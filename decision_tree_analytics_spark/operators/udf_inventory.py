@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -50,11 +51,16 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     v = pdf["value"]
     mu = v.mean()
     sd = v.std(ddof=1)  # sample stddev == Spark stddev / DuckDB stddev_samp
+    z = (v - mu) / sd
+    # Single-row group (sd NaN) or constant group (sd 0) must surface
+    # as SQL NULL, matching NULLIF(stddev_samp(...), 0) — pandas NaN
+    # would cross Arrow as a float NaN, not a null.
+    z = z.astype("Float64").mask(~np.isfinite(z))
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"],
             "event_type": pdf["event_type"],
-            "zscore": (v - mu) / sd,
+            "zscore": z,
         }
     )
 
@@ -103,7 +109,7 @@ ORACLES = {
     "udf_grouped_zscore": (
         "SELECT event_id, event_type,"
         " (value - avg(value) OVER (PARTITION BY event_type))"
-        "   / stddev_samp(value) OVER (PARTITION BY event_type) AS zscore"
+        "   / NULLIF(stddev_samp(value) OVER (PARTITION BY event_type), 0) AS zscore"
         " FROM events"
     ),
     "udf_frame_sample": (

@@ -88,3 +88,22 @@ def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
     plan = simple_plan(D.dedup_exact_fingerprint(spark, sf_dir))
     assert count_shuffles(plan) == 1
     assert "partial_min" in plan
+
+
+def test_levenshtein_window_is_partitioned(spark, sf_dir):
+    # A partitionless window would plan Exchange SinglePartition and
+    # funnel the whole table through one task; the blocking key must
+    # make it a hashpartitioning exchange.
+    plan = simple_plan(T.ns_text_levenshtein(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_tpch_q16_no_explicit_broadcast_of_part(spark, sf_dir):
+    # `part` scales with SF — the plan must not carry a user broadcast
+    # hint (AQE may still *choose* broadcast at small SF; that's fine).
+    from decision_tree_analytics_spark.operators import tpch as TP
+
+    df = TP.tpch_q16_parts_promotion(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
