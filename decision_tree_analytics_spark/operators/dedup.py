@@ -233,6 +233,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Incremental (delta-style) dedup — the most common production dedup
+# shape: a new batch arrives, the corpus's fingerprint store is
+# already persisted, and only first-seen rows may pass.
+DELTA_SPLIT = 250  # doc_id boundary for the contract query's two batches
+
+
+def incremental_dedup(new_batch: DataFrame, store: DataFrame) -> DataFrame:
+    """Merge a new batch against a persisted fingerprint store and
+    return only the batch's first-seen uniques.
+
+    ``new_batch`` must carry (fingerprint, doc_id); ``store`` is the
+    persisted fingerprint table (one row per known fingerprint).  Two
+    stages, both over 16-byte md5 keys — document bodies never move:
+
+    1. keep-first within the batch (groupBy fingerprint, min doc_id —
+       partial agg collapses duplicates map-side, SURVEY Q24 contract);
+    2. left-anti join against the store to drop anything already seen.
+
+    At 100 TB the store is a parquet/Delta table bucketed by
+    fingerprint; the anti-join then co-locates with zero shuffle of
+    the store side.  Appending the survivors' fingerprints to the
+    store is the caller's commit step (see tests for the golden
+    two-batch cycle)."""
+    fresh = new_batch.groupBy("fingerprint").agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return fresh.join(
+        store.select("fingerprint"), "fingerprint", "left_anti"
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: documents doc_id < DELTA_SPLIT form the
+    persisted store, the rest arrive as the new batch; return the new
+    batch's first-seen uniques (anti-join over the fingerprint store)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    with_fp = d.select(fp.alias("fingerprint"), "doc_id")
+    store = with_fp.filter(F.col("doc_id") < DELTA_SPLIT).select(
+        "fingerprint"
+    ).distinct()
+    new_batch = with_fp.filter(F.col("doc_id") >= DELTA_SPLIT)
+    return incremental_dedup(new_batch, store)
+
+
+# ------------------------------------------------------------------
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: candidates from the LSH
     buckets (similarity.sim_ann_buckets), confirmed by exact cosine ≥
@@ -275,6 +322,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_neardup": dedup_embedding_neardup,
+    "dedup_incremental": dedup_incremental,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -336,6 +384,16 @@ ORACLES = {
         " FROM inter JOIN sizes sa ON doc_a = sa.doc_id"
         " JOIN sizes sb ON doc_b = sb.doc_id"
         " WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"
+    ),
+    "dedup_incremental": (
+        "WITH fp AS (SELECT md5(lower(trim(text))) AS fingerprint, doc_id"
+        "   FROM documents),"
+        f" store AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < {DELTA_SPLIT}),"
+        " fresh AS (SELECT fingerprint,"
+        "   CAST(min(doc_id) AS BIGINT) AS keep_doc_id, COUNT(*) AS n_copies"
+        f"   FROM fp WHERE doc_id >= {DELTA_SPLIT} GROUP BY 1)"
+        " SELECT f.fingerprint, keep_doc_id, n_copies FROM fresh f"
+        " WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fingerprint = f.fingerprint)"
     ),
 }
 

@@ -132,6 +132,51 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — join + conditional aggregation: per return flag,
+    how many shipped lines belong to high- vs low-priority orders in
+    a two-year window.  (The synthetic schema has no l_shipmode; the
+    return flag plays the grouping role.)
+
+    Scale: the date filter pushes to the lineitem scan; the fact⋈fact
+    join and the 3-group agg are left to Catalyst/AQE; both counts
+    come from one pass (conditional sums, partial agg map-side)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promo revenue ratio: share of revenue from PROMO
+    parts in a six-month window (join + global conditional agg to one
+    row).  No broadcast hint on part (scales with SF; AQE decides)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def tpch_q16_parts_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier variety per part brand/size (touches the part table):
     distinct suppliers offering each (p_brand, p_size) through the
@@ -155,6 +200,8 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
     "tpch_q16_parts_promotion": tpch_q16_parts_promotion,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
 }
@@ -200,6 +247,26 @@ ORACLES = {
         " JOIN nation n2 ON s_nationkey = n2.n_nationkey"
         " WHERE n1.n_name <> n2.n_name"
         " GROUP BY 1, 2, 3"
+    ),
+    "tpch_q12_priority_shipping": (
+        "SELECT l_returnflag,"
+        " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+        " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        "   AND l_shipdate < TIMESTAMP '1998-01-01'"
+        " GROUP BY l_returnflag"
+    ),
+    "tpch_q14_promo_revenue": (
+        "SELECT 100.0"
+        " * SUM(CASE WHEN p_type = 'PROMO'"
+        "     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+        " / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+        "   AND l_shipdate < TIMESTAMP '1997-07-01'"
     ),
     "tpch_q16_parts_promotion": (
         "SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt"

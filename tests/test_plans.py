@@ -99,6 +99,24 @@ def test_levenshtein_window_is_partitioned(spark, sf_dir):
     assert "Exchange hashpartitioning" in plan
 
 
+def test_tpch_q12_pushdown_and_partial_agg(spark, sf_dir):
+    from decision_tree_analytics_spark.operators import tpch as TP
+    from decision_tree_analytics_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(TP.tpch_q12_priority_shipping(spark, sf_dir))
+    assert "l_shipdate" in pushed_filters(plan)  # date window reaches the scan
+    assert "partial_sum" in plan  # conditional counts combine map-side
+
+
+def test_tpch_q14_single_row_agg_pushdown(spark, sf_dir):
+    from decision_tree_analytics_spark.operators import tpch as TP
+    from decision_tree_analytics_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(TP.tpch_q14_promo_revenue(spark, sf_dir))
+    assert "l_shipdate" in pushed_filters(plan)
+    assert "partial_sum" in plan
+
+
 def test_tpch_q16_no_explicit_broadcast_of_part(spark, sf_dir):
     # `part` scales with SF — the plan must not carry a user broadcast
     # hint (AQE may still *choose* broadcast at small SF; that's fine).
