@@ -100,9 +100,72 @@ def udf_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "payload").mapInPandas(_sample_frames, _FRAME_SCHEMA)
 
 
+# ------------------------------------------------------------------
+# Subword (BPE-style) tokenization — deterministic single-round
+# pair-merge.  LLM pipelines tokenize subword, not whitespace; a real
+# learned-merge BPE is a lookup table plus exactly this merge loop, so
+# the Spark-side shape (Arrow batches through mapInPandas, per-word
+# Python merge, zero shuffle) is the production shape.  The merge rule
+# here is content-derived (md5 parity of the character pair) instead
+# of a learned vocabulary, which keeps the oracle SQL-expressible:
+# within each word, the character pair at even offset 2b merges into
+# one token iff the first hex digit of md5(pair) is even; unmerged
+# blocks emit single-character tokens.
+
+_MERGE_HEX = frozenset("02468ace")
+
+
+def subword_tokens(word: str) -> list[str]:
+    """Tokenize one word by block-aligned deterministic pair-merge."""
+    import hashlib
+
+    toks: list[str] = []
+    for i in range(0, len(word), 2):
+        pair = word[i : i + 2]
+        if (
+            len(pair) == 2
+            and hashlib.md5(pair.encode("utf-8")).hexdigest()[0] in _MERGE_HEX
+        ):
+            toks.append(pair)
+        else:
+            toks.extend(pair)  # one or two single-char tokens
+    return toks
+
+
+_SUBWORD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_words", LongType()),
+        StructField("n_subwords", LongType()),
+    ]
+)
+
+
+def _subword_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        norm = pdf["text"].str.lower().str.strip(" ")
+        n_words, n_subwords = [], []
+        for t in norm:
+            words = t.split(" ")
+            n_words.append(len(words))
+            n_subwords.append(sum(len(subword_tokens(w)) for w in words))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "n_words": n_words, "n_subwords": n_subwords}
+        )
+
+
+def ns_text_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word and subword token counts via the pair-merge
+    tokenizer.  Arrow-batched, stateless, no shuffle — the narrow-map
+    shape of corpus tokenization at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(_subword_batch, _SUBWORD_SCHEMA)
+
+
 QUERIES = {
     "udf_grouped_zscore": udf_grouped_zscore,
     "udf_frame_sample": udf_frame_sample,
+    "ns_text_subword": ns_text_subword,
 }
 
 ORACLES = {
@@ -120,5 +183,22 @@ ORACLES = {
         f" CAST(f * {FRAME_STRIDE} AS BIGINT) AS byte_offset,"
         f" CAST(least({FRAME_STRIDE}, n - f * {FRAME_STRIDE}) AS BIGINT) AS frame_len"
         " FROM fr"
+    ),
+    # The subword count is SQL-expressible: per word of length L,
+    # tokens = L - (# even-offset pairs whose md5 first hex digit is
+    # even); the UDF's actual token lists are property-tested against
+    # a pure-Python reference in tests/test_text_python_reference.py.
+    "ns_text_subword": (
+        "WITH w AS (SELECT doc_id,"
+        "   string_split(lower(trim(text)), ' ') AS words FROM documents)"
+        " SELECT doc_id,"
+        " CAST(len(words) AS BIGINT) AS n_words,"
+        " CAST(list_sum(list_transform(words, w ->"
+        "   length(w) - coalesce(list_sum(list_transform(range(length(w) // 2),"
+        "     b -> CASE WHEN strpos('02468ace',"
+        "       substr(md5(substr(w, 2 * b + 1, 2)), 1, 1)) > 0"
+        "       THEN 1 ELSE 0 END)), 0)"
+        " )) AS BIGINT) AS n_subwords"
+        " FROM w"
     ),
 }

@@ -58,3 +58,54 @@ def test_quality_matches_python(spark, tmp_path):
         assert r.n_tokens == n
         assert abs(r.avg_token_len - sum(map(len, toks)) / n) < 1e-9
         assert abs(r.stopword_ratio - stop / n) < 1e-9
+
+
+def test_subword_tokens_properties_and_goldens():
+    """The pair-merge tokenizer itself, checked without Spark: exact
+    goldens plus the three invariants (conservation, token lengths,
+    merge criterion) on random words."""
+    import random
+
+    from decision_tree_analytics_spark.operators.udf_inventory import (
+        _MERGE_HEX,
+        subword_tokens,
+    )
+
+    # Hand-verified goldens (merge iff md5(pair) first hex digit even).
+    def merged(pair):
+        return hashlib.md5(pair.encode()).hexdigest()[0] in _MERGE_HEX
+
+    assert subword_tokens("") == []
+    assert subword_tokens("a") == ["a"]
+    assert subword_tokens("ab") == (["ab"] if merged("ab") else ["a", "b"])
+
+    rng = random.Random(11)
+    for _ in range(200):
+        w = "".join(rng.choices("abcdefghijklmnopqrstuvwxyzü0123456789", k=rng.randrange(0, 15)))
+        toks = subword_tokens(w)
+        assert "".join(toks) == w  # conservation
+        assert all(1 <= len(t) <= 2 for t in toks)
+        # Replay the block scan: each 2-char token must sit at an even
+        # offset and satisfy the merge criterion; unmerged full blocks
+        # must fail it.
+        i = 0
+        for t in toks:
+            if len(t) == 2:
+                assert i % 2 == 0 and merged(t), (w, t, i)
+            i += len(t)
+
+
+def test_subword_query_matches_python(spark, tmp_path):
+    from decision_tree_analytics_spark.operators.udf_inventory import (
+        ns_text_subword,
+        subword_tokens,
+    )
+
+    rows = _random_corpus(seed=23)
+    sf_dir = _write(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in ns_text_subword(spark, sf_dir).collect()}
+    for doc_id, text, *_ in rows:
+        words = text.strip(" ").lower().split(" ")
+        want = sum(len(subword_tokens(w)) for w in words)
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_subwords == want, doc_id
