@@ -26,13 +26,22 @@ class FeatureSelectingConfig:
     path: str | None = None  # optional sub-path inside the FileSet
     feature_fields_to_include: str | None = None
     feature_fields_to_exclude: str | None = None
+    # Registry extension: None keeps the reference's single-directory
+    # layout; "latest" or an explicit "vNNNN" selects a version subdir
+    # (ml/registry.py).  Trainers should pin an explicit version (or
+    # use ModelRegistry.save); predictors typically track "latest".
+    model_version: str | None = None
 
     def resolve_model_path(self, base_dir: str) -> str:
         """FileSet path resolution (SparkMLTrainer.java:148-152):
-        base/<fileSetName>[/<path>]."""
+        base/<fileSetName>[/<path>][/<version>]."""
         p = os.path.join(base_dir, self.file_set_name)
         if self.path:
             p = os.path.join(p, self.path.lstrip("/"))
+        if self.model_version:
+            from decision_tree_analytics_spark.ml.registry import resolve_version
+
+            p = resolve_version(p, self.model_version)
         return p
 
 
