@@ -38,9 +38,12 @@ ALL_MODULES = (
 BENCH_EXTRAS = [
     "q26_dt_train_predict",
     "dedup_minhash_lsh_pairs",
+    "dedup_incremental",
     "sim_cosine_topk",
     "ns_text_quality",
+    "ns_text_subword",
     "tpch_q5_local_supplier_volume",
+    "tpch_q12_priority_shipping",
 ]
 
 

@@ -159,6 +159,9 @@ def ns_text_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer.  Arrow-batched, stateless, no shuffle — the narrow-map
     shape of corpus tokenization at any scale."""
     d = load_table(spark, sf_dir, "documents")
+    # Single-file input = one partition = one core for a CPU-bound
+    # Python stage; spread it first (same rule as the MinHash explode).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return d.select("doc_id", "text").mapInPandas(_subword_batch, _SUBWORD_SCHEMA)
 
 
