@@ -132,6 +132,141 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — EXISTS as a left-semi join with a non-equi extra
+    condition: orders in a six-month window that had at least one line
+    shipped more than 60 days after the order date, counted per
+    priority.  (The synthetic lineitem has no commit/receipt dates;
+    ship-lag plays the lateness role.)
+
+    Scale: the semi-join stops probing an order on its first late
+    line — no fact×fact blow-up; the date window pushes to the
+    orders scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — pure scan-aggregate: one-year ship window, discount
+    band, small quantities; the whole query is a pushed-filter scan
+    plus a single global sum (zero joins, one partial-agg shuffle of
+    one row per partition)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — distribution of orders per customer including the
+    zero bucket: left join, per-customer count, then count-of-counts.
+    Two aggregations, each with map-side partials; the second one's
+    key space is tiny (distinct order counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — aggregate then take the top revenue supplier.
+
+    The classic formulation equi-joins the aggregate against its own
+    MAX; with floating-point totals computed by two independent
+    subplans that join is brittle (a last-bit difference yields zero
+    rows).  Deterministic-and-scale-safe instead: top-1 with a suppkey
+    tie-break — plans as TakeOrderedAndProject over the per-supplier
+    aggregate (per-partition heap, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.orderBy(
+        F.col("total_revenue").desc(), F.col("l_suppkey").asc()
+    ).limit(1)
+    return top.join(s, top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — correlated average as a self-agg join: lines of one
+    brand whose quantity is below 20% of that part's average quantity;
+    weekly-average revenue over them.  The per-part average table is
+    keyed by partkey (partial agg, small output) and joins back to the
+    fact co-partitioned on the same key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avgq, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — OR-of-ANDs join predicates: three brand/size/
+    quantity bands, revenue over the union.  The equi-key join stays a
+    hash join; the disjunction evaluates post-probe in codegen (never
+    a nested-loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shape — join + conditional aggregation: per return flag,
     how many shipped lines belong to high- vs low-priority orders in
@@ -197,6 +332,12 @@ def tpch_q16_parts_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+    "tpch_q19_disjunctive_predicates": tpch_q19_disjunctive_predicates,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q10_returned_items": tpch_q10_returned_items,
@@ -247,6 +388,61 @@ ORACLES = {
         " JOIN nation n2 ON s_nationkey = n2.n_nationkey"
         " WHERE n1.n_name <> n2.n_name"
         " GROUP BY 1, 2, 3"
+    ),
+    "tpch_q4_order_priority": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count"
+        " FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+        "   AND o_orderdate < TIMESTAMP '1996-07-01'"
+        "   AND EXISTS (SELECT 1 FROM lineitem"
+        "     WHERE l_orderkey = o_orderkey"
+        "       AND l_shipdate > o_orderdate + INTERVAL 60 DAY)"
+        " GROUP BY o_orderpriority"
+    ),
+    "tpch_q6_forecast_revenue": (
+        "SELECT SUM(l_extendedprice * l_discount) AS revenue"
+        " FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        "   AND l_shipdate < TIMESTAMP '1997-01-01'"
+        "   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "tpch_q13_customer_distribution": (
+        "WITH pc AS (SELECT c_custkey,"
+        "   CAST(COUNT(o_orderkey) AS BIGINT) AS c_count"
+        "   FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+        "   GROUP BY c_custkey)"
+        " SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist"
+        " FROM pc GROUP BY c_count"
+    ),
+    "tpch_q15_top_supplier": (
+        "WITH rev AS (SELECT l_suppkey,"
+        "   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue"
+        "   FROM lineitem"
+        "   WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        "     AND l_shipdate < TIMESTAMP '1996-04-01'"
+        "   GROUP BY l_suppkey"
+        "   ORDER BY total_revenue DESC, l_suppkey ASC LIMIT 1)"
+        " SELECT s_suppkey, s_name, total_revenue"
+        " FROM rev JOIN supplier ON l_suppkey = s_suppkey"
+    ),
+    "tpch_q17_small_quantity_revenue": (
+        "WITH avgq AS (SELECT l_partkey AS ap_partkey,"
+        "   AVG(l_quantity) * 0.2 AS qty_threshold"
+        "   FROM lineitem GROUP BY l_partkey)"
+        " SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " JOIN avgq ON l_partkey = ap_partkey"
+        " WHERE p_brand = 'Brand#12' AND l_quantity < qty_threshold"
+    ),
+    "tpch_q19_disjunctive_predicates": (
+        f"SELECT {_REV} AS revenue"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15"
+        "        AND l_quantity BETWEEN 1 AND 11)"
+        "    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25"
+        "        AND l_quantity BETWEEN 10 AND 20)"
+        "    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35"
+        "        AND l_quantity BETWEEN 20 AND 30)"
     ),
     "tpch_q12_priority_shipping": (
         "SELECT l_returnflag,"

@@ -34,6 +34,38 @@ def test_static_partition_pruning(spark, month_partitioned_orders):
     assert "1996-03" in plan
 
 
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Fact⋈selective-dim shuffle joins must be eligible for Spark's
+    runtime bloom filter (probe rows dropped before the shuffle).  At
+    100 TB the default thresholds (10 GB probe scan) let it fire on
+    its own; here they're lowered to demonstrate the plan shape."""
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in saved:
+        saved[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_extendedprice").alias("s")
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt  # built on the selective side
+        assert "might_contain" in opt  # probes filtered pre-shuffle
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_dynamic_partition_pruning(spark, month_partitioned_orders):
     fact = spark.read.parquet(month_partitioned_orders)
     # Independent calendar dim; the quarter filter is only knowable at

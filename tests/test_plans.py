@@ -117,6 +117,31 @@ def test_tpch_q14_single_row_agg_pushdown(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+def test_tpch_q6_is_pure_pushed_scan_agg(spark, sf_dir):
+    from decision_tree_analytics_spark.operators import tpch as TP
+    from decision_tree_analytics_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(TP.tpch_q6_forecast_revenue(spark, sf_dir))
+    pf = pushed_filters(plan)
+    assert "l_shipdate" in pf and "l_discount" in pf and "LessThan(l_quantity,24" in pf
+    assert "Join" not in plan  # scan + agg only
+
+
+def test_tpch_q15_top1_uses_heap_not_global_sort(spark, sf_dir):
+    from decision_tree_analytics_spark.operators import tpch as TP
+    from decision_tree_analytics_spark.plans.inspect import simple_plan, uses_top_k_sort
+
+    assert uses_top_k_sort(simple_plan(TP.tpch_q15_top_supplier(spark, sf_dir)))
+
+
+def test_tpch_q4_plans_semi_join(spark, sf_dir):
+    from decision_tree_analytics_spark.operators import tpch as TP
+
+    plan = simple_plan(TP.tpch_q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q16_no_explicit_broadcast_of_part(spark, sf_dir):
     # `part` scales with SF — the plan must not carry a user broadcast
     # hint (AQE may still *choose* broadcast at small SF; that's fine).
