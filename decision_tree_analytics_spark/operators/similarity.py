@@ -198,6 +198,80 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tether_cache(result, both)
 
 
+def sim_sq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Scalar-quantized (int8) ANN: per-dimension min/max over the
+    corpus → 8-bit codes → approximate cosine against full-precision
+    probes → top-k.
+
+    The memory/shuffle tier between brute force and LSH/IVF: codes are
+    64 bytes/vector instead of 512, so at 100 TB the quantized corpus
+    is 8× cheaper to cache and scan; the standard refinement is an
+    exact re-rank of the approximate top-k' (k' ≈ 4k) which touches
+    only k'×probes full vectors.  Quantization params are exact
+    per-dim MIN/MAX aggregates (no float-sum order sensitivity), so
+    codes are bit-identical across engines and the query carries a
+    full DuckDB oracle — unlike engine-seeded KMeans IVF."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    # 64-row per-dim stats, folded to one row of parallel arrays and
+    # broadcast — the quantization "codebook".
+    stats = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mn", "mx"))).alias("s"))
+        .select(
+            F.transform("s", lambda t: t["mn"]).alias("mns"),
+            F.transform("s", lambda t: t["mx"]).alias("mxs"),
+        )
+    )
+    with_params = emb.crossJoin(F.broadcast(stats))
+    # code = round((x-mn)/(mx-mn)*255); dequant = mn + code*(mx-mn)/255.
+    # Arithmetic shapes mirror the oracle exactly (portable rounding).
+    deq = F.transform(
+        "v",
+        lambda x, i: (
+            F.when(
+                F.element_at("mxs", i + 1) == F.element_at("mns", i + 1),
+                F.element_at("mns", i + 1),
+            ).otherwise(
+                F.element_at("mns", i + 1)
+                + F.floor(
+                    (x - F.element_at("mns", i + 1))
+                    / (F.element_at("mxs", i + 1) - F.element_at("mns", i + 1))
+                    * 255
+                    + 0.5
+                )
+                * (F.element_at("mxs", i + 1) - F.element_at("mns", i + 1))
+                / 255
+            )
+        ),
+    )
+    corpus = with_params.select("vec_id", deq.alias("dv"))
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    pairs = corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _round6(
+            _dot(F.col("pv"), F.col("dv")) / (_norm(F.col("pv")) * _norm(F.col("dv")))
+        ).alias("approx_cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "approx_cos", "rank")
+    )
+
+
 def sim_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -275,6 +349,7 @@ QUERIES = {
     "sim_embed_nn": sim_embed_nn,
     "sim_ann_buckets": sim_ann_buckets,
     "sim_ann_topk": sim_ann_topk,
+    "sim_sq_topk": sim_sq_topk,
     "sim_ivf_topk": sim_ivf_topk,
 }
 
@@ -323,6 +398,29 @@ ORACLES = {
         " CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)"
         "      AS BIGINT) AS bucket"
         " FROM dots GROUP BY vec_id"
+    ),
+    "sim_sq_topk": (
+        f"WITH e AS ({_SQL_EXPLODED}),"
+        " stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),"
+        " deq AS (SELECT vec_id, e.i,"
+        "   CASE WHEN mx = mn THEN mn"
+        "        ELSE mn + floor((x - mn) / (mx - mn) * 255 + 0.5)"
+        "             * (mx - mn) / 255 END AS dx"
+        "   FROM e JOIN stats ON e.i = stats.i),"
+        " dnorms AS (SELECT vec_id, sqrt(sum(dx*dx)) AS nrm FROM deq GROUP BY vec_id),"
+        f" pnorms AS ({_SQL_NORMS}),"
+        " dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,"
+        "   sum(p.x * c.dx) AS dot"
+        "   FROM e p JOIN deq c ON p.i = c.i"
+        "   WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id GROUP BY 1, 2),"
+        " scored AS (SELECT probe_id, neighbor_id,"
+        "   floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS approx_cos"
+        "   FROM dots JOIN pnorms np ON probe_id = np.vec_id"
+        "   JOIN dnorms nc ON neighbor_id = nc.vec_id)"
+        " SELECT probe_id, neighbor_id, approx_cos, CAST(rank AS BIGINT) AS rank"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY probe_id"
+        "   ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM scored)"
+        " WHERE rank <= 5"
     ),
     "sim_ann_topk": (
         f"WITH planes(p, i, s) AS (VALUES {_sql_planes_values()}),"

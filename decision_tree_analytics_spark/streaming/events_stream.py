@@ -84,6 +84,26 @@ def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
     )
 
 
+def enriched_segment_counts(stream: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static dim join: enrich each event with the customer's
+    market segment, then count per (segment, event_type).
+
+    The static side is re-planned every micro-batch (Spark re-reads
+    the dim snapshot), and as a bounded dim it broadcasts — so the
+    stream side never shuffles for the join; only the tiny post-join
+    aggregate does.  This is the canonical streaming enrichment shape
+    (fact stream × slowly-changing dim)."""
+    dim = customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        stream.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Bounded-state exact dedup on event_id within the watermark."""
     return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(

@@ -44,3 +44,19 @@ def test_ivf_output_shape(spark, sf_dir):
         per_probe.setdefault(r.probe_id, []).append(r.rank)
     for probe, ranks in per_probe.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), probe
+
+
+def test_sq_recall_against_brute_force(spark, sf_dir):
+    """8-bit scalar quantization loses <0.4% of the value range per
+    dim, so approximate top-5 should almost perfectly match exact
+    brute force (far tighter than the IVF bound)."""
+    from decision_tree_analytics_spark.operators.similarity import sim_sq_topk
+
+    exact = _neighbor_sets(sim_cosine_topk(spark, sf_dir))
+    approx = _neighbor_sets(sim_sq_topk(spark, sf_dir))
+    assert set(exact) == set(approx)
+    recalls = [
+        len(approx[p] & want) / len(want) for p, want in exact.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"mean recall@5 = {mean_recall:.2f}"

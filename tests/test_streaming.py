@@ -45,3 +45,37 @@ def test_streaming_dedup_bounded_state(spark, sf_dir):
     n_stream = spark.table("dedup_events").count()
     n_batch = load_table(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
     assert n_stream == n_batch
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    from decision_tree_analytics_spark.streaming.events_stream import (
+        enriched_segment_counts,
+        events_stream,
+    )
+
+    customers = load_table(spark, sf_dir, "customer")
+    run_to_memory(
+        enriched_segment_counts(events_stream(spark, sf_dir), customers),
+        "seg_counts",
+        output_mode="complete",
+    )
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in spark.table("seg_counts").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.join(
+            customers.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    want = {
+        (r.c_mktsegment, r.event_type): (r.n, round(r.s, 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0

@@ -109,3 +109,30 @@ def test_subword_query_matches_python(spark, tmp_path):
         want = sum(len(subword_tokens(w)) for w in words)
         assert got[doc_id].n_words == len(words)
         assert got[doc_id].n_subwords == want, doc_id
+
+
+def test_subword_invariants_hypothesis():
+    """Hypothesis sweep of the tokenizer invariants over arbitrary
+    unicode words (not just the random-corpus alphabet)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from decision_tree_analytics_spark.operators.udf_inventory import (
+        _MERGE_HEX,
+        subword_tokens,
+    )
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(w):
+        toks = subword_tokens(w)
+        assert "".join(toks) == w  # conservation
+        assert all(1 <= len(t) <= 2 for t in toks)
+        i = 0
+        for t in toks:
+            if len(t) == 2:
+                assert i % 2 == 0
+                assert hashlib.md5(t.encode("utf-8")).hexdigest()[0] in _MERGE_HEX
+            i += len(t)
+
+    check()
