@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -106,7 +107,67 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "payload").mapInPandas(_meta_batches, META_SCHEMA)
 
 
-QUERIES = {"mm_binary_meta": mm_binary_meta}
+_BYTE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("min_byte", LongType()),
+        StructField("max_byte", LongType()),
+        StructField("n_distinct_bytes", LongType()),
+    ]
+)
+
+
+def _byte_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            rows.append(
+                (
+                    int(doc_id),
+                    int(arr.size),
+                    # exact integer sum then one division — identical
+                    # across engines (no float-accumulation order).
+                    float(int(arr.sum(dtype=np.int64))) / arr.size,
+                    int(arr.min()),
+                    int(arr.max()),
+                    int(np.unique(arr).size),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_bytes",
+                "mean_byte",
+                "min_byte",
+                "max_byte",
+                "n_distinct_bytes",
+            ],
+        )
+
+
+def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction over the opaque binary column —
+    the codec-free stage of media feature pipelines (magic-byte
+    screening, corruption detection, compression-ratio proxies).
+
+    Vectorized numpy over Arrow batches; works on arbitrary binary
+    payloads (real image/audio bytes included).  The oracle exploits
+    that the test payloads are ASCII text bytes, so DuckDB can
+    recompute the same statistics from codepoints."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d.select("doc_id", "payload").mapInPandas(
+        _byte_stats_batches, _BYTE_STATS_SCHEMA
+    )
+
+
+QUERIES = {"mm_binary_meta": mm_binary_meta, "mm_byte_stats": mm_byte_stats}
 
 # DuckDB replicates the deterministic fake-decode arithmetic: hex
 # pair k of md5 → byte value via strpos arithmetic.
@@ -124,5 +185,20 @@ ORACLES = {
         f" CAST(64 + {_B.format(a=3, b=4)} % 192 AS BIGINT) AS height,"
         " CAST(3 AS BIGINT) AS channels"
         " FROM documents"
+    ),
+    # Payload bytes are the text's ASCII codepoints in the test data,
+    # so byte value i == ascii(substr(text, i, 1)).
+    "mm_byte_stats": (
+        "WITH idx AS (SELECT doc_id, text,"
+        "   unnest(range(length(text))) AS i FROM documents),"
+        " b AS (SELECT doc_id,"
+        "   ascii(substr(text, CAST(i AS INT) + 1, 1)) AS byte FROM idx)"
+        " SELECT doc_id,"
+        " CAST(COUNT(*) AS BIGINT) AS n_bytes,"
+        " CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS mean_byte,"
+        " CAST(MIN(byte) AS BIGINT) AS min_byte,"
+        " CAST(MAX(byte) AS BIGINT) AS max_byte,"
+        " CAST(COUNT(DISTINCT byte) AS BIGINT) AS n_distinct_bytes"
+        " FROM b GROUP BY doc_id"
     ),
 }

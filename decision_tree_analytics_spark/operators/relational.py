@@ -179,6 +179,21 @@ def q14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Approximate quantiles (Greenwald-Khanna / KLL-family sketch).  Like
+# Q14: sketch internals are engine-specific → rows-only for the
+# driver; pytest asserts ≤1% relative error vs the exact percentile.
+# Scale: the sketch is mergeable with bounded size (controlled by the
+# accuracy parameter) — the only way to do percentiles in one pass
+# over 100 TB without a global sort.
+def rel_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10000
+        ).alias("price_pcts")
+    )
+
+
 # Q15 — ROLLUP grouping sets.
 def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -552,6 +567,7 @@ QUERIES = {
     "q12_distinct_agg": q12_distinct_agg,
     "q13_cardinality": q13_cardinality,
     "q14_approx_distinct": q14_approx_distinct,
+    "rel_approx_quantile": rel_approx_quantile,
     "q15_rollup": q15_rollup,
     "q16_window_keep_first": q16_window_keep_first,
     "q17_window_lag": q17_window_lag,

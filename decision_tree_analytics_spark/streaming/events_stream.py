@@ -111,6 +111,41 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def recent_pairs_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "5 minutes",
+    max_user: int | None = None,
+) -> DataFrame:
+    """Stream-stream interval self-join: pair each event with the same
+    user's events from the preceding ``lookback`` window.
+
+    Both sides carry watermarks and the join condition bounds
+    ``prev_time`` to a finite interval behind ``event_time``, so Spark
+    can expire join state once the watermark passes — state is
+    O(events in the interval), not O(stream).  This is the
+    sessionless "what happened just before" enrichment shape
+    (fraud/funnel features) that a batch range join can't do
+    continuously."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("prev_event_id"),
+        F.col("user_id").alias("prev_user_id"),
+        F.col("event_time").alias("prev_time"),
+    )
+    if max_user is not None:
+        a = a.filter(F.col("user_id") < max_user)
+        b = b.filter(F.col("prev_user_id") < max_user)
+    a = a.withWatermark("event_time", "1 hour")
+    b = b.withWatermark("prev_time", "1 hour")
+    cond = (
+        (F.col("user_id") == F.col("prev_user_id"))
+        & (F.col("prev_time") < F.col("event_time"))
+        & (F.col("prev_time") >= F.col("event_time") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return a.join(b, cond).select("event_id", "prev_event_id", "user_id")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drain an availableNow trigger into a memory sink; returns the
     finished StreamingQuery (caller reads ``spark.table(name)``).

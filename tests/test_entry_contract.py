@@ -28,10 +28,11 @@ def test_rows_only_queries_are_the_documented_exceptions():
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
     rows_only = set(qs) - set(osql)
-    # engine-seeded or iterative ops only — everything else must carry
-    # an oracle
+    # engine-seeded, sketch-based, or iterative ops only — everything
+    # else must carry an oracle
     assert rows_only == {
         "q14_approx_distinct",
+        "rel_approx_quantile",
         "q26_dt_train_predict",
         "sim_ivf_topk",
     }

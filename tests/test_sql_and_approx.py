@@ -40,3 +40,32 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(1, 0.05 * ex), (k, ex, approx[k])
+
+
+def test_approx_quantile_within_1pct(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.operators.relational import (
+        rel_approx_quantile,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.pcts
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+            ).alias("pcts")
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.price_pcts
+        for r in rel_approx_quantile(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, ex in exact.items():
+        for e, a in zip(ex, approx[flag]):
+            assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (flag, e, a)

@@ -79,3 +79,31 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from decision_tree_analytics_spark.streaming.events_stream import (
+        recent_pairs_stream,
+        run_to_memory,
+    )
+
+    run_to_memory(
+        recent_pairs_stream(spark, sf_dir, max_user=20), "recent_pairs"
+    )
+    got = {
+        (r.event_id, r.prev_event_id)
+        for r in spark.table("recent_pairs").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("us")
+    ).filter(F.col("user_id") < 20)
+    a, b = ev.alias("a"), ev.alias("b")
+    batch = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.us") < F.col("a.us"))
+        & (F.col("b.us") >= F.col("a.us") - 300_000_000),
+    ).select(F.col("a.event_id").alias("e"), F.col("b.event_id").alias("p"))
+    want = {(r.e, r.p) for r in batch.collect()}
+    assert got == want and len(got) > 0
