@@ -552,6 +552,92 @@ def rel_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
 
 
+# rel_map_fns — map-typed column construction and extraction
+# (create_map / map_keys / element_at).  Maps stay inside codegen;
+# outputs are flattened back to plain columns for the cross-engine
+# hash (map column rendering differs between engines).
+def rel_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("tax"), F.col("l_tax").cast("double"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(m).cast("long").alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_str"),
+        F.element_at(m, F.lit("qty")).alias("qty_val"),
+        F.element_at(m, F.lit("tax")).alias("tax_val"),
+    )
+
+
+# rel_grouping_sets — explicit GROUPING SETS (beyond rollup/cube) with
+# the standard grouping-bitmask output.  One Expand + one aggregate;
+# partial aggregation still applies per grouping set.
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+# rel_range_join — batch interval join via time-bucketing: pair each
+# event with the same user's events in the preceding 5 minutes.
+# Naively this is a non-equi join → BroadcastNestedLoopJoin (quadratic
+# probe, the classic range-join scale killer).  Bucketing by the
+# interval width turns it into an equi-join on (user, bucket): the
+# probe row is replicated into its own and the previous bucket, the
+# build side keeps its single bucket, and the exact interval predicate
+# refines after the hash match.  Locked by a plan test (no BNLJ).
+RANGE_JOIN_US = 300_000_000  # 5 minutes in µs
+
+
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.expr("ts div 1000").alias("us"))
+        .filter(F.col("user_id") < 20)
+    )
+    a = ev.select(
+        F.col("event_id").alias("event_id_a"), "user_id", F.col("us").alias("a_us")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"a_us div {RANGE_JOIN_US}"),
+                F.expr(f"a_us div {RANGE_JOIN_US} - 1"),
+            )
+        ),
+    )
+    b = ev.select(
+        F.col("event_id").alias("prev_event_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("us").alias("b_us"),
+        F.expr(f"us div {RANGE_JOIN_US}").alias("bucket"),
+    )
+    return (
+        a.join(b, (a.bucket == b.bucket) & (a.user_id == b.b_user))
+        .filter(
+            (F.col("b_us") < F.col("a_us"))
+            & (F.col("b_us") >= F.col("a_us") - RANGE_JOIN_US)
+        )
+        .select(
+            F.col("event_id_a").alias("event_id"),
+            "prev_event_id",
+            "user_id",
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_project_exclude": q02_project_exclude,
@@ -591,6 +677,9 @@ QUERIES = {
     "rel_array_fns": rel_array_fns,
     "rel_conditional_fns": rel_conditional_fns,
     "rel_string_pad_fns": rel_string_pad_fns,
+    "rel_map_fns": rel_map_fns,
+    "rel_grouping_sets": rel_grouping_sets,
+    "rel_range_join": rel_range_join,
 }
 
 ORACLES = {
@@ -650,6 +739,37 @@ ORACLES = {
     "q13_cardinality": (
         "SELECT COUNT(DISTINCT event_type) AS event_type_card,"
         " COUNT(DISTINCT user_id) AS user_id_card FROM events"
+    ),
+    "rel_map_fns": (
+        "SELECT l_orderkey, l_linenumber,"
+        " CAST(cardinality(map(['qty', 'tax'],"
+        "   [CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)])) AS BIGINT)"
+        "   AS n_entries,"
+        " array_to_string(map_keys(map(['qty', 'tax'],"
+        "   [CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)])), ',')"
+        "   AS keys_str,"
+        " map_extract(map(['qty', 'tax'],"
+        "   [CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)]), 'qty')[1]"
+        "   AS qty_val,"
+        " map_extract(map(['qty', 'tax'],"
+        "   [CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)]), 'tax')[1]"
+        "   AS tax_val"
+        " FROM lineitem WHERE l_orderkey < 100"
+    ),
+    "rel_grouping_sets": (
+        "SELECT o_orderstatus, o_orderpriority,"
+        " CAST(COUNT(*) AS BIGINT) AS cnt,"
+        " CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid"
+        " FROM orders"
+        " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
+    "rel_range_join": (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us"
+        "   FROM events WHERE user_id < 20)"
+        " SELECT a.event_id AS event_id, b.event_id AS prev_event_id,"
+        " a.user_id AS user_id"
+        " FROM e a JOIN e b ON a.user_id = b.user_id"
+        "   AND b.us < a.us AND b.us >= a.us - 300000000"
     ),
     # q14_approx_distinct: intentionally no oracle (engine-specific HLL).
     "q15_rollup": (

@@ -90,6 +90,16 @@ def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
     assert "partial_min" in plan
 
 
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed interval join must hash on (bucket, user) — a
+    naive non-equi formulation degenerates to BroadcastNestedLoopJoin
+    (quadratic probe)."""
+    plan = simple_plan(R.rel_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
 def test_levenshtein_window_is_partitioned(spark, sf_dir):
     # A partitionless window would plan Exchange SinglePartition and
     # funnel the whole table through one task; the blocking key must
