@@ -272,6 +272,47 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
+def sim_sq_refined_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, k_candidates: int = 20
+) -> DataFrame:
+    """SQ candidates → exact re-rank (the production two-stage ANN):
+    the quantized pass proposes ``k_candidates`` per probe from 8-bit
+    codes; only those pairs touch full-precision vectors for the
+    exact cosine and final top-k.  At 100 TB the expensive stage reads
+    probes×k' vectors instead of the corpus — the approximate pass
+    bounds all full-precision IO."""
+    from pyspark.sql import Window
+
+    cands = sim_sq_topk(spark, sf_dir, k=k_candidates).select(
+        "probe_id", "neighbor_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    p = emb.select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        cands.join(p, "probe_id")
+        .join(c, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _round6(
+                _dot(F.col("pv"), F.col("cv"))
+                / (_norm(F.col("pv")) * _norm(F.col("cv")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def sim_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -350,6 +391,7 @@ QUERIES = {
     "sim_ann_buckets": sim_ann_buckets,
     "sim_ann_topk": sim_ann_topk,
     "sim_sq_topk": sim_sq_topk,
+    "sim_sq_refined_topk": sim_sq_refined_topk,
     "sim_ivf_topk": sim_ivf_topk,
 }
 
@@ -359,6 +401,29 @@ _SQL_EXPLODED = (
     " unnest(embedding)::DOUBLE AS x FROM embeddings"
 )
 _SQL_NORMS = "SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY vec_id"
+
+# Shared CTE block for the scalar-quantization oracles: per-dim
+# min/max codebook → dequantized corpus → approximate cosine scores
+# against full-precision probes (vec_id < 10).
+_SQL_SQ_COMMON = (
+    f"e AS ({_SQL_EXPLODED}),"
+    " stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),"
+    " deq AS (SELECT vec_id, e.i,"
+    "   CASE WHEN mx = mn THEN mn"
+    "        ELSE mn + floor((x - mn) / (mx - mn) * 255 + 0.5)"
+    "             * (mx - mn) / 255 END AS dx"
+    "   FROM e JOIN stats ON e.i = stats.i),"
+    " dnorms AS (SELECT vec_id, sqrt(sum(dx*dx)) AS nrm FROM deq GROUP BY vec_id),"
+    f" pnorms AS ({_SQL_NORMS}),"
+    " sq_dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,"
+    "   sum(p.x * c.dx) AS dot"
+    "   FROM e p JOIN deq c ON p.i = c.i"
+    "   WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id GROUP BY 1, 2),"
+    " sq_scored AS (SELECT probe_id, neighbor_id,"
+    "   floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS approx_cos"
+    "   FROM sq_dots JOIN pnorms np ON probe_id = np.vec_id"
+    "   JOIN dnorms nc ON neighbor_id = nc.vec_id)"
+)
 
 ORACLES = {
     "sim_cosine_topk": (
@@ -400,26 +465,29 @@ ORACLES = {
         " FROM dots GROUP BY vec_id"
     ),
     "sim_sq_topk": (
-        f"WITH e AS ({_SQL_EXPLODED}),"
-        " stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),"
-        " deq AS (SELECT vec_id, e.i,"
-        "   CASE WHEN mx = mn THEN mn"
-        "        ELSE mn + floor((x - mn) / (mx - mn) * 255 + 0.5)"
-        "             * (mx - mn) / 255 END AS dx"
-        "   FROM e JOIN stats ON e.i = stats.i),"
-        " dnorms AS (SELECT vec_id, sqrt(sum(dx*dx)) AS nrm FROM deq GROUP BY vec_id),"
-        f" pnorms AS ({_SQL_NORMS}),"
-        " dots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,"
-        "   sum(p.x * c.dx) AS dot"
-        "   FROM e p JOIN deq c ON p.i = c.i"
-        "   WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id GROUP BY 1, 2),"
-        " scored AS (SELECT probe_id, neighbor_id,"
-        "   floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS approx_cos"
-        "   FROM dots JOIN pnorms np ON probe_id = np.vec_id"
-        "   JOIN dnorms nc ON neighbor_id = nc.vec_id)"
+        f"WITH {_SQL_SQ_COMMON}"
         " SELECT probe_id, neighbor_id, approx_cos, CAST(rank AS BIGINT) AS rank"
         " FROM (SELECT *, row_number() OVER (PARTITION BY probe_id"
-        "   ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM scored)"
+        "   ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM sq_scored)"
+        " WHERE rank <= 5"
+    ),
+    "sim_sq_refined_topk": (
+        f"WITH {_SQL_SQ_COMMON},"
+        " cand AS (SELECT probe_id, neighbor_id FROM ("
+        "   SELECT *, row_number() OVER (PARTITION BY probe_id"
+        "     ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM sq_scored)"
+        "   WHERE rank <= 20),"
+        " xdots AS (SELECT c.probe_id, c.neighbor_id, sum(p.x * q.x) AS dot"
+        "   FROM cand c JOIN e p ON p.vec_id = c.probe_id"
+        "   JOIN e q ON q.vec_id = c.neighbor_id AND p.i = q.i"
+        "   GROUP BY 1, 2),"
+        " xscored AS (SELECT probe_id, neighbor_id,"
+        "   floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS cos_sim"
+        "   FROM xdots JOIN pnorms np ON probe_id = np.vec_id"
+        "   JOIN pnorms nc ON neighbor_id = nc.vec_id)"
+        " SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY probe_id"
+        "   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM xscored)"
         " WHERE rank <= 5"
     ),
     "sim_ann_topk": (

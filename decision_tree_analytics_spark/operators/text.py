@@ -152,6 +152,53 @@ def ns_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 8  # k-gram length (characters)
+WINNOW_W = 4  # winnowing window (k-grams per window)
+
+
+def ns_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling character k-gram hash
+    + per-window minimum selection) — the MOSS-style local
+    fingerprinting scheme: any shared substring of length ≥ k+w-1
+    guarantees a shared fingerprint, so overlapping documents collide
+    without comparing full texts.
+
+    Hashes are content-derived (first 8 md5 hex digits of each k-gram
+    → int64), hence engine-portable.  Shape at scale: one generator
+    explode per character position (repartitioned first — CPU-bound),
+    one window over (doc, position), distinct on 8-byte values.  The
+    fingerprint set is the shuffle key for substring-level dedup; raw
+    text never joins."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+        .filter(F.length("t") >= WINNOW_K)
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    grams = d.select(
+        "doc_id",
+        "t",
+        F.explode(F.expr(f"sequence(0, length(t) - {WINNOW_K})")).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(f"substr(t, i + 1, {WINNOW_K})").alias("g"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("fp"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        grams.select("doc_id", F.min("fp").over(win).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def ns_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (doc_id < 50 slice).
 
@@ -193,6 +240,7 @@ QUERIES = {
     "ns_text_langid": ns_text_langid,
     "ns_text_fingerprint": ns_text_fingerprint,
     "ns_text_levenshtein": ns_text_levenshtein,
+    "ns_text_winnow": ns_text_winnow,
     "ns_text_tfidf_top": ns_text_tfidf_top,
 }
 
@@ -244,6 +292,19 @@ ORACLES = {
         "    SELECT doc_id, regexp_extract(text, '^\\s*(\\w+)', 1) AS w"
         "    FROM documents))"
         " WHERE prev_w IS NOT NULL"
+    ),
+    "ns_text_winnow": (
+        "WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents"
+        f"   WHERE length(lower(trim(text))) >= {WINNOW_K}),"
+        " idx AS (SELECT doc_id, t,"
+        f"   unnest(range(length(t) - {WINNOW_K} + 1)) AS i FROM n),"
+        " g AS (SELECT doc_id, i,"
+        "   ('0x' || substr(md5(substr(t, CAST(i AS INT) + 1,"
+        f" {WINNOW_K})), 1, 8))::BIGINT AS fp FROM idx),"
+        " sel AS (SELECT doc_id, min(fp) OVER (PARTITION BY doc_id"
+        f"   ORDER BY i ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)"
+        "   AS fingerprint FROM g)"
+        " SELECT DISTINCT doc_id, fingerprint FROM sel"
     ),
     "ns_text_tfidf_top": (
         "WITH toks AS (SELECT doc_id, unnest(" + _SQL_TOKS + ") AS tok"

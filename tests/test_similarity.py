@@ -60,3 +60,22 @@ def test_sq_recall_against_brute_force(spark, sf_dir):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.9, f"mean recall@5 = {mean_recall:.2f}"
+
+
+def test_sq_refined_equals_exact_topk(spark, sf_dir):
+    """Exact re-rank of SQ top-20 candidates must reproduce the exact
+    brute-force top-5 (quantization error is far below the candidate
+    margin at k'=4k)."""
+    from decision_tree_analytics_spark.operators.similarity import (
+        sim_sq_refined_topk,
+    )
+
+    exact = {
+        (r.probe_id, r.neighbor_id, r.rank)
+        for r in sim_cosine_topk(spark, sf_dir).collect()
+    }
+    refined = {
+        (r.probe_id, r.neighbor_id, r.rank)
+        for r in sim_sq_refined_topk(spark, sf_dir).collect()
+    }
+    assert refined == exact
