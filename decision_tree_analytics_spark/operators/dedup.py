@@ -233,6 +233,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+def dedup_components(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    pair graph, labeling every document with its cluster's minimum
+    doc_id (the canonical keeper).  This is the step that turns
+    pairwise near-dup hits into "keep one per group" — pairs alone
+    over-delete when A~B and B~C but A≁C.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; a fixpoint is
+    reached within the cluster diameter (near-dup text clusters are
+    tiny — pairs and triples — so a handful of rounds close it; a
+    planet-scale graph would switch to the alternating small-star/
+    large-star variant for O(log n) rounds).  Each round is one join +
+    one partial-min aggregate on 8-byte keys; the driver only checks a
+    one-row convergence aggregate (sum of labels strictly decreases
+    until fixpoint) — no row data ever leaves the cluster."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(docs, pairs, max_iter=max_iter)
+
+
+def connected_components(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph; see
+    dedup_components.  ``docs``: (doc_id); ``pairs``: (doc_a, doc_b)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).persist()
+    prev_sum = labels.agg(F.sum("component_id")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_label", "component_id")
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("component_id")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # fixpoint
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return tether_cache(labels, labels)
+
+
+# ------------------------------------------------------------------
 # Incremental (delta-style) dedup — the most common production dedup
 # shape: a new batch arrives, the corpus's fingerprint store is
 # already persisted, and only first-seen rows may pass.
@@ -323,6 +385,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_neardup": dedup_embedding_neardup,
     "dedup_incremental": dedup_incremental,
+    "dedup_components": dedup_components,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -384,6 +447,28 @@ ORACLES = {
         " FROM inter JOIN sizes sa ON doc_a = sa.doc_id"
         " JOIN sizes sb ON doc_b = sb.doc_id"
         " WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"
+    ),
+    # Components via transitive closure (recursive CTE): component id
+    # of a node = min(doc_id) over its reachable set (incl. itself).
+    "dedup_components": (
+        "WITH RECURSIVE sigs AS (" + _SQL_SIGS + "),"
+        f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
+        "   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY h)) AS band_key"
+        "   FROM sigs GROUP BY 1, 2),"
+        " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        "   FROM bands a JOIN bands b"
+        "   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"
+        " edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        "   UNION SELECT doc_b, doc_a FROM pairs),"
+        " reach(src, dst) AS ("
+        "   SELECT src, dst FROM edges"
+        "   UNION"
+        "   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),"
+        " comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cid"
+        "   FROM reach GROUP BY src)"
+        " SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+        " CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS component_id"
+        " FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"
     ),
     "dedup_incremental": (
         "WITH fp AS (SELECT md5(lower(trim(text))) AS fingerprint, doc_id"

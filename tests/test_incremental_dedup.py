@@ -73,3 +73,21 @@ def test_incremental_plan_is_hash_only(spark, sf_dir):
     plan = simple_plan(dedup_incremental(spark, sf_dir))
     assert "partial_min" in plan
     assert "LeftAnti" in plan
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A~B and B~C must land A, B, C in one component even though A≁C
+    directly; isolated nodes keep their own id."""
+    from decision_tree_analytics_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
