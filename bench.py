@@ -45,6 +45,14 @@ def main() -> None:
 
     # Warm the JVM + parquet footer caches once (excluded from timing).
     queries[names[0]](spark, SF_DIR).count()
+    # Warm the Python/Arrow lane too: the first pandas-UDF query in a
+    # session otherwise pays the one-off worker-pool spawn (~2-3 s on
+    # local[32]) — a session constant, not a per-query cost at scale.
+    import pandas as pd  # noqa: F401
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:
