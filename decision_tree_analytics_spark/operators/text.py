@@ -60,6 +60,31 @@ def ns_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_score_col(toks: Column) -> Column:
+    """Composite quality score (shared by ns_text_quality and the
+    curation pipeline)."""
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = _stop_hits(toks, STOPWORDS["en"]).cast("double") / n_tokens.cast(
+        "double"
+    )
+    return (
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.5
+    )
+
+
+def _langid_col(toks: Column) -> Column:
+    """Stopword-profile argmax with fixed preference order (shared by
+    ns_text_langid and the curation pipeline)."""
+    s = {lang: _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+
+
 def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean token length, stopword ratio, and
     a composite score — the standard cheap pre-filter for LLM corpora."""
@@ -72,10 +97,7 @@ def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = _stop_hits(toks, STOPWORDS["en"])
     avg_tok = tok_len_sum.cast("double") / n_tokens.cast("double")
     stop_ratio = stop_hits.cast("double") / n_tokens.cast("double")
-    score = (
-        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.5
-        + stop_ratio * 0.5
-    )
+    score = _quality_score_col(toks)
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
@@ -92,15 +114,9 @@ def ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     s = {lang: _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
-    pred = (
-        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
-        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
-        .when(s["fr"] >= s["es"], "fr")
-        .otherwise("es")
-    )
     return d.select(
         "doc_id",
-        pred.alias("pred_lang"),
+        _langid_col(toks).alias("pred_lang"),
         s["en"].alias("s_en"),
         s["de"].alias("s_de"),
         s["fr"].alias("s_fr"),
@@ -149,6 +165,36 @@ def ns_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.levenshtein("w", "prev_w").cast("long").alias("edit_dist"),
         )
+    )
+
+
+def ns_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation pipeline in one plan: quality gate →
+    language gate → exact dedup keep-first, the standard LLM-corpus
+    filter chain.
+
+    All three stages read the same tokenization of one scan — no
+    joins, no recomputation; the only shuffle is the dedup window on
+    the md5 fingerprint (16-byte keys).  At 100 TB this is the
+    pattern: score-and-gate as a narrow map over the corpus, then one
+    fingerprint-keyed exchange for the keep-first."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    gated = d.select(
+        "doc_id",
+        _quality_score_col(toks).alias("quality_score"),
+        _langid_col(toks).alias("pred_lang"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fingerprint"
+        ),
+    ).filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality_score", "fingerprint")
     )
 
 
@@ -242,6 +288,7 @@ QUERIES = {
     "ns_text_levenshtein": ns_text_levenshtein,
     "ns_text_winnow": ns_text_winnow,
     "ns_text_tfidf_top": ns_text_tfidf_top,
+    "ns_corpus_curate": ns_corpus_curate,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -292,6 +339,29 @@ ORACLES = {
         "    SELECT doc_id, regexp_extract(text, '^\\s*(\\w+)', 1) AS w"
         "    FROM documents))"
         " WHERE prev_w IS NOT NULL"
+    ),
+    "ns_corpus_curate": (
+        "WITH s AS (SELECT doc_id,"
+        + ", ".join(
+            f" {_sql_stop_hits(words)} AS s_{lang}"
+            for lang, words in STOPWORDS.items()
+        )
+        + f", CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks,"
+        f" md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))"
+        "   AS fingerprint"
+        " FROM documents),"
+        " scored AS (SELECT doc_id,"
+        "   least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) * 0.5"
+        "     + (CAST(s_en AS DOUBLE) / n_toks) * 0.5 AS quality_score,"
+        "   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'"
+        "        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'"
+        "        WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,"
+        "   fingerprint FROM s)"
+        " SELECT doc_id, quality_score, fingerprint FROM ("
+        "   SELECT *, row_number() OVER (PARTITION BY fingerprint"
+        "     ORDER BY doc_id) AS rn"
+        "   FROM scored WHERE quality_score >= 0.5 AND pred_lang = 'en')"
+        " WHERE rn = 1"
     ),
     "ns_text_winnow": (
         "WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents"

@@ -90,6 +90,16 @@ def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
     assert "partial_min" in plan
 
 
+def test_corpus_curate_single_scan_single_shuffle(spark, sf_dir):
+    """The curation pipeline (quality gate → lang gate → dedup) must
+    stay one scan + one fingerprint-keyed exchange — no joins, no
+    recomputation of the tokenization."""
+    plan = simple_plan(T.ns_corpus_curate(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert count_shuffles(plan) == 1
+    assert "Join" not in plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     """The bucketed interval join must hash on (bucket, user) — a
     naive non-equi formulation degenerates to BroadcastNestedLoopJoin
