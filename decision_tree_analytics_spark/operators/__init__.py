@@ -42,6 +42,7 @@ BENCH_EXTRAS = [
     "sim_cosine_topk",
     "ns_text_quality",
     "ns_text_subword",
+    "ns_corpus_curate",
     "tpch_q5_local_supplier_volume",
     "tpch_q12_priority_shipping",
 ]

@@ -181,6 +181,10 @@ def ns_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # Spread the single-file input before the gate expressions (4
+    # stopword filters per doc are CPU-bound); at real scale the scan
+    # arrives already parallel and this is a cheap hash exchange.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = _tokens()
     gated = d.select(
         "doc_id",

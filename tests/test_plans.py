@@ -90,13 +90,14 @@ def test_exact_dedup_shuffles_hashes_not_text(spark, sf_dir):
     assert "partial_min" in plan
 
 
-def test_corpus_curate_single_scan_single_shuffle(spark, sf_dir):
+def test_corpus_curate_single_scan_two_shuffles(spark, sf_dir):
     """The curation pipeline (quality gate → lang gate → dedup) must
-    stay one scan + one fingerprint-keyed exchange — no joins, no
-    recomputation of the tokenization."""
+    stay one scan with no joins and no tokenization recomputation; its
+    two exchanges are the input spread (small-file parallelism) and
+    the fingerprint-keyed dedup window."""
     plan = simple_plan(T.ns_corpus_curate(spark, sf_dir))
     assert plan.count("FileScan") == 1
-    assert count_shuffles(plan) == 1
+    assert count_shuffles(plan) == 2
     assert "Join" not in plan
 
 
