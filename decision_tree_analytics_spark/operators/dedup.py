@@ -42,6 +42,14 @@ def _tokens() -> Column:
     return F.split(F.lower(F.trim(F.col("text"))), " ")
 
 
+def fingerprint_col(text_col: str = "text") -> Column:
+    """The engine's one exact-dedup fingerprint definition —
+    md5(lower(trim(text))).  Batch dedup, the incremental store, and
+    the streaming sink must all share it: two spellings that drift
+    would silently stop matching duplicates across paths."""
+    return F.md5(F.lower(F.trim(F.col(text_col))))
+
+
 def _word_shingles(toks: Column, n: int = 3) -> Column:
     """n-word shingles from a *materialized* token array column.
 
@@ -65,9 +73,8 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes so the shuffle never carries document bodies.  Keeps the
     lowest doc_id (reference keep-first contract)."""
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
     return (
-        d.select(fp.alias("fingerprint"), "doc_id")
+        d.select(fingerprint_col().alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").cast("long").alias("keep_doc_id"),
              F.count(F.lit(1)).alias("n_copies"))
@@ -257,10 +264,18 @@ def dedup_components(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> Da
 
 
 def connected_components(
-    docs: DataFrame, pairs: DataFrame, max_iter: int = 10
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 15
 ) -> DataFrame:
-    """Min-label propagation over an undirected pair graph; see
-    dedup_components.  ``docs``: (doc_id); ``pairs``: (doc_a, doc_b)."""
+    """Min-label propagation with pointer jumping over an undirected
+    pair graph; see dedup_components.  ``docs``: (doc_id); ``pairs``:
+    (doc_a, doc_b).
+
+    Each round combines a neighbor-min step with a pointer-jumping
+    step (label(x) ← label(label(x))), so convergence is
+    O(log diameter) rounds, not O(diameter) — a 2^15-long chain closes
+    within the default cap.  Exhausting the cap without reaching the
+    fixpoint raises instead of silently returning a partial labeling
+    (a wrong answer must never look like a converged one)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -268,29 +283,41 @@ def connected_components(
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).persist()
     prev_sum = labels.agg(F.sum("component_id")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.least(
+                F.col("component_id"), F.coalesce("nbr_label", "component_id")
+            ).alias("component_id"),
+        )
+        # Pointer jumping: follow the label's own label (always ≤).
+        parents = stepped.select(
+            F.col("doc_id").alias("p_doc"), F.col("component_id").alias("p_label")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_label", "component_id")
-                ).alias("component_id"),
-            )
+            stepped.join(parents, stepped.component_id == parents.p_doc)
+            .select("doc_id", F.col("p_label").alias("component_id"))
             .persist()
         )
         new_sum = new_labels.agg(F.sum("component_id")).first()[0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # fixpoint
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds"
+        )
     return tether_cache(labels, labels)
 
 
@@ -332,8 +359,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted store, the rest arrive as the new batch; return the new
     batch's first-seen uniques (anti-join over the fingerprint store)."""
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
-    with_fp = d.select(fp.alias("fingerprint"), "doc_id")
+    with_fp = d.select(fingerprint_col().alias("fingerprint"), "doc_id")
     store = with_fp.filter(F.col("doc_id") < DELTA_SPLIT).select(
         "fingerprint"
     ).distinct()

@@ -126,6 +126,10 @@ def _byte_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size == 0:
+                # No bytes → no stats row (the oracle's per-byte unnest
+                # likewise emits nothing for an empty payload).
+                continue
             rows.append(
                 (
                     int(doc_id),

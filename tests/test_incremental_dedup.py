@@ -91,3 +91,22 @@ def test_connected_components_chain_transitivity(spark):
         for r in connected_components(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path graph (diameter ≫ a naive per-round hop budget)
+    must still converge — pointer jumping makes rounds O(log n)."""
+    from decision_tree_analytics_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(docs, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

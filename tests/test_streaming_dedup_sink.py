@@ -91,3 +91,25 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert (
         landed.groupBy("fingerprint").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_merge_batch_replay_is_idempotent(spark, tmp_path):
+    """A crash between the partition write and the checkpoint commit
+    replays the batch: the merge must re-derive identical survivors,
+    NOT anti-join against its own previous output (which would erase
+    the partition)."""
+    from decision_tree_analytics_spark.streaming.dedup_sink import merge_batch
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(FILE1, SCHEMA)
+    merge_batch(b1, 0, store)
+    first = sorted(read_store(spark, store).drop("batch_id").collect())
+    assert len(first) == 2  # alpha beta (folded), gamma delta
+
+    merge_batch(b1, 0, store)  # replay of the SAME batch id
+    assert sorted(read_store(spark, store).drop("batch_id").collect()) == first
+
+    # A genuinely new batch still dedups against batch 0's commits.
+    b2 = spark.createDataFrame(FILE2, SCHEMA)
+    merge_batch(b2, 1, store)
+    assert read_store(spark, store).count() == 3  # + epsilon zeta only
