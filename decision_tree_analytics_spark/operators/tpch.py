@@ -195,15 +195,23 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     subplans that join is brittle (a last-bit difference yields zero
     rows).  Deterministic-and-scale-safe instead: top-1 with a suppkey
     tie-break — plans as TakeOrderedAndProject over the per-supplier
-    aggregate (per-partition heap, no global sort)."""
+    aggregate (per-partition heap, no global sort).  Totals are
+    rounded to 6 decimals *before* ranking so a sub-µ cross-engine
+    summation difference between two near-tied suppliers cannot flip
+    the winner (the tie-break then decides identically on both
+    sides)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        (
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("total_revenue")
     )
     top = rev.orderBy(
         F.col("total_revenue").desc(), F.col("l_suppkey").asc()
@@ -330,7 +338,319 @@ def tpch_q16_parts_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 full fidelity — the pricing summary report: one scan of
+    lineitem with the ship-date cutoff pushed down, eight aggregates
+    over (returnflag, linestatus).  q11_hash_agg (relational.py) is
+    the three-aggregate flagship variant; this is the complete
+    column set including the tax-compounded charge.
+
+    Scale: zero joins; partial aggregation map-side into at most a
+    handful of groups — the shuffle moves one row per partition per
+    group regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — minimum-cost supplier per part: the correlated-MIN
+    subquery joined back on equality with the minimum.  The synthetic
+    schema has no partsupp, so the per-(part, supplier) offer cost is
+    derived from lineitem history as the minimum observed unit price
+    — rounded to cents BEFORE both MINs, because the equality join
+    back on a float computed by two independent subplans is exactly
+    the cross-engine brittleness tpch_q15's docstring describes.
+    Division/floor/min are all order-independent, so the rounded cost
+    is bit-identical on both engines.
+
+    Scale: offers aggregate down to |parts|×|suppliers-per-part| before
+    any join; the region dim chain broadcasts; the min-cost table is
+    one row per part and co-partitions with offers on partkey."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + 0.5) / 100
+    offer = (
+        li.join(eu.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .select("l_partkey", "l_suppkey", unit.alias("unit_cost"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cost").alias("supply_cost"))
+    )
+    mc = offer.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    return (
+        offer.join(
+            mc,
+            (offer.l_partkey == mc.mc_partkey)
+            & (offer.supply_cost == mc.min_cost),
+        )
+        .join(p, offer.l_partkey == p.p_partkey)
+        .join(eu, offer.l_suppkey == eu.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", F.col("p_partkey").asc()
+        )
+        .limit(100)
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — national market share: of the ECONOMY-part revenue
+    sold to ASIA-region customers in 1995-1996, what fraction was
+    supplied by NATION_2, per order year.  Ratio of two conditional
+    sums in one pass; both nation lookups broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.select("n_nationkey", "n_regionkey")
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("mkt_share")
+        )
+    )
+
+
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — product-type profit by nation and year.  The
+    synthetic schema has no partsupp.ps_supplycost; the cost basis is
+    p_retailprice × quantity × 0.5 (a fixed margin proxy), which
+    preserves the shape: a 5-way join whose profit expression needs
+    columns from three tables, aggregated by (supplier nation, order
+    year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.5
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("sum_profit"))
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — important stock identification: per-part inventory
+    value restricted to one nation's suppliers, keeping parts whose
+    value exceeds a fraction of the global total (HAVING against a
+    scalar subquery).  Value proxy (no partsupp): Σ quantity ×
+    retailprice over supplied lines.  Both sides of the threshold
+    comparison round to cents first so a last-bit summation
+    difference cannot flip membership at the boundary.
+
+    Scale: the per-part aggregate is the only big shuffle; the global
+    total is a one-row broadcast cross join, not a driver collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    p = load_table(spark, sf_dir, "part")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    cents = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    per_part = (
+        li.join(sn, li.l_suppkey == sn.s_suppkey, "left_semi")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("raw_value"))
+    )
+    total = per_part.agg(
+        cents(F.sum("raw_value") * 0.0001).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(cents(F.col("raw_value")) > F.col("threshold"))
+        .select("p_partkey", cents(F.col("raw_value")).alias("part_value"))
+    )
+
+
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — potential part promotion: suppliers in one region
+    who dominated the 1996 shipments of a part family (no partsupp →
+    availqty is proxied by shipped quantity; a supplier qualifies on
+    any bolt-family part where it shipped > 30% of that part's 1996
+    total).  Nested aggregate subqueries feeding a semi-join chain.
+
+    Determinism: l_quantity is integer-valued, so the double sums are
+    exact and the 0.3× comparison is bit-identical on both engines —
+    no rounding needed."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li_bolt = li.join(p.select("p_partkey"), li.l_partkey == p.p_partkey, "left_semi")
+    sp = li_bolt.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    pt = li_bolt.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    qual = (
+        sp.join(pt, sp.l_partkey == pt.pt_partkey)
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — suppliers who kept orders waiting: on finalized
+    multi-supplier orders, lines that shipped late (>60 days after
+    the order date, the module's lateness proxy — no
+    commit/receipt dates) where the late supplier was the ONLY late
+    one.  EXISTS → equi-semi-join with a suppkey inequality residual;
+    NOT EXISTS → the matching anti-join; both probe hash tables built
+    on orderkey, never a cartesian.
+
+    Counts are per late line (the original's granularity)."""
+    o_f = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.join(
+        o_f.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).select("l_orderkey", "l_suppkey", "l_linenumber", "o_orderdate", "l_shipdate")
+    late = base.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    others = base.select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    ).distinct()
+    late_others = late.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    ).distinct()
+    l1 = late.join(
+        others,
+        (late.l_orderkey == others.a_orderkey)
+        & (late.l_suppkey != others.a_suppkey),
+        "left_semi",
+    ).join(
+        late_others,
+        (late.l_orderkey == late_others.b_orderkey)
+        & (late.l_suppkey != late_others.b_suppkey),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "MIDDLE EAST")
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(sn, l1.l_suppkey == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — dormant customers with above-average balances:
+    no orders since 2000, grouped by nation (the synthetic customer
+    has no phone, so nation plays the country-code role; every
+    customer has SOME order in this data, so the anti-join is against
+    recent orders to keep the query non-vacuous).  Scalar-subquery
+    average (rounded to cents on both sides before the comparison),
+    anti-join, two aggregates.
+
+    Scale: the average is a one-row broadcast; the anti-join's build
+    side is date-pruned at the orders scan and shuffles custkeys
+    only."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    avg_bal = cn.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.floor(F.avg("c_acctbal") * 100 + 0.5) / 100).alias("avg_bal")
+    )
+    return (
+        cn.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, cn.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_type_profit": tpch_q9_product_type_profit,
+    "tpch_q11_important_stock": tpch_q11_important_stock,
+    "tpch_q20_excess_suppliers": tpch_q20_excess_suppliers,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+    "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
@@ -350,6 +670,140 @@ QUERIES = {
 _REV = "SUM(l_extendedprice * (1 - l_discount))"
 
 ORACLES = {
+    "tpch_q1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus,"
+        " SUM(l_quantity) AS sum_qty,"
+        " SUM(l_extendedprice) AS sum_base_price,"
+        " SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,"
+        " SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,"
+        " AVG(l_quantity) AS avg_qty,"
+        " AVG(l_extendedprice) AS avg_price,"
+        " AVG(l_discount) AS avg_disc,"
+        " CAST(COUNT(*) AS BIGINT) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+        " GROUP BY l_returnflag, l_linestatus"
+    ),
+    "tpch_q2_min_cost_supplier": (
+        "WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name"
+        "   FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+        "   JOIN region ON n_regionkey = r_regionkey"
+        "   WHERE r_name = 'EUROPE'),"
+        " offer AS (SELECT l_partkey, l_suppkey,"
+        "   MIN(floor(l_extendedprice / l_quantity * 100 + 0.5) / 100)"
+        "     AS supply_cost"
+        "   FROM lineitem"
+        "   WHERE l_suppkey IN (SELECT s_suppkey FROM eu)"
+        "   GROUP BY l_partkey, l_suppkey),"
+        " mc AS (SELECT l_partkey AS mc_partkey, MIN(supply_cost) AS min_cost"
+        "   FROM offer GROUP BY 1)"
+        " SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost"
+        " FROM offer JOIN mc ON l_partkey = mc_partkey AND supply_cost = min_cost"
+        " JOIN part ON l_partkey = p_partkey"
+        " JOIN eu ON l_suppkey = s_suppkey"
+        " WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20"
+        " ORDER BY s_acctbal DESC, n_name, s_name, p_partkey ASC LIMIT 100"
+    ),
+    "tpch_q8_market_share": (
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+        " SUM(CASE WHEN n2.n_name = 'NATION_2'"
+        "     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+        "   / SUM(l_extendedprice * (1 - l_discount)) AS mkt_share"
+        " FROM customer"
+        " JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+        " JOIN region ON n1.n_regionkey = r_regionkey"
+        " JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON o_orderkey = l_orderkey"
+        " JOIN part ON l_partkey = p_partkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+        " WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'"
+        "   AND o_orderdate >= TIMESTAMP '1995-01-01'"
+        "   AND o_orderdate < TIMESTAMP '1997-01-01'"
+        " GROUP BY 1"
+    ),
+    "tpch_q9_product_type_profit": (
+        "SELECT n_name AS nation,"
+        " CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+        " SUM(l_extendedprice * (1 - l_discount)"
+        "     - p_retailprice * l_quantity * 0.5) AS sum_profit"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " WHERE p_name LIKE '%red%'"
+        " GROUP BY 1, 2"
+    ),
+    "tpch_q11_important_stock": (
+        "WITH per_part AS (SELECT p_partkey,"
+        "   SUM(l_quantity * p_retailprice) AS raw_value"
+        "   FROM lineitem JOIN part ON l_partkey = p_partkey"
+        "   WHERE l_suppkey IN (SELECT s_suppkey FROM supplier"
+        "     JOIN nation ON s_nationkey = n_nationkey"
+        "     WHERE n_name = 'NATION_3')"
+        "   GROUP BY p_partkey)"
+        " SELECT p_partkey,"
+        "   floor(raw_value * 100 + 0.5) / 100 AS part_value"
+        " FROM per_part"
+        " WHERE floor(raw_value * 100 + 0.5) / 100 >"
+        "   (SELECT floor(SUM(raw_value) * 0.0001 * 100 + 0.5) / 100"
+        "    FROM per_part)"
+    ),
+    "tpch_q20_excess_suppliers": (
+        "WITH li_bolt AS (SELECT l_partkey, l_suppkey, l_quantity"
+        "   FROM lineitem"
+        "   WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        "     AND l_shipdate < TIMESTAMP '1997-01-01'"
+        "     AND l_partkey IN (SELECT p_partkey FROM part"
+        "       WHERE p_name LIKE '%bolt%')),"
+        " sp AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty"
+        "   FROM li_bolt GROUP BY 1, 2),"
+        " pt AS (SELECT l_partkey AS pt_partkey, SUM(l_quantity) AS part_qty"
+        "   FROM li_bolt GROUP BY 1)"
+        " SELECT s_suppkey, s_name FROM supplier"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = 'AFRICA'"
+        "   AND s_suppkey IN (SELECT l_suppkey FROM sp"
+        "     JOIN pt ON l_partkey = pt_partkey"
+        "     WHERE supp_qty > 0.3 * part_qty)"
+    ),
+    "tpch_q21_waiting_suppliers": (
+        "WITH base AS (SELECT l_orderkey, l_suppkey, l_linenumber,"
+        "   o_orderdate, l_shipdate"
+        "   FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        "   WHERE o_orderstatus = 'F'),"
+        " late AS (SELECT * FROM base"
+        "   WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)"
+        " SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait"
+        " FROM late l1"
+        " JOIN supplier ON l1.l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = 'MIDDLE EAST'"
+        "   AND EXISTS (SELECT 1 FROM base l2"
+        "     WHERE l2.l_orderkey = l1.l_orderkey"
+        "       AND l2.l_suppkey <> l1.l_suppkey)"
+        "   AND NOT EXISTS (SELECT 1 FROM late l3"
+        "     WHERE l3.l_orderkey = l1.l_orderkey"
+        "       AND l3.l_suppkey <> l1.l_suppkey)"
+        " GROUP BY s_name"
+        " ORDER BY numwait DESC, s_name ASC LIMIT 100"
+    ),
+    "tpch_q22_global_sales_opportunity": (
+        "WITH cn AS (SELECT c_custkey, c_acctbal, n_name"
+        "   FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        "   JOIN region ON n_regionkey = r_regionkey"
+        "   WHERE r_name = 'EUROPE'),"
+        " ab AS (SELECT floor(AVG(c_acctbal) * 100 + 0.5) / 100 AS avg_bal"
+        "   FROM cn WHERE c_acctbal > 0.0)"
+        " SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,"
+        "   SUM(c_acctbal) AS totacctbal"
+        " FROM cn, ab"
+        " WHERE c_acctbal > avg_bal"
+        "   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+        "     AND o_orderdate >= TIMESTAMP '2000-01-01')"
+        " GROUP BY n_name"
+    ),
     "tpch_q3_shipping_priority": (
         "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,"
         f" {_REV} AS revenue"
@@ -416,7 +870,8 @@ ORACLES = {
     ),
     "tpch_q15_top_supplier": (
         "WITH rev AS (SELECT l_suppkey,"
-        "   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue"
+        "   floor(SUM(l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) / 1e6"
+        "     AS total_revenue"
         "   FROM lineitem"
         "   WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
         "     AND l_shipdate < TIMESTAMP '1996-04-01'"

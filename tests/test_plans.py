@@ -171,3 +171,45 @@ def test_tpch_q16_no_explicit_broadcast_of_part(spark, sf_dir):
     df = TP.tpch_q16_parts_promotion(spark, sf_dir)
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_tpch_q1_is_scan_plus_partial_agg(spark, sf_dir):
+    # Full pricing summary: the date cutoff reaches the scan, the
+    # eight aggregates combine map-side, and there is no join.
+    from decision_tree_analytics_spark.operators import tpch as TP
+    from decision_tree_analytics_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(TP.tpch_q1_pricing_summary(spark, sf_dir))
+    assert "l_shipdate" in pushed_filters(plan)
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q2_top100_uses_heap_not_global_sort(spark, sf_dir):
+    from decision_tree_analytics_spark.operators import tpch as TP
+
+    assert uses_top_k_sort(simple_plan(TP.tpch_q2_min_cost_supplier(spark, sf_dir)))
+
+
+def test_tpch_q21_exists_chain_is_hash_joins(spark, sf_dir):
+    # EXISTS / NOT EXISTS with the suppkey inequality must plan as
+    # hash semi/anti joins keyed on orderkey (inequality as residual),
+    # never a nested-loop or cartesian probe.
+    from decision_tree_analytics_spark.operators import tpch as TP
+
+    plan = simple_plan(TP.tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q11_threshold_is_broadcast_not_collect(spark, sf_dir):
+    # The scalar threshold joins in as a one-row broadcast (driver
+    # never collects); the nation restriction is a semi-join.
+    from decision_tree_analytics_spark.operators import tpch as TP
+
+    plan = simple_plan(TP.tpch_q11_important_stock(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
