@@ -638,6 +638,67 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grouped top-k salt width.  Stage-1 parallelism is |groups| × this,
+# so the value trades shuffle fan-out against stage-2 input size
+# (≤ k × GROUPED_TOPK_SALTS rows per group reach the final window).
+GROUPED_TOPK_SALTS = 64
+
+
+def grouped_topk_window(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-event-type top-k by value — the textbook single-window
+    strategy.  One exchange hash-partitioned on event_type: correct,
+    but parallelism is capped at the number of groups, so with ~10
+    event types a 1000-executor cluster leaves 99% of its cores idle
+    while ten tasks sort the entire table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rel_grouped_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-event-type top-k by value — the salted two-phase strategy
+    the engine actually ships.
+
+    Phase 1 partitions by (event_type, event_id % SALTS): parallelism
+    is |groups|×SALTS and each task keeps only its local top-k, so the
+    phase-2 window reads at most k×SALTS rows per group instead of the
+    whole table.  Exact same answer as the single-window strategy
+    (row_number is a monotone filter: every global top-k row is a
+    local top-k row in its salt) — tests/test_grouped_topk.py asserts
+    equality against grouped_topk_window, and the oracle checks the
+    result against plain SQL row_number.
+
+    This is the grouped analogue of q19_topk's TakeOrderedAndProject
+    (per-partition heap, then merge) which Spark only provides for
+    global top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("event_type", "salt").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id").asc()
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.pmod("event_id", F.lit(GROUPED_TOPK_SALTS)).alias("salt"),
+        )
+        .withColumn("local_rank", F.row_number().over(w1))
+        .filter(F.col("local_rank") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("event_type", "event_id", "value", "rank")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_project_exclude": q02_project_exclude,
@@ -680,6 +741,7 @@ QUERIES = {
     "rel_map_fns": rel_map_fns,
     "rel_grouping_sets": rel_grouping_sets,
     "rel_range_join": rel_range_join,
+    "rel_grouped_topk": rel_grouped_topk,
 }
 
 ORACLES = {
@@ -762,6 +824,13 @@ ORACLES = {
         " CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid"
         " FROM orders"
         " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
+    "rel_grouped_topk": (
+        "SELECT event_type, event_id, value, rank FROM ("
+        "  SELECT event_type, event_id, value,"
+        "    row_number() OVER (PARTITION BY event_type"
+        "      ORDER BY value DESC NULLS LAST, event_id ASC) AS rank"
+        "  FROM events) WHERE rank <= 3"
     ),
     "rel_range_join": (
         "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us"

@@ -313,6 +313,107 @@ def sim_sq_refined_topk(
     )
 
 
+PQ_SUB = 8  # dims per subspace (64-dim vectors → 8 subspaces)
+PQ_ANCHOR_STEP = 7  # vec_id % STEP == 0 picks the codebook sample
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Product-quantization ANN with a content-derived codebook.
+
+    Classic PQ splits each vector into PQ_SUB-dim subvectors and
+    encodes each against a per-subspace codebook; the approximate
+    score is the cosine against the reconstruction (concatenated
+    codewords) — 8 small ints per vector instead of 64 floats, the
+    memory tier below even int8 SQ (sim_sq_topk).
+
+    Instead of engine-seeded KMeans codebooks (which force the
+    rows-only check sim_ivf_topk lives with), the codebook is a
+    deterministic corpus sample — every vec_id % PQ_ANCHOR_STEP == 0
+    vector contributes its subvectors.  Sampled codebooks are the
+    standard cheap KMeans init; determinism buys a full DuckDB oracle:
+    subspace distances are rounded to 1e-6 before the argmin (with an
+    anchor-id tie-break) so assignment is identical cross-engine.
+
+    Scale: encoding is ZERO-shuffle — the codebook folds to one row,
+    broadcasts, and the per-subspace argmin runs as array expressions
+    inside the corpus scan's project (array_sort over |codebook|
+    structs per subspace).  At 100 TB the corpus is encoded in a
+    map-only pass; only the top-k window shuffles, keyed by probe."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    anchors = emb.filter(F.col("vec_id") % PQ_ANCHOR_STEP == 0).select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av")
+    )
+    book = anchors.agg(
+        F.array_sort(F.collect_list(F.struct("aid", "av"))).alias("book")
+    )
+    n_sub = 64 // PQ_SUB
+
+    def sub_l2(av: Column, s: int) -> Column:
+        # NB: lambda parameter names become Spark's named lambda
+        # variables; the inner ones must not reuse the enclosing
+        # transform's name (`a`) or the analyzer binds the outer
+        # slice to the inner variable and every distance collapses
+        # to zero.
+        return _round6(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("v"), s * PQ_SUB + 1, PQ_SUB),
+                    F.slice(av, s * PQ_SUB + 1, PQ_SUB),
+                    lambda p, q: (p - q) * (p - q),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    # Per subspace: min (rounded distance, aid) struct; ties on the
+    # rounded distance resolve by aid identically on both engines.
+    # (A unary closure, NOT `lambda a, s=s` — a two-parameter lambda
+    # is the (element, index) transform variant and Spark would pass
+    # the array index as `s`.)
+    def best_for(s: int):
+        def entry(a: Column) -> Column:
+            return F.struct(
+                sub_l2(a["av"], s).alias("d"),
+                a["aid"].alias("aid"),
+                F.slice(a["av"], s * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+
+        return entry
+
+    best = [
+        F.element_at(F.array_sort(F.transform(F.col("book"), best_for(s))), 1)
+        for s in range(n_sub)
+    ]
+    recon = emb.crossJoin(F.broadcast(book)).select(
+        "vec_id", F.flatten(F.array(*[b["sub"] for b in best])).alias("rv")
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = recon.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _round6(
+            _dot(F.col("pv"), F.col("rv")) / (_norm(F.col("pv")) * _norm(F.col("rv")))
+        ).alias("approx_cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "approx_cos", "rank")
+    )
+
+
 def sim_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -392,6 +493,7 @@ QUERIES = {
     "sim_ann_topk": sim_ann_topk,
     "sim_sq_topk": sim_sq_topk,
     "sim_sq_refined_topk": sim_sq_refined_topk,
+    "sim_pq_topk": sim_pq_topk,
     "sim_ivf_topk": sim_ivf_topk,
 }
 
@@ -488,6 +590,38 @@ ORACLES = {
         " SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank"
         " FROM (SELECT *, row_number() OVER (PARTITION BY probe_id"
         "   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM xscored)"
+        " WHERE rank <= 5"
+    ),
+    "sim_pq_topk": (
+        f"WITH e AS ({_SQL_EXPLODED}),"
+        " sub AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,"
+        "   CAST((i - 1) % 8 AS INT) AS j, x FROM e),"
+        " anch AS (SELECT vec_id AS aid, s, j, x AS ax FROM sub"
+        "   WHERE vec_id % 7 = 0),"
+        " dist AS (SELECT sub.vec_id, sub.s, aid,"
+        "   floor(SUM((x - ax) * (x - ax)) * 1e6 + 0.5) / 1e6 AS d"
+        "   FROM sub JOIN anch ON sub.s = anch.s AND sub.j = anch.j"
+        "   GROUP BY 1, 2, 3),"
+        " code AS (SELECT vec_id, s, aid FROM ("
+        "   SELECT *, row_number() OVER (PARTITION BY vec_id, s"
+        "     ORDER BY d ASC, aid ASC) AS rn FROM dist) WHERE rn = 1),"
+        " recon AS (SELECT c.vec_id, a.s * 8 + a.j + 1 AS i, a.ax AS rx"
+        "   FROM code c JOIN anch a ON c.aid = a.aid AND c.s = a.s),"
+        " rnorms AS (SELECT vec_id, sqrt(sum(rx * rx)) AS nrm"
+        "   FROM recon GROUP BY vec_id),"
+        f" pnorms AS ({_SQL_NORMS}),"
+        " dots AS (SELECT p.vec_id AS probe_id, r.vec_id AS neighbor_id,"
+        "   sum(p.x * r.rx) AS dot"
+        "   FROM e p JOIN recon r ON p.i = r.i"
+        "   WHERE p.vec_id < 10 AND r.vec_id <> p.vec_id GROUP BY 1, 2),"
+        " scored AS (SELECT probe_id, neighbor_id,"
+        "   floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS approx_cos"
+        "   FROM dots JOIN pnorms np ON probe_id = np.vec_id"
+        "   JOIN rnorms nc ON neighbor_id = nc.vec_id)"
+        " SELECT probe_id, neighbor_id, approx_cos,"
+        "   CAST(rank AS BIGINT) AS rank"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY probe_id"
+        "   ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM scored)"
         " WHERE rank <= 5"
     ),
     "sim_ann_topk": (

@@ -79,3 +79,40 @@ def test_sq_refined_equals_exact_topk(spark, sf_dir):
         for r in sim_sq_refined_topk(spark, sf_dir).collect()
     }
     assert refined == exact
+
+
+def test_pq_recall_against_brute_force(spark, sf_dir):
+    """PQ with a 17-anchor sampled codebook is the coarsest quantizer
+    in the family (8 subspaces × |codebook| reconstructions), so the
+    bound sits between IVF's and SQ's: most of the exact top-5 should
+    survive the reconstruction."""
+    from decision_tree_analytics_spark.operators.similarity import sim_pq_topk
+
+    exact = _neighbor_sets(sim_cosine_topk(spark, sf_dir))
+    approx = _neighbor_sets(sim_pq_topk(spark, sf_dir))
+    assert set(exact) == set(approx)
+    recalls = [len(approx[p] & want) / len(want) for p, want in exact.items()]
+    mean_recall = sum(recalls) / len(recalls)
+    # Near-isotropic synthetic embeddings are PQ's worst case (top-5
+    # margins are tiny, so reconstruction error reorders aggressively);
+    # measured 0.28 at the 500-vector SFs, higher once the codebook
+    # densifies (≥0.3 at sf0.1).  Chance level is 5/|corpus| = 1%.
+    assert mean_recall >= 0.25, f"mean recall@5 = {mean_recall:.2f}"
+
+
+def test_pq_encoding_is_zero_shuffle(spark, sf_dir):
+    """The corpus must be encoded in a map-only pass: the only
+    exchanges in the whole query are the codebook fold (one row) and
+    the final per-probe window — the corpus itself never shuffles on
+    a PQ key."""
+    from decision_tree_analytics_spark.operators.similarity import sim_pq_topk
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(sim_pq_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # corpus-side: no hashpartitioning on vec_id (encoding is narrow);
+    # the sole hashpartitioning exchange is the probe window.
+    import re
+
+    hashes = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+    assert all(h.strip().startswith("probe_id") for h in hashes), hashes
