@@ -638,6 +638,100 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every purchase, the user's most recent view at
+    or before it (last-touch attribution, the time-series join Spark
+    has no primitive for).
+
+    NOT implemented as a join at all: both sides union into one
+    stream, and a running `last(view, ignorenulls)` over a
+    (user-partitioned, time-ordered) window carries the newest view
+    forward into each purchase row.  One hashpartitioning exchange on
+    user_id + one sort — the textbook distributed as-of merge; a
+    join-based formulation (equi on user + max-ts subquery) would
+    shuffle twice and re-scan.  Same-timestamp ties order the view
+    first (tag 0 < 1) so the semantics are `view.ts <= purchase.ts`,
+    with event_id as the final deterministic tie-break.  Purchases
+    with no prior view keep NULL match columns (left as-of).
+
+    Scale: state per task is one struct per user — nothing accumulates;
+    skew is bounded by the busiest single user."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_left"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "asof",
+        F.last(
+            F.when(
+                F.col("is_left") == 0,
+                F.struct(
+                    F.col("event_id").alias("vid"), F.col("us").alias("vus")
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("is_left") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.col("asof.vid").alias("view_event_id"),
+        F.col("asof.vus").alias("view_us"),
+    )
+
+
+# Stratified sampling modulus/keep: keep event_id-hash % MOD < KEEP,
+# i.e. a deterministic ~20% per stratum.
+SAMPLE_MOD = 10
+SAMPLE_KEEP = 2
+
+
+def rel_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — ~20% of events per
+    event_type, selected by a content-derived hash of the row id
+    (md5 → first 8 hex digits → % 10 < 2), not an engine RNG.
+
+    The training-data-pipeline sampling primitive: reproducible across
+    engines/runs/retries (a resampled pipeline stage yields the same
+    subset), map-only (the predicate evaluates inside the scan's
+    project — zero shuffle), and per-stratum rates are just a CASE
+    over the modulus.  The count-by-stratum output makes rate drift
+    oracle-visible; sampled ids are checked by the membership test in
+    tests/test_stratified_sample.py."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % SAMPLE_MOD
+    kept = ev.filter(bucket < SAMPLE_KEEP)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+    )
+
+
+def stratified_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level sample behind rel_stratified_sample (the contract
+    query aggregates per stratum so the oracle pins the rates; this is
+    what a pipeline would actually consume)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % SAMPLE_MOD
+    return ev.filter(bucket < SAMPLE_KEEP)
+
+
 # Grouped top-k salt width.  Stage-1 parallelism is |groups| × this,
 # so the value trades shuffle fan-out against stage-2 input size
 # (≤ k × GROUPED_TOPK_SALTS rows per group reach the final window).
@@ -742,6 +836,8 @@ QUERIES = {
     "rel_grouping_sets": rel_grouping_sets,
     "rel_range_join": rel_range_join,
     "rel_grouped_topk": rel_grouped_topk,
+    "rel_asof_join": rel_asof_join,
+    "rel_stratified_sample": rel_stratified_sample,
 }
 
 ORACLES = {
@@ -824,6 +920,31 @@ ORACLES = {
         " CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid"
         " FROM orders"
         " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
+    "rel_asof_join": (
+        "WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us,"
+        "   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left"
+        "   FROM events WHERE event_type IN ('view', 'purchase')),"
+        " m AS (SELECT *,"
+        "   last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)"
+        "     OVER w AS view_event_id,"
+        "   last_value(CASE WHEN is_left = 0 THEN us END IGNORE NULLS)"
+        "     OVER w AS view_us"
+        "   FROM t WINDOW w AS (PARTITION BY user_id"
+        "     ORDER BY us, is_left, event_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+        " SELECT event_id AS purchase_event_id, user_id,"
+        "   us AS purchase_us, view_event_id, view_us"
+        " FROM m WHERE is_left = 1"
+    ),
+    "rel_stratified_sample": (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,"
+        " CAST(MIN(event_id) AS BIGINT) AS min_event_id,"
+        " CAST(MAX(event_id) AS BIGINT) AS max_event_id"
+        " FROM events"
+        " WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT"
+        f"   % {SAMPLE_MOD} < {SAMPLE_KEEP}"
+        " GROUP BY event_type"
     ),
     "rel_grouped_topk": (
         "SELECT event_type, event_id, value, rank FROM ("
