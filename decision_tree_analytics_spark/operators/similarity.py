@@ -315,6 +315,7 @@ def sim_sq_refined_topk(
 
 PQ_SUB = 8  # dims per subspace (64-dim vectors → 8 subspaces)
 PQ_ANCHOR_STEP = 7  # vec_id % STEP == 0 picks the codebook sample
+PQ_BOOK_SIZE = 64  # fixed codebook size — independent of corpus size
 
 
 def sim_pq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
@@ -328,69 +329,63 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 
     Instead of engine-seeded KMeans codebooks (which force the
     rows-only check sim_ivf_topk lives with), the codebook is a
-    deterministic corpus sample — every vec_id % PQ_ANCHOR_STEP == 0
-    vector contributes its subvectors.  Sampled codebooks are the
-    standard cheap KMeans init; determinism buys a full DuckDB oracle:
-    subspace distances are rounded to 1e-6 before the argmin (with an
-    anchor-id tie-break) so assignment is identical cross-engine.
+    deterministic corpus sample — the first PQ_BOOK_SIZE vectors with
+    vec_id % PQ_ANCHOR_STEP == 0.  Sampled codebooks are the standard
+    cheap KMeans init; the FIXED size keeps encode cost O(N·m·|C|)
+    with |C| constant as the corpus grows (a codebook that scaled with
+    N would make encoding quadratic-ish and useless at 100 TB).
+    Determinism buys a full DuckDB oracle: subspace distances round to
+    1e-6 before the argmin (anchor-id tie-break) so assignment is
+    identical cross-engine.
 
-    Scale: encoding is ZERO-shuffle — the codebook folds to one row,
-    broadcasts, and the per-subspace argmin runs as array expressions
-    inside the corpus scan's project (array_sort over |codebook|
-    structs per subspace).  At 100 TB the corpus is encoded in a
-    map-only pass; only the top-k window shuffles, keyed by probe."""
+    Scale: encoding is a broadcast join plus ONE shuffle of tiny rows.
+    The corpus explodes into (vec_id, subspace, 8-dim subvector) rows,
+    broadcast-joins the (subspace, anchor) table, and the subspace
+    distance evaluates as UNROLLED arithmetic over the 8 sub-dims —
+    plain whole-stage-codegen expressions, no higher-order functions
+    (a lambda-based fold here was measured ~2× slower: each of the
+    N·m·|C| pairs pays interpreted-eval overhead).  The argmin is a
+    conditional `min(struct(d, aid, codeword))` per subspace inside a
+    single groupBy(vec_id) — map-side partial aggregation collapses
+    the |C| candidates per (vector, subspace) before the exchange, so
+    the one shuffle carries m structs per vector, not m·|C|.  At
+    100 TB: no vector ever shuffles at full width; shuffle volume is
+    ~m·(8 doubles) per corpus row."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("v")
     )
-    anchors = emb.filter(F.col("vec_id") % PQ_ANCHOR_STEP == 0).select(
-        F.col("vec_id").alias("aid"), F.col("v").alias("av")
-    )
-    book = anchors.agg(
-        F.array_sort(F.collect_list(F.struct("aid", "av"))).alias("book")
-    )
     n_sub = 64 // PQ_SUB
-
-    def sub_l2(av: Column, s: int) -> Column:
-        # NB: lambda parameter names become Spark's named lambda
-        # variables; the inner ones must not reuse the enclosing
-        # transform's name (`a`) or the analyzer binds the outer
-        # slice to the inner variable and every distance collapses
-        # to zero.
-        return _round6(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("v"), s * PQ_SUB + 1, PQ_SUB),
-                    F.slice(av, s * PQ_SUB + 1, PQ_SUB),
-                    lambda p, q: (p - q) * (p - q),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
-    # Per subspace: min (rounded distance, aid) struct; ties on the
-    # rounded distance resolve by aid identically on both engines.
-    # (A unary closure, NOT `lambda a, s=s` — a two-parameter lambda
-    # is the (element, index) transform variant and Spark would pass
-    # the array index as `s`.)
-    def best_for(s: int):
-        def entry(a: Column) -> Column:
-            return F.struct(
-                sub_l2(a["av"], s).alias("d"),
-                a["aid"].alias("aid"),
-                F.slice(a["av"], s * PQ_SUB + 1, PQ_SUB).alias("sub"),
-            )
-
-        return entry
-
-    best = [
-        F.element_at(F.array_sort(F.transform(F.col("book"), best_for(s))), 1)
-        for s in range(n_sub)
+    to_subs = F.posexplode(
+        F.array(*[F.slice("v", s * PQ_SUB + 1, PQ_SUB) for s in range(n_sub)])
+    )
+    subs = emb.select("vec_id", to_subs.alias("s", "sub"))
+    anch = (
+        emb.filter(F.col("vec_id") % PQ_ANCHOR_STEP == 0)
+        .filter(F.col("vec_id") < PQ_ANCHOR_STEP * PQ_BOOK_SIZE)
+        .select(F.col("vec_id").alias("aid"), to_subs.alias("s", "asub"))
+    )
+    # Unrolled L2 over the PQ_SUB dims: the same left-fold association
+    # as a sequential sum, but pure codegen arithmetic.  Rounded to
+    # 1e-6 before the argmin (anchor-id tie-break) for the cross-engine
+    # assignment guarantee.
+    terms = [
+        (F.col("sub")[j] - F.col("asub")[j]) * (F.col("sub")[j] - F.col("asub")[j])
+        for j in range(PQ_SUB)
     ]
-    recon = emb.crossJoin(F.broadcast(book)).select(
-        "vec_id", F.flatten(F.array(*[b["sub"] for b in best])).alias("rv")
+    d = _round6(sum(terms[1:], terms[0]))
+    pairs = subs.join(F.broadcast(anch), "s").select(
+        "vec_id",
+        "s",
+        F.struct(d.alias("d"), F.col("aid").alias("aid"), F.col("asub").alias("asub")).alias("e"),
+    )
+    recon = pairs.groupBy("vec_id").agg(
+        F.flatten(
+            F.array(
+                *[F.min(F.when(F.col("s") == s, F.col("e")))["asub"] for s in range(n_sub)]
+            )
+        ).alias("rv")
     )
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
@@ -597,7 +592,7 @@ ORACLES = {
         " sub AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,"
         "   CAST((i - 1) % 8 AS INT) AS j, x FROM e),"
         " anch AS (SELECT vec_id AS aid, s, j, x AS ax FROM sub"
-        "   WHERE vec_id % 7 = 0),"
+        "   WHERE vec_id % 7 = 0 AND vec_id < 448),"
         " dist AS (SELECT sub.vec_id, sub.s, aid,"
         "   floor(SUM((x - ax) * (x - ax)) * 1e6 + 0.5) / 1e6 AS d"
         "   FROM sub JOIN anch ON sub.s = anch.s AND sub.j = anch.j"

@@ -100,19 +100,27 @@ def test_pq_recall_against_brute_force(spark, sf_dir):
     assert mean_recall >= 0.25, f"mean recall@5 = {mean_recall:.2f}"
 
 
-def test_pq_encoding_is_zero_shuffle(spark, sf_dir):
-    """The corpus must be encoded in a map-only pass: the only
-    exchanges in the whole query are the codebook fold (one row) and
-    the final per-probe window — the corpus itself never shuffles on
-    a PQ key."""
+def test_pq_encoding_plan_shape(spark, sf_dir):
+    """Encoding = broadcast join + one narrow shuffle: the anchor
+    table joins as a broadcast (never a shuffled join), no vector
+    shuffles at full 64-dim width (the only corpus-side exchange is
+    the groupBy(vec_id) whose partial aggregation has already reduced
+    each (vector, subspace) to one struct), the distance arithmetic
+    stays inside whole-stage codegen, and nothing degenerates to a
+    cartesian probe."""
+    import re
+
     from decision_tree_analytics_spark.operators.similarity import sim_pq_topk
-    from decision_tree_analytics_spark.plans.inspect import simple_plan
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_broadcast_join,
+        has_whole_stage_codegen,
+        simple_plan,
+    )
 
     plan = simple_plan(sim_pq_topk(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # corpus-side: no hashpartitioning on vec_id (encoding is narrow);
-    # the sole hashpartitioning exchange is the probe window.
-    import re
-
-    hashes = re.findall(r"hashpartitioning\(([^,)]+)", plan)
-    assert all(h.strip().startswith("probe_id") for h in hashes), hashes
+    assert has_broadcast_join(plan)
+    assert has_whole_stage_codegen(plan)
+    assert "partial_min" in plan  # argmin combines map-side
+    hashes = {h.strip() for h in re.findall(r"hashpartitioning\(([^,)#]+)", plan)}
+    assert hashes <= {"vec_id", "probe_id"}, hashes
