@@ -11,11 +11,13 @@ Each operator module exports:
 """
 
 from decision_tree_analytics_spark.operators import (  # noqa: F401
+    cdc,
     dedup,
     ml_inventory,
     multimodal,
     relational,
     similarity,
+    skew,
     streaming_inventory,
     text,
     tpch,
@@ -32,6 +34,8 @@ ALL_MODULES = (
     streaming_inventory,
     udf_inventory,
     tpch,
+    skew,
+    cdc,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.
@@ -45,6 +49,11 @@ BENCH_EXTRAS = [
     "ns_corpus_curate",
     "tpch_q5_local_supplier_volume",
     "tpch_q12_priority_shipping",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_suppliers",
+    "rel_grouped_topk",
+    "rel_asof_join",
+    "sim_pq_topk",
 ]
 
 

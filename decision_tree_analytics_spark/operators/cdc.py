@@ -1,0 +1,93 @@
+"""CDC merge — MERGE INTO (upsert + delete) semantics as one
+full-outer join.
+
+The batch twin of the streaming foreachBatch upsert sink
+(streaming/dedup_sink.py): a base snapshot merges a change batch
+carrying an op column (U = upsert, D = delete):
+
+* key in both, op U  → the change's values win (update);
+* key only in changes, op U → new row (insert);
+* op D → the key is dropped whether or not the base has it;
+* key only in base → unchanged.
+
+One full-outer join on the key + a post-join CASE — at 100 TB both
+sides shuffle once on the merge key (zero-shuffle if the base is
+bucket-stored on it, sources/bucketing.py), deletes are a filter, and
+the result is written write-audit-publish style next to the old
+snapshot (sources/maintenance.py compaction pattern).  This is the
+Delta/Iceberg MERGE core without a table format: the join IS the
+merge.
+
+The contract fixture derives both sides from ``documents`` (base =
+doc_id < 400; changes = 300–499 with uppercased text, every 10th id a
+delete), so the query exercises all four merge outcomes at every SF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+BASE_MAX = 400
+CHANGE_MIN, CHANGE_MAX = 300, 500
+
+
+def merge_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Generic MERGE: ``base(key, ...)`` + ``changes(key, ..., op)``
+    with op ∈ {U, D}.  Column sets must match apart from ``op``;
+    change columns win on key collision."""
+    value_cols = [c for c in base.columns if c != key]
+    c = changes.select(
+        F.col(key).alias("__ck__"),
+        "op",
+        *[F.col(v).alias(f"__c_{v}__") for v in value_cols],
+    )
+    joined = base.join(c, base[key] == c["__ck__"], "full_outer")
+    survived = joined.filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return survived.select(
+        F.coalesce(base[key], F.col("__ck__")).alias(key),
+        *[
+            F.coalesce(F.col(f"__c_{v}__"), base[v]).alias(v)
+            for v in value_cols
+        ],
+        F.when(F.col("op").isNull(), F.lit("base"))
+        .otherwise(F.lit("applied"))
+        .alias("source"),
+    )
+
+
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: merge the derived change batch into the derived
+    base snapshot; returns the merged table with row provenance."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < BASE_MAX).select("doc_id", "text")
+    changes = d.filter(
+        (F.col("doc_id") >= CHANGE_MIN) & (F.col("doc_id") < CHANGE_MAX)
+    ).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        F.when(F.col("doc_id") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    merged = merge_changes(base, changes, "doc_id")
+    return merged.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+
+
+QUERIES = {"cdc_merge_upsert": cdc_merge_upsert}
+
+ORACLES = {
+    "cdc_merge_upsert": (
+        f"WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < {BASE_MAX}),"
+        " changes AS (SELECT doc_id AS c_id, upper(text) AS c_text,"
+        "   CASE WHEN doc_id % 10 = 0 THEN 'D' ELSE 'U' END AS op"
+        f"   FROM documents WHERE doc_id >= {CHANGE_MIN} AND doc_id < {CHANGE_MAX})"
+        " SELECT CAST(COALESCE(doc_id, c_id) AS BIGINT) AS doc_id,"
+        "   COALESCE(c_text, text) AS text,"
+        "   CASE WHEN op IS NULL THEN 'base' ELSE 'applied' END AS source"
+        " FROM base FULL JOIN changes ON doc_id = c_id"
+        " WHERE op IS NULL OR op <> 'D'"
+    ),
+}

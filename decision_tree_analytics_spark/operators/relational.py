@@ -638,6 +638,53 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOUR_US = 3_600_000_000
+DAY_US = 24 * HOUR_US
+# Retention cutoff: epoch-µs of 2000-01-01 — the rollup ignores
+# anything older (the hypertable retention-window pattern; the filter
+# is a pushable integer predicate on the scan).
+ROLLUP_CUTOFF_US = 946_684_800_000_000
+
+
+def rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: event counts and
+    value sums at (day, hour, type), (day, type), (day) and grand
+    total granularities in ONE grouping-sets pass, over a retention
+    window.
+
+    The multi-granularity rollup a time-series store materializes
+    incrementally, expressed as a single aggregation: Spark computes
+    all four granularities with one shuffle (partial aggregation
+    map-side for every set), instead of four passes over the fact.
+    Buckets are integer epoch-µs floors (`us div bucket * bucket`) —
+    the cross-engine time-key contract; grouping_id disambiguates
+    NULL-bucket rows from real NULLs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000").alias("us"), "event_type", "value"
+    )
+    b = ev.filter(F.col("us") >= ROLLUP_CUTOFF_US).select(
+        F.expr(f"us div {DAY_US} * {DAY_US}").alias("day_us"),
+        F.expr(f"us div {HOUR_US} * {HOUR_US}").alias("hour_us"),
+        "event_type",
+        "value",
+    )
+    return b.groupingSets(
+        [
+            ["day_us", "hour_us", "event_type"],
+            ["day_us", "event_type"],
+            ["day_us"],
+            [],
+        ],
+        "day_us",
+        "hour_us",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
 def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — for every purchase, the user's most recent view at
     or before it (last-touch attribution, the time-series join Spark
@@ -838,6 +885,7 @@ QUERIES = {
     "rel_grouped_topk": rel_grouped_topk,
     "rel_asof_join": rel_asof_join,
     "rel_stratified_sample": rel_stratified_sample,
+    "rel_time_rollup": rel_time_rollup,
 }
 
 ORACLES = {
@@ -920,6 +968,17 @@ ORACLES = {
         " CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid"
         " FROM orders"
         " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
+    "rel_time_rollup": (
+        f"WITH b AS (SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us,"
+        f"   (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS hour_us,"
+        "   event_type, value FROM events"
+        f"   WHERE epoch_us(ts) >= {ROLLUP_CUTOFF_US})"
+        " SELECT day_us, hour_us, event_type,"
+        " CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value,"
+        " CAST(GROUPING(day_us, hour_us, event_type) AS BIGINT) AS gid"
+        " FROM b GROUP BY GROUPING SETS ((day_us, hour_us, event_type),"
+        "   (day_us, event_type), (day_us), ())"
     ),
     "rel_asof_join": (
         "WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us,"

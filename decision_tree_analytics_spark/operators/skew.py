@@ -54,3 +54,70 @@ def salted_agg(
 def salt_column(n_salts: int) -> Column:
     """Deterministic-per-run salt column for pre-salting join keys."""
     return (F.rand(seed=42) * n_salts).cast("int")
+
+
+# ---- contract queries -------------------------------------------------
+
+N_JOIN_SALTS = 16
+HEAVY_USER_EVENTS = 67
+
+
+def skew_salted_join(spark, sf_dir):
+    """Salted fact⋈dim join — the shuffle-skew mitigation pattern as
+    an oracled contract query: enrich each event with its user's
+    activity count, then re-aggregate into (event_type, user_tier).
+
+    A plain key join hash-partitions the fact on user_id, so one hot
+    user lands on one reducer (the 100 TB failure mode AQE's skew
+    splitting only fixes for sort-merge inputs it can see).  Salting
+    pre-spreads it: the dim side replicates across N_JOIN_SALTS
+    explicit salt values, the fact side computes a deterministic salt
+    (event_id % N), and the join key becomes (user_id, salt) — every
+    hot user fans out over N reducers by construction.  The salt is
+    content-derived (not rand()) so the query stays referentially
+    deterministic; the result is salt-invariant either way, which is
+    exactly what the DuckDB oracle (a plain unsalted join) checks.
+
+    At this SF the replicated dim still broadcasts (AQE's call —
+    fine); at 100 TB it shuffle-joins on the salted key and the
+    pattern is the difference between a stuck reducer and an even
+    fan-out."""
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALTS - 1)))
+    )
+    fact = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.pmod("event_id", F.lit(N_JOIN_SALTS)).alias("salt"),
+    )
+    tier = (
+        F.when(F.col("user_events") >= HEAVY_USER_EVENTS, "heavy")
+        .otherwise("light")
+        .alias("user_tier")
+    )
+    return (
+        fact.join(dim_rep, ["user_id", "salt"])
+        .groupBy("event_type", tier)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+QUERIES = {"skew_salted_join": skew_salted_join}
+
+ORACLES = {
+    "skew_salted_join": (
+        "WITH dim AS (SELECT user_id, COUNT(*) AS user_events"
+        "   FROM events GROUP BY 1)"
+        " SELECT event_type,"
+        f" CASE WHEN user_events >= {HEAVY_USER_EVENTS}"
+        "   THEN 'heavy' ELSE 'light' END AS user_tier,"
+        " CAST(COUNT(*) AS BIGINT) AS n_events"
+        " FROM events JOIN dim USING (user_id)"
+        " GROUP BY 1, 2"
+    ),
+}

@@ -40,12 +40,57 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"stream_windowed_counts": stream_windowed_counts}
+def stream_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Streaming grouped top-k: the watermarked windowed counts run as
+    a real streaming query (availableNow replay), then the per-window
+    top-k event types rank over the drained aggregate.  The streaming
+    stage holds only watermark-bounded window state; the rank runs
+    over the already-aggregated (windows × types) table — at 100 TB
+    the expensive cardinality reduction happened inside the stream,
+    and the top-k input is O(windows × |event_type|), not O(events)."""
+    from pyspark.sql import Window
+
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        windowed_event_counts(events_stream(spark, sf_dir)),
+        name,
+        output_mode="complete",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "rank",
+        )
+    )
+
+
+QUERIES = {
+    "stream_windowed_counts": stream_windowed_counts,
+    "stream_topk": stream_topk,
+}
 
 ORACLES = {
     "stream_windowed_counts": (
         f"SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,"
         " event_type, COUNT(*) AS n_events, SUM(value) AS sum_value"
         " FROM events GROUP BY 1, 2"
+    ),
+    "stream_topk": (
+        f"WITH wc AS (SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US}"
+        "     AS window_start_us,"
+        "   event_type, CAST(COUNT(*) AS BIGINT) AS n_events"
+        "   FROM events GROUP BY 1, 2)"
+        " SELECT window_start_us, event_type, n_events, rank"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY window_start_us"
+        "   ORDER BY n_events DESC, event_type ASC) AS rank FROM wc)"
+        " WHERE rank <= 3"
     ),
 }

@@ -74,3 +74,15 @@ def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwr
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     df.write.mode(mode).json(path)
     return path
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (columnar like parquet: predicate pushdown, column
+    pruning and vectorized read all apply)."""
+    prepare_session(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    df.write.mode(mode).orc(path)
+    return path

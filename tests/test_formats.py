@@ -55,3 +55,15 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     want = df.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == want
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+    from decision_tree_analytics_spark.sources.formats import read_orc, write_orc
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = write_orc(src, str(tmp_path / "nation_orc"))
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = simple_plan(read_orc(spark, path).filter("n_nationkey = 3").select("n_name"))
+    assert "PushedFilters" in plan and "n_nationkey" in plan  # reaches the ORC scan

@@ -213,3 +213,26 @@ def test_tpch_q11_threshold_is_broadcast_not_collect(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_time_rollup_is_one_expand_one_shuffle(spark, sf_dir):
+    # Four granularities must come from ONE pass: an Expand node and a
+    # single data shuffle (partial agg map-side for every grouping
+    # set), never four scans.
+    plan = simple_plan(R.rel_time_rollup(spark, sf_dir))
+    assert "Expand" in plan
+    assert count_shuffles(plan) == 1
+
+
+def test_skew_salted_join_keys_include_salt(spark, sf_dir):
+    # The whole point of the pattern: the join key is (user_id, salt),
+    # so a hot user fans out over N_JOIN_SALTS reducers instead of
+    # hitting one.
+    from decision_tree_analytics_spark.operators import skew as SK
+
+    plan = simple_plan(SK.skew_salted_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "salt" in ln]
+    assert join_lines, plan
