@@ -13,6 +13,7 @@ Each operator module exports:
 from decision_tree_analytics_spark.operators import (  # noqa: F401
     cdc,
     dedup,
+    graph,
     ml_inventory,
     multimodal,
     relational,
@@ -36,6 +37,7 @@ ALL_MODULES = (
     tpch,
     skew,
     cdc,
+    graph,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.

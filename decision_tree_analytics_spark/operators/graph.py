@@ -1,0 +1,145 @@
+"""Graph operators beyond connected components (operators/dedup.py).
+
+``graph_pagerank`` runs weighted, damped PageRank over the
+nation-level trade graph (customer nation → supplier nation, edge
+weight = lineitem count between them) for a FIXED number of
+iterations.  Fixed iterations + content-derived weights make the
+whole computation SQL-expressible, so unlike most iterative graph
+algorithms it carries a full DuckDB oracle (the iterations unroll
+into chained CTEs).
+
+Iteration shape (the part that matters at 100 TB):
+
+* edges aggregate once from the fact join — the graph build is the
+  expensive stage and shuffles on the edge key;
+* each iteration is edges ⋈ ranks (shuffle keyed on src) followed by
+  a groupBy(dst) with map-side partial sums — the classic distributed
+  PageRank step; state per iteration is one rank per node;
+* the driver loop only composes plans; with many iterations you
+  checkpoint/persist every few rounds exactly as
+  dedup.connected_components does (its pointer-jumping loop is the
+  convergence-driven twin of this fixed-round loop).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, weight) = (customer nation, supplier nation,
+    lineitem count); bounded dims broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    )
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("c_nationkey") == F.col("c_nk"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR_ITERS damped PageRank rounds; output rounded to 1e-6 (the
+    engine-portable rounding) with the nation name as tie-break-free
+    key."""
+    edges = _trade_edges(spark, sf_dir)
+    out_w = edges.groupBy(F.col("src").alias("ow_src")).agg(
+        F.sum("weight").alias("out_weight")
+    )
+    e = edges.join(out_w, edges.src == out_w.ow_src).select(
+        "src", "dst", (F.col("weight") / F.col("out_weight")).alias("norm_w")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst").alias("cn"), (F.col("rank") * F.col("norm_w")).alias("c")
+        )
+        incoming = contrib.groupBy("cn").agg(F.sum("c").alias("inc"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .join(incoming, F.col("node") == F.col("cn"), "left")
+            .select(
+                "node",
+                (
+                    (1.0 - PR_DAMPING) / F.col("n")
+                    + PR_DAMPING * F.coalesce("inc", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("nation"),
+        (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("pagerank"),
+    )
+
+
+QUERIES = {"graph_pagerank": graph_pagerank}
+
+_SQL_EDGES = (
+    "SELECT n1.n_name AS src, n2.n_name AS dst, COUNT(*) AS weight"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON o_orderkey = l_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+    " JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+    " GROUP BY 1, 2"
+)
+
+_D = PR_DAMPING
+
+
+def _sql_iteration(prev: str, cur: str) -> str:
+    return (
+        f" {cur} AS (SELECT node,"
+        f"   (1.0 - {_D}) / (SELECT n FROM nn)"
+        f"   + {_D} * COALESCE(inc, 0.0) AS rank"
+        "   FROM nodes LEFT JOIN (SELECT dst AS cn, SUM(rank * norm_w) AS inc"
+        f"     FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY dst) i"
+        "   ON nodes.node = i.cn)"
+    )
+
+
+ORACLES = {
+    "graph_pagerank": (
+        f"WITH edges AS ({_SQL_EDGES}),"
+        " ow AS (SELECT src AS ow_src, SUM(weight) AS out_weight"
+        "   FROM edges GROUP BY 1),"
+        " e AS (SELECT src, dst, weight / out_weight AS norm_w"
+        "   FROM edges JOIN ow ON src = ow_src),"
+        " nodes AS (SELECT DISTINCT node FROM ("
+        "   SELECT src AS node FROM edges"
+        "   UNION ALL SELECT dst FROM edges)),"
+        " nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),"
+        " r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"
+        + ",".join(_sql_iteration(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+        + " SELECT node AS nation,"
+        " floor(rank * 1e6 + 0.5) / 1e6 AS pagerank FROM"
+        f" r{PR_ITERS}"
+    ),
+}

@@ -284,7 +284,68 @@ def ns_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 20  # tokens per chunk
+CHUNK_STRIDE = 15  # tokens between chunk starts (5-token overlap)
+
+
+def ns_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunking — the LLM-pipeline
+    preprocessing step that turns documents into training/context
+    windows.  Chunk i covers tokens [i·stride, i·stride + size); the
+    chunk count is pure integer arithmetic (`div`, identical in both
+    engines) so the explode fan-out matches the oracle's lateral range
+    exactly.
+
+    Scale: map-only until the explode, which multiplies rows by
+    ~n_tokens/stride but each output row carries only its own slice —
+    no shuffle at all in the whole query; chunk rows stream straight
+    to the consumer (tokenizer, embedder, writer)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", _tokens().alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    n_extra = F.expr(
+        f"(greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}"
+    )
+    chunks = base.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_extra))
+    ).withColumn(
+        "ctoks",
+        F.expr(f"slice(toks, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("ctoks").cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", "ctoks").alias("chunk_text"),
+    )
+
+
+def ns_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams by occurrence (vocabulary /
+    collocation mining).  One explode, one count aggregation with
+    map-side partials, TakeOrderedAndProject for the top-k — the
+    shuffle moves per-partition partial counts keyed by bigram, never
+    token streams."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda p, q: F.concat_ws(" ", p, q),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "ns_text_chunk": ns_text_chunk,
+    "ns_text_bigrams": ns_text_bigrams,
     "ns_text_tokens": ns_text_tokens,
     "ns_text_quality": ns_text_quality,
     "ns_text_langid": ns_text_langid,
@@ -298,6 +359,28 @@ QUERIES = {
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
 
 ORACLES = {
+    "ns_text_chunk": (
+        f"WITH b AS (SELECT doc_id, {_SQL_TOKS} AS toks,"
+        f"   len({_SQL_TOKS}) AS n FROM documents),"
+        " c AS (SELECT doc_id, toks,"
+        f"   (greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1)"
+        f"     // {CHUNK_STRIDE} AS extra FROM b),"
+        " c2 AS (SELECT doc_id, toks, unnest(range(extra + 1)) AS cid FROM c)"
+        " SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,"
+        f" CAST(len(toks[cid * {CHUNK_STRIDE} + 1 :"
+        f"   cid * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT) AS chunk_tokens,"
+        f" array_to_string(toks[cid * {CHUNK_STRIDE} + 1 :"
+        f"   cid * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text"
+        " FROM c2"
+    ),
+    "ns_text_bigrams": (
+        f"WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),"
+        " bg AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),"
+        "   i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)"
+        " SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences"
+        " FROM bg GROUP BY bigram"
+        " ORDER BY n_occurrences DESC, bigram ASC LIMIT 20"
+    ),
     "ns_text_tokens": (
         "SELECT doc_id,"
         " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,"

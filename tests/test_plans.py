@@ -236,3 +236,19 @@ def test_skew_salted_join_keys_include_salt(spark, sf_dir):
 
     join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "salt" in ln]
     assert join_lines, plan
+
+
+def test_text_chunk_is_shuffle_free(spark, sf_dir):
+    # Chunking must be a pure map/explode pipeline: rows fan out but
+    # nothing ever shuffles.
+    plan = simple_plan(T.ns_text_chunk(spark, sf_dir))
+    assert count_shuffles(plan) == 0
+    assert "Generate" in plan  # the explode
+
+
+def test_text_bigrams_counts_partial_then_topk_heap(spark, sf_dir):
+    from decision_tree_analytics_spark.plans.inspect import formatted_plan
+
+    plan = simple_plan(T.ns_text_bigrams(spark, sf_dir))
+    assert uses_top_k_sort(plan)  # top-20 via heap, no global sort
+    assert "partial_count" in formatted_plan(T.ns_text_bigrams(spark, sf_dir))
