@@ -29,7 +29,7 @@ Scale notes (100 TB stance) are given per query.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from decision_tree_analytics_spark.sources.tables import load_table
 
@@ -638,6 +638,127 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_stats_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: correlation, sample stddev and
+    variance per event_type (value vs day index).  The day index is
+    integer epoch-days (`div`, not float division) so the correlate
+    is small-magnitude on both engines; all outputs round to 1e-6
+    before compare — both engines use numerically stable one-pass
+    moments but associate their sums differently."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr(f"(ts div 1000) div {DAY_US}").cast("double").alias("day_idx"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        r6(F.corr("value", "day_idx")).alias("corr_value_day"),
+        r6(F.stddev_samp("value")).alias("stddev_value"),
+        r6(F.var_samp("value")).alias("var_value"),
+        r6(F.avg("value")).alias("avg_value"),
+    )
+
+
+# Incremental-aggregate split: event_id % 10 < 8 plays the "nightly
+# base", the rest the "delta batch" (a modulo split stays non-vacuous
+# at every scale factor, unlike an id threshold).
+INC_AGG_MOD, INC_AGG_BASE = 10, 8
+
+
+def rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge a delta batch's
+    partial aggregates into a base snapshot's WITHOUT rescanning the
+    base — the materialized-view refresh pattern.
+
+    Works because count/sum/min/max are mergeable: the merge is a
+    union of partial-aggregate rows re-aggregated with (sum, sum,
+    min, max).  The oracle aggregates the full table directly, so a
+    driver match PROVES the merge is lossless.  At 100 TB the base
+    partials are a tiny stored table and each refresh touches only
+    the delta."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = partials(ev.filter(F.col("event_id") % INC_AGG_MOD < INC_AGG_BASE))
+    delta = partials(ev.filter(F.col("event_id") % INC_AGG_MOD >= INC_AGG_BASE))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+HIST_BINS = 128
+
+
+def rel_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantile sketch: p50/p90/p99 of value per
+    event_type from a 128-bin equi-width histogram.
+
+    The deterministic cousin of rel_approx_quantile's engine-native
+    sketch: bin assignment is pure arithmetic (IEEE-identical in both
+    engines), so the whole sketch — bounds pass, histogram pass,
+    cumulative scan, quantile pick — carries a full DuckDB oracle.
+    Error is bounded by one bin width; estimates report the bin's
+    upper edge.
+
+    Scale: two aggregations with map-side partials (bounds, then
+    (group, bin) counts — at most |groups|×128 rows reach the
+    cumulative window), one broadcast of the bounds.  Histograms
+    merge by adding counts, so the same plan does incremental
+    refresh (rel_incremental_agg pattern)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.groupBy(F.col("event_type").alias("b_type")).agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    j = ev.join(F.broadcast(bounds), ev.event_type == F.col("b_type"))
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * HIST_BINS
+            ),
+            F.lit(HIST_BINS - 1),
+        )
+    )
+    hist = j.groupBy(
+        "event_type", "mn", "mx", bin_.cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    edge = F.col("mn") + (F.col("bin") + 1) / HIST_BINS * (F.col("mx") - F.col("mn"))
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def est(q: float) -> Column:
+        return r6(F.min(F.when(F.col("cum") >= q * F.col("total"), edge)))
+
+    return cum.groupBy("event_type").agg(
+        est(0.5).alias("p50_est"),
+        est(0.9).alias("p90_est"),
+        est(0.99).alias("p99_est"),
+    )
+
+
 HOUR_US = 3_600_000_000
 DAY_US = 24 * HOUR_US
 # Retention cutoff: epoch-µs of 2000-01-01 — the rollup ignores
@@ -886,6 +1007,9 @@ QUERIES = {
     "rel_asof_join": rel_asof_join,
     "rel_stratified_sample": rel_stratified_sample,
     "rel_time_rollup": rel_time_rollup,
+    "rel_stats_fns": rel_stats_fns,
+    "rel_incremental_agg": rel_incremental_agg,
+    "rel_histogram_quantile": rel_histogram_quantile,
 }
 
 ORACLES = {
@@ -968,6 +1092,45 @@ ORACLES = {
         " CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid"
         " FROM orders"
         " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
+    "rel_stats_fns": (
+        f"WITH b AS (SELECT event_type, value,"
+        f"   CAST(epoch_us(ts) // {DAY_US} AS DOUBLE) AS day_idx FROM events)"
+        " SELECT event_type,"
+        " floor(corr(value, day_idx) * 1e6 + 0.5) / 1e6 AS corr_value_day,"
+        " floor(stddev_samp(value) * 1e6 + 0.5) / 1e6 AS stddev_value,"
+        " floor(var_samp(value) * 1e6 + 0.5) / 1e6 AS var_value,"
+        " floor(avg(value) * 1e6 + 0.5) / 1e6 AS avg_value"
+        " FROM b GROUP BY event_type"
+    ),
+    "rel_histogram_quantile": (
+        "WITH v AS (SELECT event_type, value FROM events"
+        "   WHERE value IS NOT NULL),"
+        " bounds AS (SELECT event_type AS b_type, MIN(value) AS mn,"
+        "   MAX(value) AS mx FROM v GROUP BY 1),"
+        " binned AS (SELECT event_type, mn, mx,"
+        "   CASE WHEN mx = mn THEN 0 ELSE"
+        f"     least(floor((value - mn) / (mx - mn) * {HIST_BINS}),"
+        f"       {HIST_BINS - 1}) END AS bin"
+        "   FROM v JOIN bounds ON event_type = b_type),"
+        " hist AS (SELECT event_type, mn, mx, CAST(bin AS BIGINT) AS bin,"
+        "   COUNT(*) AS cnt FROM binned GROUP BY 1, 2, 3, 4),"
+        " cum AS (SELECT *,"
+        "   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,"
+        "   SUM(cnt) OVER (PARTITION BY event_type) AS total"
+        "   FROM hist)"
+        " SELECT event_type,"
+        f" floor(MIN(CASE WHEN cum >= 0.5 * total THEN mn + (bin + 1.0) / {HIST_BINS} * (mx - mn) END) * 1e6 + 0.5) / 1e6 AS p50_est,"
+        f" floor(MIN(CASE WHEN cum >= 0.9 * total THEN mn + (bin + 1.0) / {HIST_BINS} * (mx - mn) END) * 1e6 + 0.5) / 1e6 AS p90_est,"
+        f" floor(MIN(CASE WHEN cum >= 0.99 * total THEN mn + (bin + 1.0) / {HIST_BINS} * (mx - mn) END) * 1e6 + 0.5) / 1e6 AS p99_est"
+        " FROM cum GROUP BY event_type"
+    ),
+    "rel_incremental_agg": (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,"
+        " SUM(value) AS sum_value, MIN(value) AS min_value,"
+        " MAX(value) AS max_value"
+        " FROM events GROUP BY event_type"
     ),
     "rel_time_rollup": (
         f"WITH b AS (SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us,"

@@ -86,3 +86,36 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     df.write.mode(mode).orc(path)
     return path
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> str:
+    """Pruning-friendly lake layout: directory partitioning on
+    ``partition_cols`` (partition pruning skips whole directories) +
+    ``sortWithinPartitions`` on ``sort_cols`` so each written file's
+    row groups carry tight, non-overlapping min/max statistics — the
+    poor man's Z-order.  A scan filtered on a sort column then skips
+    row groups via parquet stats instead of decoding them.
+
+    ``repartition(files_per_partition, *partition_cols)`` bounds the
+    file count (a 1000-executor writer would otherwise emit one file
+    per task per partition value); the sort is per-task, never a
+    global exchange.  The sort key is (partition_cols, sort_cols) —
+    the dynamic-partition writer requires task rows ordered by the
+    partition columns and would otherwise re-sort on them alone
+    (with an unstable sorter), silently destroying the clustering."""
+    prepare_session(df.sparkSession)
+    (
+        df.repartition(files_per_partition, *[df[c] for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, *sort_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return path

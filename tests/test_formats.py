@@ -67,3 +67,29 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
     plan = simple_plan(read_orc(spark, path).filter("n_nationkey = 3").select("n_name"))
     assert "PushedFilters" in plan and "n_nationkey" in plan  # reaches the ORC scan
+
+
+def test_clustered_write_layout_and_pruning(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+    from decision_tree_analytics_spark.sources.formats import write_clustered_parquet
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    path = write_clustered_parquet(
+        ev, str(tmp_path / "events_clustered"), ["event_type"], ["value"]
+    )
+    files = glob.glob(f"{path}/event_type=*/*.parquet")
+    assert files  # hive-style directories exist
+    for f in files[:3]:  # every file internally sorted on the sort col
+        vals = [
+            v
+            for v in pq.read_table(f, columns=["value"]).column("value").to_pylist()
+            if v is not None
+        ]
+        assert vals == sorted(vals)
+    plan = simple_plan(spark.read.parquet(path).filter("event_type = 'click'"))
+    assert "PartitionFilters" in plan and "event_type" in plan  # dir pruning

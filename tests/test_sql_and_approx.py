@@ -69,3 +69,34 @@ def test_approx_quantile_within_1pct(spark, sf_dir):
     for flag, ex in exact.items():
         for e, a in zip(ex, approx[flag]):
             assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (flag, e, a)
+
+
+def test_histogram_quantile_within_one_bin(spark, sf_dir):
+    """The 128-bin sketch's p50/p90/p99 must sit within one bin width
+    of the exact DISCRETE quantile (the sketch reports the upper edge
+    of the bin where cumulative mass crosses q, i.e. percentile_disc
+    semantics — interpolated percentiles can sit several empty bins
+    lower in sparse tails)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.operators.relational import (
+        HIST_BINS,
+        rel_histogram_quantile,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = {
+        r.event_type: sorted(r.vs)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    for r in rel_histogram_quantile(spark, sf_dir).collect():
+        vs = vals[r.event_type]
+        bin_w = (vs[-1] - vs[0]) / HIST_BINS
+        for est, q in zip((r.p50_est, r.p90_est, r.p99_est), (0.5, 0.9, 0.99)):
+            disc = vs[max(math.ceil(q * len(vs)) - 1, 0)]
+            assert abs(est - disc) <= bin_w + 1e-9, (r.event_type, est, disc)
