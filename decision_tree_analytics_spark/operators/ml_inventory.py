@@ -65,9 +65,49 @@ def q26_dt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         assembled.unpersist()
 
 
+def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini/variance-gain feature importances of the Q26 tree — the
+    explainability companion to train+predict (which split variables
+    actually drive the price model).
+
+    The importance vector is a property of the fitted model object on
+    the driver (MLlib normalizes per-node impurity gains), so the
+    3-row result is built driver-side by design — no data-plane
+    collect.  Rows-only under the driver (tree structure is
+    engine-specific); determinism under the fixed seed is pinned in
+    tests/test_ml_pipeline.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    assembled = assemble_features(li, _FEATURES).cache()
+    try:
+        training = assembled.select(
+            FEATURES_COL, F.col("l_extendedprice").alias("label")
+        )
+        model = DecisionTreeRegressor(
+            featuresCol=FEATURES_COL,
+            labelCol="label",
+            impurity="variance",
+            maxDepth=5,
+            maxBins=64,
+            seed=12345,
+        ).fit(training)
+    finally:
+        assembled.unpersist()
+    fi = model.featureImportances
+    rows = [
+        (name, idx, float(fi[idx]), int(model.depth), int(model.numNodes))
+        for name, idx in sorted(_FEATURES.items(), key=lambda kv: kv[1])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature string, feature_idx long, importance double,"
+        " tree_depth long, num_nodes long",
+    )
+
+
 QUERIES = {
     "q25_feature_assembly": q25_feature_assembly,
     "q26_dt_train_predict": q26_dt_train_predict,
+    "ml_feature_importance": ml_feature_importance,
 }
 
 ORACLES = {

@@ -165,10 +165,112 @@ def ns_text_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(_subword_batch, _SUBWORD_SCHEMA)
 
 
+# ------------------------------------------------------------------
+# Per-user sequence features — the secondary-sort consumer pattern.
+# Sessionization, funnel mining, and sequence featurization all need
+# "each user's events, in time order, in one place"; in Spark that is
+# one shuffle on the group key + an in-group sort, here expressed as
+# ``applyInPandas`` (the group arrives as one frame, the sort is a
+# vectorized in-memory argsort).  Scale rule: the GROUP SIZE must be
+# bounded (events-per-user is, at any corpus scale), while the group
+# COUNT may grow without limit — the opposite constraint from
+# udf_grouped_zscore's bounded-cardinality note, and the reason this
+# shape scales to billions of users.
+
+_GAP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("mean_gap_us", DoubleType()),
+        StructField("max_gap_us", LongType()),
+        StructField("min_gap_us", LongType()),
+    ]
+)
+
+
+def _gap_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    import math
+
+    pdf = pdf.sort_values(["ts_us", "event_id"])  # unique tie-break: event_id
+    ts = pdf["ts_us"].to_numpy()
+    n = len(ts)
+    if n > 1:
+        gaps = np.diff(ts)
+        # mean gap telescopes to span/(n-1): one exact int subtraction
+        # + one double division, identical in DuckDB.
+        mean_gap = math.floor((ts[-1] - ts[0]) / (n - 1) * 1e6 + 0.5) / 1e6
+        mx, mn = int(gaps.max()), int(gaps.min())
+    else:
+        mean_gap = mx = mn = None
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [n],
+            "mean_gap_us": [mean_gap],
+            "max_gap_us": [mx],
+            "min_gap_us": [mn],
+        }
+    )
+
+
+def udf_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user over the time-ordered event
+    sequence (count, mean/max/min gap in µs)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return ev.groupBy("user_id").applyInPandas(_gap_group, _GAP_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# Arrow batch-inference lane — the shape of scoring a corpus with a
+# trained model (ONNX head, logistic probe, distillation filter).  The
+# model here is a fixed linear probe over the embedding so the oracle
+# stays SQL-expressible; a real model swaps `_INFER_W @ batch` for
+# `session.run(batch)` and nothing else changes.  Weights live in the
+# task closure (at fleet scale: a broadcast variable or an
+# executor-local model file) — the input table never carries them.
+# Stateless mapInPandas: zero shuffle, one matmul per Arrow batch.
+
+INFER_DIM = 64
+_INFER_W = np.array([((k * 37) % 19 - 9) / 19.0 for k in range(INFER_DIM)])
+
+_INFER_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("pred_label", LongType()),
+    ]
+)
+
+
+def _infer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        score = m @ _INFER_W
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "score": np.floor(score * 1e6 + 0.5) / 1e6,
+                "pred_label": (score > 0.0).astype(np.int64),
+            }
+        )
+
+
+def udf_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe batch inference over the embedding corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # Single-file input = one partition; spread the CPU-bound matmul.
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    return e.select("vec_id", "embedding").mapInPandas(_infer_batches, _INFER_SCHEMA)
+
+
 QUERIES = {
     "udf_grouped_zscore": udf_grouped_zscore,
     "udf_frame_sample": udf_frame_sample,
     "ns_text_subword": ns_text_subword,
+    "udf_user_gap_stats": udf_user_gap_stats,
+    "udf_batch_inference": udf_batch_inference,
 }
 
 ORACLES = {
@@ -203,5 +305,28 @@ ORACLES = {
         "       THEN 1 ELSE 0 END)), 0)"
         " )) AS BIGINT) AS n_subwords"
         " FROM w"
+    ),
+    "udf_user_gap_stats": (
+        "WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),"
+        " g AS (SELECT user_id, ts_us, ts_us - lag(ts_us) OVER ("
+        "   PARTITION BY user_id ORDER BY ts_us, event_id) AS gap FROM t)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+        " CASE WHEN count(*) > 1 THEN"
+        "   floor((max(ts_us) - min(ts_us)) / (count(*) - 1.0) * 1e6 + 0.5) / 1e6"
+        " END AS mean_gap_us,"
+        " CAST(max(gap) AS BIGINT) AS max_gap_us,"
+        " CAST(min(gap) AS BIGINT) AS min_gap_us"
+        " FROM g GROUP BY user_id"
+    ),
+    "udf_batch_inference": (
+        "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
+        "   unnest(embedding)::DOUBLE AS x FROM embeddings),"
+        " w AS (SELECT generate_subscripts(l, 1) AS i, unnest(l) AS wt"
+        f"   FROM (SELECT {_INFER_W.tolist()} AS l)),"
+        " s AS (SELECT vec_id, sum(x * wt) AS score"
+        "   FROM e JOIN w USING (i) GROUP BY vec_id)"
+        " SELECT vec_id, floor(score * 1e6 + 0.5) / 1e6 AS score,"
+        " CAST(CASE WHEN score > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pred_label"
+        " FROM s"
     ),
 }

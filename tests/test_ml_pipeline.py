@@ -141,3 +141,24 @@ def test_understated_cardinality_fails(spark, model_dir):
     )
     with pytest.raises(Exception):
         DecisionTreeTrainerStage(cfg, model_dir).run(flights.flight_train_df(spark))
+
+
+def test_feature_importance_properties(spark, sf_dir):
+    """ml_feature_importance: a normalized importance distribution
+    over the three declared features, deterministic under the fixed
+    seed (two runs byte-identical)."""
+    from decision_tree_analytics_spark.operators.ml_inventory import (
+        ml_feature_importance,
+    )
+
+    rows = {r.feature: r for r in ml_feature_importance(spark, sf_dir).collect()}
+    assert set(rows) == {"l_quantity", "l_discount", "l_tax"}
+    imps = [r.importance for r in rows.values()]
+    assert all(0.0 <= v <= 1.0 for v in imps)
+    assert abs(sum(imps) - 1.0) < 1e-9
+    # quantity dominates extendedprice = qty * unit price
+    assert rows["l_quantity"].importance == max(imps)
+    again = {r.feature: r for r in ml_feature_importance(spark, sf_dir).collect()}
+    assert {k: v.importance for k, v in rows.items()} == {
+        k: v.importance for k, v in again.items()
+    }

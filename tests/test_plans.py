@@ -252,3 +252,24 @@ def test_text_bigrams_counts_partial_then_topk_heap(spark, sf_dir):
     plan = simple_plan(T.ns_text_bigrams(spark, sf_dir))
     assert uses_top_k_sort(plan)  # top-20 via heap, no global sort
     assert "partial_count" in formatted_plan(T.ns_text_bigrams(spark, sf_dir))
+
+
+def test_batch_inference_is_one_spread_then_arrow_map(spark, sf_dir):
+    # One deliberate repartition to spread the single-file input, then
+    # a pure Arrow map stage — no other exchange, columns pruned.
+    from decision_tree_analytics_spark.operators import udf_inventory as U
+
+    plan = simple_plan(U.udf_batch_inference(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert "MapInPandas" in plan
+    assert scan_read_schemas(plan) == [["vec_id", "embedding"]]
+
+
+def test_user_gap_stats_is_one_shuffle_grouped_map(spark, sf_dir):
+    # Secondary-sort consumer: exactly the group-key shuffle, then the
+    # grouped Arrow map; scan reads only the three needed columns.
+    from decision_tree_analytics_spark.operators import udf_inventory as U
+
+    plan = simple_plan(U.udf_user_gap_stats(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert "FlatMapGroupsInPandas" in plan
