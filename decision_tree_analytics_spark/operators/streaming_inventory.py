@@ -19,10 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from decision_tree_analytics_spark.streaming.events_stream import (
     events_stream,
     run_to_memory,
+    sliding_event_rate,
+    window_dedup_latest,
     windowed_event_counts,
 )
 
 HOUR_US = 3_600_000_000
+HALF_HOUR_US = HOUR_US // 2
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,9 +75,54 @@ def stream_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def stream_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h / 30 min) event-rate monitor with a spike
+    flag: a window is a spike when its count exceeds 1.25× the mean
+    window count.  The mean comes from a broadcast single-row
+    aggregate over the drained window table (never a global window
+    function)."""
+    name = f"stream_rate_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        sliding_event_rate(events_stream(spark, sf_dir)),
+        name,
+        output_mode="complete",
+    )
+    wins = spark.table(name).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    mean = wins.agg(F.avg("n_events").alias("mean_n"))
+    return wins.crossJoin(F.broadcast(mean)).select(
+        "window_start_us",
+        "n_events",
+        (F.floor(F.col("n_events") / 60.0 * 1e6 + 0.5) / 1e6).alias("rate_per_min"),
+        (F.col("n_events") > 1.25 * F.col("mean_n")).cast("long").alias("is_spike"),
+    )
+
+
+def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed last-write-wins dedup of streaming upserts (see
+    streaming/events_stream.py:window_dedup_latest)."""
+    name = f"stream_wdedup_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        window_dedup_latest(events_stream(spark, sf_dir)),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "user_id",
+        "event_type",
+        "last_value",
+        F.col("n_versions").cast("long").alias("n_versions"),
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_topk": stream_topk,
+    "stream_rate_monitor": stream_rate_monitor,
+    "stream_window_dedup": stream_window_dedup,
 }
 
 ORACLES = {
@@ -92,5 +140,27 @@ ORACLES = {
         " FROM (SELECT *, row_number() OVER (PARTITION BY window_start_us"
         "   ORDER BY n_events DESC, event_type ASC) AS rank FROM wc)"
         " WHERE rank <= 3"
+    ),
+    # Sliding windows: an event at t belongs to the two 1-hour windows
+    # starting at gridfloor(t, 30m) and gridfloor(t, 30m) - 30m.
+    "stream_rate_monitor": (
+        f"WITH s AS (SELECT epoch_us(ts) AS us FROM events),"
+        f" w AS (SELECT (us // {HALF_HOUR_US}) * {HALF_HOUR_US}"
+        f"     - k * {HALF_HOUR_US} AS window_start_us"
+        "    FROM s CROSS JOIN (SELECT unnest([0, 1]) AS k)),"
+        " c AS (SELECT window_start_us, CAST(COUNT(*) AS BIGINT) AS n_events"
+        "   FROM w GROUP BY 1)"
+        " SELECT window_start_us, n_events,"
+        " floor(n_events / 60.0 * 1e6 + 0.5) / 1e6 AS rate_per_min,"
+        " CAST(CASE WHEN n_events > 1.25 * (SELECT avg(n_events) FROM c)"
+        "   THEN 1 ELSE 0 END AS BIGINT) AS is_spike"
+        " FROM c"
+    ),
+    "stream_window_dedup": (
+        f"SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,"
+        " user_id, event_type,"
+        " arg_max(value, event_id) AS last_value,"
+        " CAST(COUNT(*) AS BIGINT) AS n_versions"
+        " FROM events GROUP BY 1, 2, 3"
     ),
 }

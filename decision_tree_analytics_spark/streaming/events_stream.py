@@ -84,6 +84,47 @@ def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_event_rate(stream: DataFrame, window: str = "1 hour",
+                       slide: str = "30 minutes",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Sliding-window event counts — the monitoring shape.  Each event
+    lands in window_len/slide windows (2 here); state is still bounded
+    by the watermark.  Rate/anomaly scoring happens on the drained
+    aggregate (O(windows) rows), not in the stream."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def window_dedup_latest(stream: DataFrame, window: str = "1 hour",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Windowed last-write-wins compaction of a stream of upserts:
+    within each (window, user_id, event_type) cell keep the value of
+    the highest event_id (the arrival-sequence number — deterministic,
+    unlike max-ts with ties) plus the version count.  This is the
+    streaming MERGE/compaction shape: the aggregation state per key is
+    one (max_id, value, count) triple, pruned by the watermark — not a
+    buffer of rows."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "user_id", "event_type")
+        .agg(
+            F.max_by("value", "event_id").alias("last_value"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "event_type",
+            "last_value",
+            "n_versions",
+        )
+    )
+
+
 def enriched_segment_counts(stream: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static dim join: enrich each event with the customer's
     market segment, then count per (segment, event_type).
