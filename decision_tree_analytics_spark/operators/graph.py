@@ -99,7 +99,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"graph_pagerank": graph_pagerank}
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the undirected nation trade graph.
+
+    Edges are canonicalized to a < b (string order), so each triangle
+    (a < b < c) joins exactly once: e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c).
+    This ordering trick is THE scale move for triangle counting — the
+    join fan-out is bounded by oriented-degree (each edge points from
+    the smaller endpoint), cutting the classic 6× duplication and the
+    high-degree-hub blowup; production systems additionally orient by
+    degree, which the same plan supports by swapping the ordering key.
+    Joins shuffle on the shared endpoint; the nation graph is tiny but
+    the plan is the distributed one."""
+    und = (
+        _trade_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("n1"), F.col("b").alias("n2"))
+    e2 = und.select(F.col("a").alias("n2"), F.col("b").alias("n3"))
+    e3 = und.select(F.col("a").alias("n1"), F.col("b").alias("n3"))
+    return e1.join(e2, "n2").join(e3, ["n1", "n3"]).select("n1", "n2", "n3")
+
+
+QUERIES = {"graph_pagerank": graph_pagerank, "graph_triangles": graph_triangles}
 
 _SQL_EDGES = (
     "SELECT n1.n_name AS src, n2.n_name AS dst, COUNT(*) AS weight"
@@ -141,5 +167,13 @@ ORACLES = {
         + " SELECT node AS nation,"
         " floor(rank * 1e6 + 0.5) / 1e6 AS pagerank FROM"
         f" r{PR_ITERS}"
+    ),
+    "graph_triangles": (
+        f"WITH edges AS ({_SQL_EDGES}),"
+        " und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b"
+        "   FROM edges WHERE src <> dst)"
+        " SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3"
+        " FROM und e1 JOIN und e2 ON e1.b = e2.a"
+        " JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
     ),
 }

@@ -759,6 +759,47 @@ def rel_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per-user event-sequence pattern matching.
+
+    Each user's time-ordered event types compress to a one-char-per-
+    event string (first letters c/e/p/s/v are distinct here; a real
+    deployment declares the alphabet), then patterns are plain regex:
+    ``has_funnel`` = signup … click … purchase in order,
+    ``n_click_purchase`` = non-overlapping direct click→purchase
+    adjacencies.  Regex kept to Java≡RE2-identical syntax.
+
+    Scale: one shuffle on user_id; the collected sequence is bounded
+    by events-per-user (the same bound every sessionizer needs), and
+    the struct sort is deterministic via the unique event_id
+    tie-break.  Pattern evaluation is a linear JVM regex scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda s: F.substring(s["event_type"], 1, 1),
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("seq").rlike("s.*c.*p").cast("long").alias("has_funnel"),
+        F.regexp_count(F.col("seq"), F.lit("cp")).cast("long").alias(
+            "n_click_purchase"
+        ),
+    )
+
+
 HOUR_US = 3_600_000_000
 DAY_US = 24 * HOUR_US
 # Retention cutoff: epoch-µs of 2000-01-01 — the rollup ignores
@@ -1010,6 +1051,7 @@ QUERIES = {
     "rel_stats_fns": rel_stats_fns,
     "rel_incremental_agg": rel_incremental_agg,
     "rel_histogram_quantile": rel_histogram_quantile,
+    "rel_event_pattern": rel_event_pattern,
 }
 
 ORACLES = {
@@ -1131,6 +1173,18 @@ ORACLES = {
         " SUM(value) AS sum_value, MIN(value) AS min_value,"
         " MAX(value) AS max_value"
         " FROM events GROUP BY event_type"
+    ),
+    "rel_event_pattern": (
+        "WITH t AS (SELECT user_id,"
+        "   string_agg(substr(event_type, 1, 1), ''"
+        "     ORDER BY epoch_us(ts), event_id) AS seq"
+        "   FROM events GROUP BY user_id)"
+        " SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,"
+        " CAST(CASE WHEN regexp_matches(seq, 's.*c.*p') THEN 1 ELSE 0 END"
+        "   AS BIGINT) AS has_funnel,"
+        " CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT)"
+        "   AS n_click_purchase"
+        " FROM t"
     ),
     "rel_time_rollup": (
         f"WITH b AS (SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us,"

@@ -481,8 +481,44 @@ def sim_ivf_topk(
     return tether_cache(result, vecs)
 
 
+def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-quality scoring: Euclidean distance of
+    each vector to its label's centroid, flagging outliers (dist >
+    1.25× the label's mean distance) — the mislabeled-example filter
+    of a training-data pipeline.
+
+    Plan: posexplode → per-(label, dim) avg (map-side partials; the
+    centroid table is |labels|×64 rows and BROADCASTS back onto the
+    exploded stream), per-vector squared-error sum, then a second
+    broadcast of per-label mean distances.  The corpus shuffles once
+    (the per-vector re-aggregation); nothing quadratic anywhere, and
+    centroids are mergeable partial sums so the same plan refreshes
+    incrementally."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    x = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    cent = x.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    d = (
+        x.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) ** 2)).alias("dist"))
+    )
+    stats = d.groupBy(F.col("label").alias("s_label")).agg(
+        F.avg("dist").alias("mean_dist")
+    )
+    return d.join(F.broadcast(stats), d.label == stats.s_label).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        _round6(F.col("dist")).alias("dist"),
+        (F.col("dist") > 1.25 * F.col("mean_dist")).cast("long").alias("is_outlier"),
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_label_centroid_dist": sim_label_centroid_dist,
     "sim_embed_nn": sim_embed_nn,
     "sim_ann_buckets": sim_ann_buckets,
     "sim_ann_topk": sim_ann_topk,
@@ -523,6 +559,20 @@ _SQL_SQ_COMMON = (
 )
 
 ORACLES = {
+    "sim_label_centroid_dist": (
+        f"WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,"
+        "   unnest(embedding)::DOUBLE AS x FROM embeddings),"
+        " cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),"
+        " d AS (SELECT vec_id, e.label, sqrt(sum((x - c) * (x - c))) AS dist"
+        "   FROM e JOIN cent ON e.label = cent.label AND e.i = cent.i"
+        "   GROUP BY 1, 2),"
+        " s AS (SELECT label, avg(dist) AS mean_dist FROM d GROUP BY 1)"
+        " SELECT vec_id, CAST(d.label AS BIGINT) AS label,"
+        " floor(dist * 1e6 + 0.5) / 1e6 AS dist,"
+        " CAST(CASE WHEN dist > 1.25 * mean_dist THEN 1 ELSE 0 END AS BIGINT)"
+        "   AS is_outlier"
+        " FROM d JOIN s ON d.label = s.label"
+    ),
     "sim_cosine_topk": (
         f"WITH e AS ({_SQL_EXPLODED}),"
         f" norms AS ({_SQL_NORMS}),"

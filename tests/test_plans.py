@@ -273,3 +273,21 @@ def test_user_gap_stats_is_one_shuffle_grouped_map(spark, sf_dir):
     plan = simple_plan(U.udf_user_gap_stats(spark, sf_dir))
     assert count_shuffles(plan) == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_event_pattern_is_one_shuffle_jvm_regex(spark, sf_dir):
+    # Sequence build + regex stay JVM-side; only the user_id group
+    # shuffle moves data.
+    plan = simple_plan(R.rel_event_pattern(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert not has_python_eval(plan)
+
+
+def test_label_centroid_broadcasts_centroids(spark, sf_dir):
+    # Centroid and stats tables re-join the stream as broadcasts; the
+    # corpus itself never hash-joins.
+    from decision_tree_analytics_spark.operators import similarity as S
+
+    plan = simple_plan(S.sim_label_centroid_dist(spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert not has_python_eval(plan)
