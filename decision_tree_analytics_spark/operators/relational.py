@@ -759,6 +759,59 @@ def rel_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64
+# 16^13 = 2^52: 13 hex digits fit BIGINT and double exactly.
+KMV_SCALE = float(16**13)
+
+
+def rel_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event_type — the
+    deterministic, fully-oracled counterpart of q14's HLL (engine
+    sketches never hash-match across engines; a content-derived md5
+    KMV does).
+
+    Estimator: hash each distinct user to u ∈ [0,1) (first 13 md5 hex
+    digits / 2^52), keep the K smallest; if fewer than K exist the
+    count is exact, else est = (K-1)/u_(K).  Error ~1/√K (~12% at
+    K=64; production raises K).
+
+    Scale: the distinct pre-step and the per-group K-smallest are the
+    only shuffles; keeping K values per group is a bounded-state
+    mergeable sketch — union two groups' K-min sets, re-take the K
+    smallest — so the same query maintains incrementally
+    (rel_incremental_agg pattern) and merges across partitions
+    map-side."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    u = d.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+            ).cast("long")
+            / KMV_SCALE
+        ).alias("u"),
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    kmin = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"), F.max("u").alias("kth"))
+    )
+    est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        (KMV_K - 1) / F.col("kth")
+    )
+    return kmin.select(
+        "event_type",
+        "n_kept",
+        (F.floor(est * 1e6 + 0.5) / 1e6).alias("est_distinct"),
+    )
+
+
 def rel_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-lite: per-user event-sequence pattern matching.
 
@@ -1052,6 +1105,7 @@ QUERIES = {
     "rel_incremental_agg": rel_incremental_agg,
     "rel_histogram_quantile": rel_histogram_quantile,
     "rel_event_pattern": rel_event_pattern,
+    "rel_kmv_distinct": rel_kmv_distinct,
 }
 
 ORACLES = {
@@ -1173,6 +1227,20 @@ ORACLES = {
         " SUM(value) AS sum_value, MIN(value) AS min_value,"
         " MAX(value) AS max_value"
         " FROM events GROUP BY event_type"
+    ),
+    "rel_kmv_distinct": (
+        "WITH d AS (SELECT DISTINCT event_type, user_id FROM events),"
+        " h AS (SELECT event_type,"
+        "   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT"
+        f"     / {KMV_SCALE!r} AS u FROM d),"
+        " r AS (SELECT event_type, u, row_number() OVER ("
+        "   PARTITION BY event_type ORDER BY u) AS rn FROM h),"
+        " kmin AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,"
+        f"   max(u) AS kth FROM r WHERE rn <= {KMV_K} GROUP BY 1)"
+        " SELECT event_type, n_kept,"
+        f" floor((CASE WHEN n_kept < {KMV_K} THEN n_kept"
+        f"   ELSE ({KMV_K} - 1) / kth END) * 1e6 + 0.5) / 1e6 AS est_distinct"
+        " FROM kmin"
     ),
     "rel_event_pattern": (
         "WITH t AS (SELECT user_id,"

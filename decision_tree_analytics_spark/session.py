@@ -49,6 +49,36 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def enable_runtime_bloom_filters(
+    spark: SparkSession, creation_side_max: str = "100MB"
+) -> SparkSession:
+    """Turn on Catalyst's runtime bloom-filter join pruning: for a
+    selective-dim ⋈ fact join the optimizer builds a bloom filter over
+    the dim's join keys and injects ``might_contain(...)`` into the
+    fact scan, discarding non-matching fact rows BEFORE the shuffle —
+    the semi-join reduction that matters most for 100 TB fact⋈fact
+    joins where neither side broadcasts and dynamic partition pruning
+    doesn't apply (non-partition join keys).
+
+    Not in ``_RUNTIME_CONFS``: the filter costs a build-side pre-pass,
+    a paying-off-only-at-scale trade the tiny correctness sweeps
+    shouldn't take.  ``creation_side_max`` bounds the build side (a
+    too-large build spills the benefit).  Plan shape is locked in
+    tests/test_plans.py::test_runtime_bloom_filter_injects."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            creation_side_max
+        ),
+    }
+    for k, v in confs.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def get_spark(
     app_name: str = "decision-tree-analytics-spark",
     master: str | None = None,

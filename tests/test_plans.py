@@ -291,3 +291,50 @@ def test_label_centroid_broadcasts_centroids(spark, sf_dir):
     plan = simple_plan(S.sim_label_centroid_dist(spark, sf_dir))
     assert has_broadcast_join(plan)
     assert not has_python_eval(plan)
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """With runtime bloom filters enabled, a selective orders filter
+    joined to lineitem injects might_contain into the fact side — the
+    semi-join reduction for non-broadcastable fact⋈fact joins (the
+    thresholds are floored here because test inputs are tiny; at real
+    scale the defaults gate sensibly)."""
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.session import enable_runtime_bloom_filters
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom_filters(spark)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys
+        assert "bloom_filter_agg" in phys
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

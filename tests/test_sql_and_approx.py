@@ -100,3 +100,33 @@ def test_histogram_quantile_within_one_bin(spark, sf_dir):
         for est, q in zip((r.p50_est, r.p90_est, r.p99_est), (0.5, 0.9, 0.99)):
             disc = vs[max(math.ceil(q * len(vs)) - 1, 0)]
             assert abs(est - disc) <= bin_w + 1e-9, (r.event_type, est, disc)
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark, sf_dir):
+    """KMV(64) per-group distinct estimate within ~3/sqrt(K) of exact
+    (and exact when the group has < K distinct users)."""
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.operators.relational import (
+        KMV_K,
+        rel_kmv_distinct,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rel_kmv_distinct(spark, sf_dir).collect():
+        ex = exact[r.event_type]
+        if ex < KMV_K:
+            assert r.est_distinct == ex, (r.event_type, ex, r.est_distinct)
+        else:
+            assert abs(r.est_distinct - ex) <= 3 / KMV_K**0.5 * ex + 1e-9, (
+                r.event_type,
+                ex,
+                r.est_distinct,
+            )
