@@ -11,6 +11,7 @@ Each operator module exports:
 """
 
 from decision_tree_analytics_spark.operators import (  # noqa: F401
+    analytics,
     cdc,
     dedup,
     graph,
@@ -27,6 +28,7 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
 
 ALL_MODULES = (
     relational,
+    analytics,
     ml_inventory,
     dedup,
     similarity,

@@ -321,6 +321,38 @@ def ns_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score — the Gopher-style quality
+    signal (fraction of duplicate 3-word shingles; boilerplate and
+    generated spam score high, natural prose low).
+
+    Pure per-row array arithmetic on the shingle array — zero
+    shuffle, zero explode, pipelines with the parquet scan; the dedup
+    module's one shared shingle definition keeps this signal aligned
+    with the MinHash near-dup path."""
+    from decision_tree_analytics_spark.operators.dedup import _word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    # Bind tokens to a real column first — _word_shingles element_at
+    # lookups would otherwise re-split the text per element.
+    toked = d.select("doc_id", _tokens().alias("toks"))
+    sh = toked.select(
+        "doc_id", _word_shingles(F.col("toks")).alias("sh")
+    )
+    n = F.size("sh").cast("long")
+    nd = F.size(F.array_distinct("sh")).cast("long")
+    dup = F.when(
+        n > 0,
+        F.floor((1 - nd.cast("double") / n.cast("double")) * 1e6 + 0.5) / 1e6,
+    )
+    return sh.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct"),
+        dup.alias("dup_frac"),
+    )
+
+
 def ns_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 bigrams by occurrence (vocabulary /
     collocation mining).  One explode, one count aggregation with
@@ -346,6 +378,7 @@ def ns_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ns_text_chunk": ns_text_chunk,
     "ns_text_bigrams": ns_text_bigrams,
+    "ns_text_repetition": ns_text_repetition,
     "ns_text_tokens": ns_text_tokens,
     "ns_text_quality": ns_text_quality,
     "ns_text_langid": ns_text_langid,
@@ -380,6 +413,20 @@ ORACLES = {
         " SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences"
         " FROM bg GROUP BY bigram"
         " ORDER BY n_occurrences DESC, bigram ASC LIMIT 20"
+    ),
+    "ns_text_repetition": (
+        f"WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),"
+        " s AS (SELECT doc_id,"
+        "   list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
+        "     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh"
+        "   FROM t)"
+        " SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,"
+        " CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,"
+        " CASE WHEN len(sh) > 0 THEN"
+        "   floor((1 - CAST(len(list_distinct(sh)) AS DOUBLE)"
+        "     / len(sh)) * 1e6 + 0.5) / 1e6"
+        " END AS dup_frac"
+        " FROM s"
     ),
     "ns_text_tokens": (
         "SELECT doc_id,"

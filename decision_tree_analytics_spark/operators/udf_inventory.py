@@ -223,6 +223,80 @@ def udf_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# True secondary sort — the OTHER way to get "each user's events, in
+# time order, in one place".  ``applyInPandas`` (udf_user_gap_stats)
+# pays one Python call per group and materializes each group as a
+# frame — fine for rich per-group logic, wasteful for millions of
+# tiny groups.  The secondary-sort lane instead shuffles ONCE on the
+# group key (`repartition`), sorts WITHIN each partition on
+# (key, time) — a spillable external sort, never a global one — and
+# streams whole sorted partitions through ``mapInPandas``; groups
+# arrive contiguously, and an explicit carry handles groups that
+# straddle Arrow batch boundaries.  This is the classic MapReduce
+# secondary-sort contract expressed in Spark's Arrow lane.
+
+_SEQ_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_increases", LongType()),
+    ]
+)
+
+
+def _seq_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # carry = (user_id, n_events, n_increases, last_value) for the
+    # group still open at the previous batch boundary.
+    carry: tuple[int, int, int, float] | None = None
+    for pdf in batches:
+        done_uid: list[int] = []
+        done_n: list[int] = []
+        done_inc: list[int] = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            vals = g["value"].to_numpy()
+            n = len(vals)
+            inc = int((vals[1:] > vals[:-1]).sum())
+            if carry is not None:
+                if carry[0] == uid:
+                    n += carry[1]
+                    inc += carry[2] + int(vals[0] > carry[3])
+                else:
+                    done_uid.append(carry[0])
+                    done_n.append(carry[1])
+                    done_inc.append(carry[2])
+            carry = (int(uid), n, inc, float(vals[-1]))
+        if done_uid:
+            yield pd.DataFrame(
+                {
+                    "user_id": done_uid,
+                    "n_events": done_n,
+                    "n_increases": done_inc,
+                }
+            )
+    if carry is not None:
+        yield pd.DataFrame(
+            {
+                "user_id": [carry[0]],
+                "n_events": [carry[1]],
+                "n_increases": [carry[2]],
+            }
+        )
+
+
+def udf_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-increase counts over the time-ordered sequence,
+    via repartition + sortWithinPartitions + a streaming mapInPandas
+    consumer (see module note on the secondary-sort contract)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id", "value"
+    )
+    part = ev.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    ).sortWithinPartitions("user_id", "ts_us", "event_id")
+    return part.mapInPandas(_seq_batches, _SEQ_SCHEMA)
+
+
+# ------------------------------------------------------------------
 # Arrow batch-inference lane — the shape of scoring a corpus with a
 # trained model (ONNX head, logistic probe, distillation filter).  The
 # model here is a fixed linear probe over the embedding so the oracle
@@ -270,6 +344,7 @@ QUERIES = {
     "udf_frame_sample": udf_frame_sample,
     "ns_text_subword": ns_text_subword,
     "udf_user_gap_stats": udf_user_gap_stats,
+    "udf_secondary_sort": udf_secondary_sort,
     "udf_batch_inference": udf_batch_inference,
 }
 
@@ -305,6 +380,15 @@ ORACLES = {
         "       THEN 1 ELSE 0 END)), 0)"
         " )) AS BIGINT) AS n_subwords"
         " FROM w"
+    ),
+    "udf_secondary_sort": (
+        "WITH s AS (SELECT user_id, value, lag(value) OVER ("
+        "   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv"
+        "   FROM events)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+        " CAST(sum(CASE WHEN pv IS NOT NULL AND value > pv"
+        "   THEN 1 ELSE 0 END) AS BIGINT) AS n_increases"
+        " FROM s GROUP BY user_id"
     ),
     "udf_user_gap_stats": (
         "WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),"

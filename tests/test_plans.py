@@ -338,3 +338,58 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_repetition_is_shuffle_free_codegen(spark, sf_dir):
+    """Repetition scoring is per-row array arithmetic — no exchange,
+    no explode blowup, no Python."""
+    plan = simple_plan(T.ns_text_repetition(spark, sf_dir))
+    assert count_shuffles(plan) == 0
+    assert not has_python_eval(plan)
+    assert "Generate" not in plan  # no explode
+
+
+def test_cohort_retention_two_bounded_shuffles(spark, sf_dir):
+    """One hashpartitioning on user_id (window min) + one on the
+    bounded (cohort_day, day_offset) aggregate — nothing else."""
+    from decision_tree_analytics_spark.operators import analytics as A
+
+    plan = simple_plan(A.rel_cohort_retention(spark, sf_dir))
+    assert count_shuffles(plan) == 2
+    assert not has_python_eval(plan)
+
+
+def test_gap_fill_generates_distributed_calendar(spark, sf_dir):
+    """The densify step must be a distributed sequence-explode
+    (Generate), never a driver-side calendar, and the plan must stay
+    JVM-side."""
+    from decision_tree_analytics_spark.operators import analytics as A
+
+    plan = simple_plan(A.rel_gap_fill(spark, sf_dir))
+    assert "Generate" in plan and "sequence" in plan
+    assert not has_python_eval(plan)
+
+
+def test_data_quality_single_scan(spark, sf_dir):
+    """N constraints = ONE scan of orders (the Deequ invariant)."""
+    from decision_tree_analytics_spark.operators import analytics as A
+
+    plan = simple_plan(A.rel_data_quality(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+
+
+def test_secondary_sort_one_exchange_then_partition_sort(spark, sf_dir):
+    """The secondary-sort contract: exactly one shuffle (the
+    repartition on user_id), an in-partition (non-global) sort, and
+    the Arrow Python stage."""
+    from decision_tree_analytics_spark.operators import udf_inventory as U
+
+    plan = simple_plan(U.udf_secondary_sort(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    # Sort prints as `Sort [keys], <global>, 0` — require the
+    # in-partition form and forbid a global sort anywhere.
+    assert "Sort [user_id" in plan
+    assert ", false, 0" in plan and ", true, 0" not in plan
+    # Arrow lane, not a row-at-a-time Python UDF.
+    assert "MapInPandas" in plan
+    assert not has_python_eval(plan)

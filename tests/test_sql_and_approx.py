@@ -130,3 +130,48 @@ def test_kmv_estimate_tracks_exact_distinct(spark, sf_dir):
                 ex,
                 r.est_distinct,
             )
+
+
+def test_secondary_sort_carry_survives_tiny_arrow_batches(spark, sf_dir):
+    """Force 7-row Arrow batches so nearly every user group straddles
+    a batch boundary — the carry logic must still produce exactly the
+    window-equivalent answer."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from decision_tree_analytics_spark.operators.udf_inventory import (
+        udf_secondary_sort,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        got = {
+            r.user_id: (r.n_events, r.n_increases)
+            for r in udf_secondary_sort(spark, sf_dir).collect()
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    exp = {
+        r.user_id: (r.n, r.inc)
+        for r in ev.withColumn("pv", F.lag("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("pv").isNotNull() & (F.col("value") > F.col("pv")), 1
+                ).otherwise(0)
+            ).alias("inc"),
+        )
+        .collect()
+    }
+    assert got == exp
