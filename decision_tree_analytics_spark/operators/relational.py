@@ -1055,6 +1055,98 @@ def rel_grouped_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_K = 16
+# 13 md5 hex digits = 52 bits: exact in BIGINT and double.
+_WS_DENOM = float(16**13) + 1.0
+
+
+def rel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (A-Res, Efraimidis &
+    Spirakis): per event_type, keep the K events with the largest
+    priority ln(u)/w, where u ∈ (0,1] is a content-derived md5 hash
+    of the event id and w the event's weight (value > 0).  Heavier
+    rows get priorities closer to 0, hence are likelier to survive —
+    the classic one-pass weighted sample, with the engine's md5 rule
+    standing in for the RNG so the sample is reproducible across
+    engines, runs, and cluster topologies.
+
+    The priority is floor-rounded at 1e-9 before ranking (ln differs
+    across libm implementations in the last ulp; the tie-break on
+    event_id makes the rounded ordering total).  Scale: one window
+    shuffle on the group key; per-group state is the K-row heap —
+    this is the mergeable-sample property A-Res is chosen for."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        + 1
+    ) / F.lit(_WS_DENOM)
+    pr = F.floor(F.log(u) / F.col("value") * 1e9 + 0.5) / 1e9
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("pr").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("pr", pr)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WEIGHTED_SAMPLE_K)
+        .select(
+            "event_type",
+            F.col("rn").cast("long").alias("rn"),
+            "event_id",
+        )
+    )
+
+
+RANGE_FRAME_US = 3_600_000_000  # trailing 1 hour
+
+
+def rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-range window aggregate: per user, the 1-hour
+    trailing event count and value sum at every event — RANGE frames
+    keyed on the µs epoch, the time-series twin of q18's ROWS frame.
+
+    RANGE frames make tie handling deterministic (all peer rows with
+    the same timestamp are in-frame on both engines regardless of
+    physical order).  One shuffle on user_id; frame state is bounded
+    by events-per-hour-per-user."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-RANGE_FRAME_US, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+        (F.floor(F.sum("value").over(w) * 1e6 + 0.5) / 1e6).alias(
+            "trailing_sum"
+        ),
+    )
+
+
+def rel_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar-function family (AND/OR/XOR, shifts,
+    popcount) — sharded-id arithmetic every partitioner/bucketing
+    scheme leans on.  Pure codegen projection, no shuffle."""
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    return e.select(
+        "event_id",
+        F.expr("event_id & 255").cast("long").alias("band"),
+        F.expr("event_id | 4096").cast("long").alias("bor"),
+        F.expr("event_id ^ 1365").cast("long").alias("bxor"),
+        F.shiftright("event_id", 3).cast("long").alias("shr3"),
+        F.shiftleft(F.expr("event_id & 15"), 2).cast("long").alias("shl2"),
+        F.bit_count("event_id").cast("long").alias("popcount"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_project_exclude": q02_project_exclude,
@@ -1106,6 +1198,9 @@ QUERIES = {
     "rel_histogram_quantile": rel_histogram_quantile,
     "rel_event_pattern": rel_event_pattern,
     "rel_kmv_distinct": rel_kmv_distinct,
+    "rel_weighted_sample": rel_weighted_sample,
+    "rel_range_frame": rel_range_frame,
+    "rel_bitwise_fns": rel_bitwise_fns,
 }
 
 ORACLES = {
@@ -1241,6 +1336,36 @@ ORACLES = {
         f" floor((CASE WHEN n_kept < {KMV_K} THEN n_kept"
         f"   ELSE ({KMV_K} - 1) / kth END) * 1e6 + 0.5) / 1e6 AS est_distinct"
         " FROM kmin"
+    ),
+    "rel_weighted_sample": (
+        "WITH p AS (SELECT event_type, event_id,"
+        "   floor(ln((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))"
+        f"     ::BIGINT + 1) / {_WS_DENOM!r}) / value * 1e9 + 0.5) / 1e9 AS pr"
+        "   FROM events),"
+        " r AS (SELECT event_type, event_id, row_number() OVER ("
+        "   PARTITION BY event_type ORDER BY pr DESC, event_id ASC) AS rn"
+        "   FROM p)"
+        " SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id FROM r"
+        f" WHERE rn <= {WEIGHTED_SAMPLE_K}"
+    ),
+    "rel_range_frame": (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value"
+        "   FROM events)"
+        " SELECT user_id, event_id, ts_us,"
+        " CAST(count(*) OVER w AS BIGINT) AS trailing_n,"
+        " floor(sum(value) OVER w * 1e6 + 0.5) / 1e6 AS trailing_sum"
+        " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us"
+        f"   RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)"
+    ),
+    "rel_bitwise_fns": (
+        "SELECT event_id,"
+        " CAST(event_id & 255 AS BIGINT) AS band,"
+        " CAST(event_id | 4096 AS BIGINT) AS bor,"
+        " CAST(xor(event_id, 1365) AS BIGINT) AS bxor,"
+        " CAST(event_id >> 3 AS BIGINT) AS shr3,"
+        " CAST((event_id & 15) << 2 AS BIGINT) AS shl2,"
+        " CAST(bit_count(event_id) AS BIGINT) AS popcount"
+        " FROM events"
     ),
     "rel_event_pattern": (
         "WITH t AS (SELECT user_id,"

@@ -516,6 +516,59 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_DIM = 8
+
+
+def _rp_signs() -> list[list[int]]:
+    """±1 random-projection matrix (RP_DIM × DIM), content-derived:
+    sign j,k = parity of the first md5 hex digit of "rp:j:k" —
+    the dense-projection sibling of _hyperplanes()'s bucketing use
+    (achlioptas-style database-friendly random projection, with md5
+    standing in for the RNG so both engines share the matrix)."""
+    signs = []
+    for j in range(RP_DIM):
+        row = []
+        for k in range(DIM):
+            d = hashlib.md5(f"rp:{j}:{k}".encode()).hexdigest()
+            row.append(1 if int(d[0], 16) % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def _rp_terms(j: int, idx) -> str:
+    """Unrolled ±CAST(embedding[k] AS DOUBLE) sum for output dim j.
+    idx maps the 0-based dim to the engine's subscript (Spark arrays
+    are 0-based, DuckDB 1-based); left-to-right addition order is
+    identical on both sides, so the double arithmetic is bit-equal."""
+    signs = _rp_signs()[j]
+    return " ".join(
+        f"{'+' if s > 0 else '-'} CAST(embedding[{idx(k)}] AS DOUBLE)"
+        for k, s in enumerate(signs)
+    ).lstrip("+ ")
+
+
+def sim_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction 64 → 8: r_j =
+    Σ_k sign(j,k)·emb[k] with a content-derived ±1 matrix (the JL
+    sketch used to cheapen downstream distance computations and as
+    the front half of RP-tree / LSH indexes).
+
+    The 8×64 sign sums are UNROLLED into codegen'd double arithmetic
+    (same trick as sim_pq_topk's distance evaluation) — a narrow
+    map over the corpus, no shuffle, no Python, no HOF-interpreter
+    overhead; at 100 TB this pipelines with the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[
+            (F.floor(F.expr(_rp_terms(j, lambda k: k)) * 1e6 + 0.5) / 1e6).alias(
+                f"r{j}"
+            )
+            for j in range(RP_DIM)
+        ],
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_dist": sim_label_centroid_dist,
@@ -526,7 +579,16 @@ QUERIES = {
     "sim_sq_refined_topk": sim_sq_refined_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_rp_reduce": sim_rp_reduce,
 }
+
+def _rp_oracle() -> str:
+    cols = ", ".join(
+        f"floor(({_rp_terms(j, lambda k: k + 1)}) * 1e6 + 0.5) / 1e6 AS r{j}"
+        for j in range(RP_DIM)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
 
 # Exploded (vec_id, dim index, double value) view of embeddings.
 _SQL_EXPLODED = (
@@ -693,4 +755,5 @@ ORACLES = {
         "     ORDER BY cos_sim DESC, id_b ASC) AS rank FROM scored)"
         " WHERE rank <= 3"
     ),
+    "sim_rp_reduce": _rp_oracle(),
 }

@@ -393,3 +393,34 @@ def test_secondary_sort_one_exchange_then_partition_sort(spark, sf_dir):
     # Arrow lane, not a row-at-a-time Python UDF.
     assert "MapInPandas" in plan
     assert not has_python_eval(plan)
+
+
+def test_bitwise_fns_codegen_no_shuffle(spark, sf_dir):
+    plan = simple_plan(R.rel_bitwise_fns(spark, sf_dir))
+    assert count_shuffles(plan) == 0
+    assert has_whole_stage_codegen(plan)
+    assert not has_python_eval(plan)
+
+
+def test_range_frame_single_shuffle(spark, sf_dir):
+    plan = simple_plan(R.rel_range_frame(spark, sf_dir))
+    assert count_shuffles(plan) == 1  # hashpartitioning on user_id
+    assert not has_python_eval(plan)
+
+
+def test_weighted_sample_single_shuffle(spark, sf_dir):
+    plan = simple_plan(R.rel_weighted_sample(spark, sf_dir))
+    assert count_shuffles(plan) == 1  # hashpartitioning on event_type
+    assert not has_python_eval(plan)
+
+
+def test_rp_reduce_is_narrow_codegen_map(spark, sf_dir):
+    """The 8×64 unrolled sign-sums must stay a shuffle-free,
+    explode-free, Python-free codegen projection."""
+    from decision_tree_analytics_spark.operators import similarity as S
+
+    plan = simple_plan(S.sim_rp_reduce(spark, sf_dir))
+    assert count_shuffles(plan) == 0
+    assert "Generate" not in plan
+    assert has_whole_stage_codegen(plan)
+    assert not has_python_eval(plan)
