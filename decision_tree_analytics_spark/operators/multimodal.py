@@ -171,7 +171,46 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"mm_binary_meta": mm_binary_meta, "mm_byte_stats": mm_byte_stats}
+def mm_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-layout container-header parsing entirely JVM-side — the
+    metadata-extraction path that must NOT need Python at 100 TB
+    (magic/dimensions/length live in the first bytes; only actual
+    pixel decode needs a codec).
+
+    The query synthesizes a 10-byte header (2-byte magic '4D4D' +
+    big-endian u32 width/height derived from doc_id) in front of the
+    text payload, then parses it back with binary substring + hex +
+    conv — build and parse are independent expression trees, so a
+    parse bug breaks the oracle match.  Pure codegen projection: no
+    shuffle, no Python, streams with the scan."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    width = F.pmod(F.col("doc_id"), F.lit(192)) + 64
+    height = F.pmod(F.col("doc_id") * 7, F.lit(192)) + 64
+    be_u32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    framed = d.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("4D4D")), be_u32(width), be_u32(height), F.col("payload")
+        ).alias("framed"),
+    )
+    return framed.select(
+        "doc_id",
+        F.hex(F.expr("substring(framed, 1, 2)")).alias("magic"),
+        F.conv(F.hex(F.expr("substring(framed, 3, 4)")), 16, 10)
+        .cast("long")
+        .alias("width"),
+        F.conv(F.hex(F.expr("substring(framed, 7, 4)")), 16, 10)
+        .cast("long")
+        .alias("height"),
+        (F.octet_length("framed") - 10).cast("long").alias("body_bytes"),
+    )
+
+
+QUERIES = {
+    "mm_binary_meta": mm_binary_meta,
+    "mm_byte_stats": mm_byte_stats,
+    "mm_header_parse": mm_header_parse,
+}
 
 # DuckDB replicates the deterministic fake-decode arithmetic: hex
 # pair k of md5 → byte value via strpos arithmetic.
@@ -204,5 +243,14 @@ ORACLES = {
         " CAST(MAX(byte) AS BIGINT) AS max_byte,"
         " CAST(COUNT(DISTINCT byte) AS BIGINT) AS n_distinct_bytes"
         " FROM b GROUP BY doc_id"
+    ),
+    # Independent arithmetic (no binary round-trip): if the Spark-side
+    # parse misreads an offset or endianness, this mismatches.
+    "mm_header_parse": (
+        "SELECT doc_id, '4D4D' AS magic,"
+        " CAST(doc_id % 192 + 64 AS BIGINT) AS width,"
+        " CAST((doc_id * 7) % 192 + 64 AS BIGINT) AS height,"
+        " CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes"
+        " FROM documents"
     ),
 }

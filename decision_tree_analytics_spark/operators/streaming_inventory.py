@@ -24,7 +24,10 @@ from decision_tree_analytics_spark.streaming.events_stream import (
     windowed_event_counts,
 )
 
+from decision_tree_analytics_spark.streaming.sessionize import session_aggregate
+
 HOUR_US = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 minutes, session_aggregate default
 HALF_HOUR_US = HOUR_US // 2
 
 
@@ -100,6 +103,34 @@ def stream_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization as a real streaming query
+    (availableNow replay) under the oracle gate: gap-merged sessions
+    are SQL-expressible as gaps-and-islands (lag + running boundary
+    sum), so the streaming state machine's output hash-matches DuckDB.
+
+    session_window semantics: a new session starts when the gap is
+    ≥ 30 min (windows are half-open [t, t+gap)); session_end = last
+    event + gap.  State per (user, open session) is one merged
+    window, pruned by the watermark — the 100 TB sessionization path
+    (no per-event buffering, no Python)."""
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        session_aggregate(events_stream(spark, sf_dir)),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.floor(F.col("session_value") * 1e6 + 0.5) / 1e6).alias(
+            "session_value"
+        ),
+    )
+
+
 def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed last-write-wins dedup of streaming upserts (see
     streaming/events_stream.py:window_dedup_latest)."""
@@ -122,6 +153,7 @@ QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_topk": stream_topk,
     "stream_rate_monitor": stream_rate_monitor,
+    "stream_sessionize": stream_sessionize,
     "stream_window_dedup": stream_window_dedup,
 }
 
@@ -155,6 +187,24 @@ ORACLES = {
         " CAST(CASE WHEN n_events > 1.25 * (SELECT avg(n_events) FROM c)"
         "   THEN 1 ELSE 0 END AS BIGINT) AS is_spike"
         " FROM c"
+    ),
+    # Gaps-and-islands: new session when the gap since the previous
+    # event is >= the session gap (session_window's half-open [t,
+    # t+gap) merge rule — note >=, not > as in rel_sessionize's
+    # boundary convention).
+    "stream_sessionize": (
+        "WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS t, value"
+        "   FROM events),"
+        " g AS (SELECT *, CASE WHEN t - lag(t) OVER ("
+        "   PARTITION BY user_id ORDER BY t, event_id)"
+        f"   >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new FROM base),"
+        " s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id"
+        "   ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)"
+        " SELECT user_id, min(t) AS session_start_us,"
+        f" max(t) + {SESSION_GAP_US} AS session_end_us,"
+        " CAST(count(*) AS BIGINT) AS n_events,"
+        " floor(sum(value) * 1e6 + 0.5) / 1e6 AS session_value"
+        " FROM s GROUP BY user_id, sid"
     ),
     "stream_window_dedup": (
         f"SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,"

@@ -424,3 +424,14 @@ def test_rp_reduce_is_narrow_codegen_map(spark, sf_dir):
     assert "Generate" not in plan
     assert has_whole_stage_codegen(plan)
     assert not has_python_eval(plan)
+
+
+def test_header_parse_is_jvm_only(spark, sf_dir):
+    """Binary header build+parse must be a shuffle-free codegen
+    projection with no Python stage."""
+    from decision_tree_analytics_spark.operators import multimodal as M
+
+    plan = simple_plan(M.mm_header_parse(spark, sf_dir))
+    assert count_shuffles(plan) == 0
+    assert not has_python_eval(plan)
+    assert "MapInPandas" not in plan
