@@ -361,6 +361,62 @@ def rel_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _morton_expr(xcol: str, ycol: str, bits: int = 8) -> str:
+    """2-D Morton (Z-order) interleave as one arithmetic expression —
+    valid Spark SQL AND DuckDB SQL verbatim (>>, &, <<, % behave
+    identically on BIGINT), so both engines evaluate the exact same
+    string."""
+    terms = []
+    # Every term fully parenthesized: + binds TIGHTER than << in both
+    # engines (C-style precedence), so `a << 0 + b << 1` would parse
+    # as `a << (0 + b) << 1`.
+    for b in range(bits):
+        terms.append(f"(((({xcol}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({ycol}) >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def rel_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event_id mod
+    256) — the multi-dimensional layout key: rows sorted by this key
+    land range-queries on EITHER dimension in few contiguous row
+    groups, which is what Delta/Iceberg OPTIMIZE ZORDER computes
+    before handing off to exactly the sortWithinPartitions writer
+    this engine already has (sources/formats.write_clustered_parquet).
+    Pure codegen bit arithmetic — no shuffle, no UDF."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    x, y = "user_id % 256", "event_id % 256"
+    return e.select(
+        "event_id",
+        F.expr(x).cast("long").alias("x"),
+        F.expr(y).cast("long").alias("y"),
+        F.expr(_morton_expr(x, y)).cast("long").alias("zkey"),
+    )
+
+
+def rel_variant_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType —
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction.  At scale this replaces
+    per-access string re-parsing (``get_json_object`` re-tokenizes
+    the JSON for every path; a variant parses once and serves every
+    extraction from the binary form — the Parquet VARIANT story).
+    ``try_variant_get`` on a missing path yields NULL, not an error.
+
+    Oracle: DuckDB's JSON lane (json_extract) — same logical answers
+    from a different encoding."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.pmod(k, F.lit(10)).alias("k_mod"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing_path"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+    )
+
+
 # rel_percentile — exact interpolated median per group (both engines
 # define it as linear interpolation between closest ranks).
 def rel_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,6 +868,87 @@ def rel_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: estimated
+    |A∪B| and |A∩B| of the distinct-user sets of every event_type
+    pair — the reason mergeable sketches exist (segment overlap /
+    audience intersection at 100 TB without re-scanning raw data).
+
+    Estimator (Dasgupta et al. theta sketch): per set keep the K
+    smallest content-derived hashes and the threshold θ = K-th
+    smallest (θ = 1 when the set has fewer than K members, i.e. the
+    sketch is exact).  For a pair, θ∧ = min(θ_A, θ_B); every retained
+    hash < θ∧ is a uniform sample of the union, so
+    |A∪B| ≈ |S_A ∪ S_B| / θ∧ and |A∩B| ≈ |S_A ∩ S_B| / θ∧.
+
+    Scale: after the per-type K-min window (the only data-sized
+    shuffle, shared with rel_kmv_distinct), everything operates on
+    ≤ |types|·K sketch rows — the pair joins never touch the events
+    table again."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    u = d.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+            ).cast("long")
+            / KMV_SCALE
+        ).alias("u"),
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    ranked = u.withColumn("rn", F.row_number().over(w))
+    theta = ranked.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < KMV_K, F.lit(1.0))
+        .otherwise(F.max(F.when(F.col("rn") <= KMV_K, F.col("u"))))
+        .alias("theta")
+    )
+    kmin = ranked.filter(F.col("rn") <= KMV_K).select("event_type", "u")
+    ta, tb = theta.alias("ta"), theta.alias("tb")
+    pairs = ta.join(
+        tb, F.col("ta.event_type") < F.col("tb.event_type")
+    ).select(
+        F.col("ta.event_type").alias("type_a"),
+        F.col("tb.event_type").alias("type_b"),
+        F.least("ta.theta", "tb.theta").alias("th"),
+    )
+    sa = pairs.join(
+        kmin, (pairs.type_a == kmin.event_type) & (kmin.u < pairs.th)
+    ).select("type_a", "type_b", "u", "th")
+    sb = pairs.join(
+        kmin, (pairs.type_b == kmin.event_type) & (kmin.u < pairs.th)
+    ).select("type_a", "type_b", "u", "th")
+    un = (
+        sa.unionByName(sb)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.countDistinct("u").cast("long").alias("n_union_sample"),
+            F.min("th").alias("th"),
+        )
+    )
+    it = (
+        sa.select("type_a", "type_b", "u")
+        .join(sb.select("type_a", "type_b", "u"), ["type_a", "type_b", "u"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter_sample"))
+    )
+    j = un.join(it, ["type_a", "type_b"], "left")
+    ni = F.coalesce(F.col("n_inter_sample"), F.lit(0)).cast("long")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_union_sample",
+        ni.alias("n_inter_sample"),
+        (F.floor(F.col("n_union_sample") / F.col("th") * 1e6 + 0.5) / 1e6).alias(
+            "est_union"
+        ),
+        (F.floor(ni / F.col("th") * 1e6 + 0.5) / 1e6).alias("est_inter"),
+    )
+
+
 def rel_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE-lite: per-user event-sequence pattern matching.
 
@@ -1198,9 +1335,12 @@ QUERIES = {
     "rel_histogram_quantile": rel_histogram_quantile,
     "rel_event_pattern": rel_event_pattern,
     "rel_kmv_distinct": rel_kmv_distinct,
+    "rel_kmv_setops": rel_kmv_setops,
     "rel_weighted_sample": rel_weighted_sample,
     "rel_range_frame": rel_range_frame,
     "rel_bitwise_fns": rel_bitwise_fns,
+    "rel_variant_fns": rel_variant_fns,
+    "rel_zorder_key": rel_zorder_key,
 }
 
 ORACLES = {
@@ -1337,6 +1477,41 @@ ORACLES = {
         f"   ELSE ({KMV_K} - 1) / kth END) * 1e6 + 0.5) / 1e6 AS est_distinct"
         " FROM kmin"
     ),
+    "rel_kmv_setops": (
+        "WITH d AS (SELECT DISTINCT event_type, user_id FROM events),"
+        " h AS (SELECT event_type,"
+        "   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT"
+        f"     / {KMV_SCALE!r} AS u FROM d),"
+        " r AS (SELECT event_type, u, row_number() OVER ("
+        "   PARTITION BY event_type ORDER BY u) AS rn FROM h),"
+        " th AS (SELECT event_type,"
+        f"   CASE WHEN count(*) < {KMV_K} THEN 1.0"
+        f"     ELSE max(CASE WHEN rn <= {KMV_K} THEN u END) END AS theta"
+        "   FROM r GROUP BY 1),"
+        f" km AS (SELECT event_type, u FROM r WHERE rn <= {KMV_K}),"
+        " pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,"
+        "   least(a.theta, b.theta) AS th FROM th a JOIN th b"
+        "   ON a.event_type < b.event_type),"
+        " sa AS (SELECT p.type_a, p.type_b, k.u, p.th FROM pairs p"
+        "   JOIN km k ON k.event_type = p.type_a AND k.u < p.th),"
+        " sb AS (SELECT p.type_a, p.type_b, k.u, p.th FROM pairs p"
+        "   JOIN km k ON k.event_type = p.type_b AND k.u < p.th),"
+        " un AS (SELECT type_a, type_b,"
+        "   CAST(count(DISTINCT u) AS BIGINT) AS n_union_sample,"
+        "   min(th) AS th FROM"
+        "   (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY 1, 2),"
+        " it AS (SELECT sa.type_a, sa.type_b,"
+        "   CAST(count(*) AS BIGINT) AS n_inter_sample FROM sa JOIN sb"
+        "   ON sa.type_a = sb.type_a AND sa.type_b = sb.type_b"
+        "     AND sa.u = sb.u GROUP BY 1, 2)"
+        " SELECT un.type_a, un.type_b, un.n_union_sample,"
+        " CAST(coalesce(it.n_inter_sample, 0) AS BIGINT) AS n_inter_sample,"
+        " floor(un.n_union_sample / un.th * 1e6 + 0.5) / 1e6 AS est_union,"
+        " floor(coalesce(it.n_inter_sample, 0) / un.th * 1e6 + 0.5) / 1e6"
+        "   AS est_inter"
+        " FROM un LEFT JOIN it"
+        " ON un.type_a = it.type_a AND un.type_b = it.type_b"
+    ),
     "rel_weighted_sample": (
         "WITH p AS (SELECT event_type, event_id,"
         "   floor(ln((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))"
@@ -1356,6 +1531,22 @@ ORACLES = {
         " floor(sum(value) OVER w * 1e6 + 0.5) / 1e6 AS trailing_sum"
         " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us"
         f"   RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)"
+    ),
+    "rel_zorder_key": (
+        "SELECT event_id,"
+        " CAST(user_id % 256 AS BIGINT) AS x,"
+        " CAST(event_id % 256 AS BIGINT) AS y,"
+        f" CAST({_morton_expr('user_id % 256', 'event_id % 256')} AS BIGINT)"
+        "   AS zkey"
+        " FROM events"
+    ),
+    "rel_variant_fns": (
+        "SELECT event_id,"
+        " json_extract(props, '$.k')::BIGINT AS k,"
+        " json_extract(props, '$.k')::BIGINT % 10 AS k_mod,"
+        " json_extract(props, '$.missing')::BIGINT AS missing_path,"
+        " json_extract_string(props, '$.k') AS k_str"
+        " FROM events"
     ),
     "rel_bitwise_fns": (
         "SELECT event_id,"

@@ -175,3 +175,38 @@ def test_secondary_sort_carry_survives_tiny_arrow_batches(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_kmv_setops_estimates_track_exact(spark, sf_dir):
+    """Union/intersection estimates within ~4/sqrt(K) relative error
+    of the exact set cardinalities (exact when both sketches kept
+    everything, i.e. theta == 1)."""
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.operators.relational import (
+        KMV_K,
+        rel_kmv_setops,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sets = {
+        t: {r.user_id for r in rows}
+        for t, rows in (
+            (r.event_type, d.filter(F.col("event_type") == r.event_type)
+             .select("user_id").collect())
+            for r in d.select("event_type").distinct().collect()
+        )
+    }
+    tol = 4 / KMV_K**0.5
+    for r in rel_kmv_setops(spark, sf_dir).collect():
+        a, b = sets[r.type_a], sets[r.type_b]
+        ex_u, ex_i = len(a | b), len(a & b)
+        assert abs(r.est_union - ex_u) <= tol * ex_u + 1e-9, (
+            r.type_a, r.type_b, ex_u, r.est_union)
+        assert abs(r.est_inter - ex_i) <= tol * max(ex_i, ex_u / 4) + 1e-9, (
+            r.type_a, r.type_b, ex_i, r.est_inter)
