@@ -58,6 +58,9 @@ BENCH_EXTRAS = [
     "rel_grouped_topk",
     "rel_asof_join",
     "sim_pq_topk",
+    "rel_gap_fill",
+    "udf_secondary_sort",
+    "rel_kmv_setops",
 ]
 
 

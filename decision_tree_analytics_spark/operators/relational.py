@@ -31,6 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
 
 
@@ -901,12 +902,19 @@ def rel_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("u")
     ranked = u.withColumn("rn", F.row_number().over(w))
-    theta = ranked.groupBy("event_type").agg(
+    # The sketch table is ≤ |types|·K rows and feeds THREE consumers
+    # (theta, S_A, S_B); persisting it keeps the events scan + K-min
+    # window single-execution (tether releases it with the result).
+    kmin = (
+        ranked.filter(F.col("rn") <= KMV_K).select("event_type", "u").persist()
+    )
+    # theta derives from the sketch alone: a type kept fewer than K
+    # hashes iff its set has fewer than K members (θ = 1, exact).
+    theta = kmin.groupBy("event_type").agg(
         F.when(F.count(F.lit(1)) < KMV_K, F.lit(1.0))
-        .otherwise(F.max(F.when(F.col("rn") <= KMV_K, F.col("u"))))
+        .otherwise(F.max("u"))
         .alias("theta")
     )
-    kmin = ranked.filter(F.col("rn") <= KMV_K).select("event_type", "u")
     ta, tb = theta.alias("ta"), theta.alias("tb")
     pairs = ta.join(
         tb, F.col("ta.event_type") < F.col("tb.event_type")
@@ -937,7 +945,7 @@ def rel_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = un.join(it, ["type_a", "type_b"], "left")
     ni = F.coalesce(F.col("n_inter_sample"), F.lit(0)).cast("long")
-    return j.select(
+    result = j.select(
         "type_a",
         "type_b",
         "n_union_sample",
@@ -947,6 +955,7 @@ def rel_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(ni / F.col("th") * 1e6 + 0.5) / 1e6).alias("est_inter"),
     )
+    return tether_cache(result, kmin)
 
 
 def rel_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
