@@ -403,6 +403,187 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tether_cache(result, both)
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup scoring over the LSH candidate pairs:
+    estimated CONTAINMENT of the smaller shingle set in the larger
+    (quote/boilerplate/subset detection — Jaccard misses a short doc
+    fully embedded in a long one, containment doesn't).
+
+    From each candidate pair's signature agreement m/K ≈ J and the
+    exact per-doc distinct-shingle counts:
+    |A∪B| = (|A|+|B|)/(1+J), |A∩B| = J·|A∪B|, containment =
+    |A∩B|/min(|A|,|B|).
+
+    Scale: the persisted signature table feeds band-bucketing AND the
+    two pair-side joins (computed once); the per-doc size is a
+    map-only array expression; everything downstream of the bucket
+    join is bounded by the candidate-pair count."""
+    d = load_table(spark, sf_dir, "documents")
+    wide = _minhash_wide(d).persist()
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_cols = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"h{i}")
+            for i in range(b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS)
+        ]
+        band_cols.append(F.md5(F.concat_ws(",", *cols)).alias(f"b{b}"))
+    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *band_cols).select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack}) AS (band, band_key)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    m = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    ).cast("long")
+    toked = d.select("doc_id", _tokens().alias("toks"))
+    sizes = toked.select(
+        "doc_id",
+        F.size(F.array_distinct(_word_shingles(F.col("toks"))))
+        .cast("long")
+        .alias("n_sh"),
+    )
+    agree = (
+        pairs.join(wa, "doc_a").join(wb, "doc_b").select(
+            "doc_a", "doc_b", m.alias("n_agree")
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    j = F.col("n_agree") / float(MINHASH_K)
+    cont = (
+        j * (F.col("n_sh_a") + F.col("n_sh_b"))
+        / ((1 + j) * F.least("n_sh_a", "n_sh_b"))
+    )
+    result = (
+        agree.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            "n_agree",
+            "n_sh_a",
+            "n_sh_b",
+            (F.floor(j * 1e6 + 0.5) / 1e6).alias("est_jaccard"),
+            (F.floor(cont * 1e6 + 0.5) / 1e6).alias("est_containment"),
+        )
+    )
+    return tether_cache(result, wide)
+
+
+# ------------------------------------------------------------------
+# Prefix-filter threshold 0.7 as an exact fraction — float 0.7·n can
+# land a hair above the true product and over-shrink the prefix, so
+# all threshold arithmetic stays integer on both engines.
+PREFIX_T_NUM, PREFIX_T_DEN = 7, 10
+
+
+def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at token-Jaccard ≥ 0.7 via
+    prefix filtering (AllPairs/PPJoin candidate generation).  Unlike
+    the MinHash-LSH path this is lossless: a pair with J ≥ t is
+    *guaranteed* to share a token inside both docs' prefixes, so the
+    output equals a brute-force all-pairs scan — which is exactly what
+    the DuckDB oracle runs, making the oracle a proof of recall, not
+    just of agreement.
+
+    Prefix rule: order every doc's distinct tokens by ascending
+    corpus frequency (rarest first, ties by token), keep the first
+    n - ⌈t·n⌉ + 1.  Rare tokens front-load the prefixes, so prefix
+    buckets stay small where full-token buckets (dedup_ngram_jaccard's
+    join) blow up on stopwords.
+
+    Scale shape: token explode → corpus-frequency join (token-keyed
+    shuffle) → per-doc rank window (doc-keyed, bounded rows) →
+    prefix-bucket self-join (Σ bucket², buckets capped by rarity) →
+    intersection count only over surviving candidates.  No stage is
+    quadratic in the corpus."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    ).persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # integer ceil(t·n) = (t_num·n + t_den - 1) div t_den
+    plen = (
+        F.col("n")
+        - F.expr(f"({PREFIX_T_NUM} * n + {PREFIX_T_DEN - 1}) div {PREFIX_T_DEN}")
+        + 1
+    )
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    pref = ranked.filter(F.col("rk") <= plen).select("doc_id", "tok")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    result = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("n_inter") * PREFIX_T_DEN >= PREFIX_T_NUM * union_n)
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.floor(F.col("n_inter") / union_n * 1e6 + 0.5) / 1e6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return tether_cache(result, toks)
+
+
 QUERIES = {
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_signature": dedup_minhash_signature,
@@ -412,6 +593,8 @@ QUERIES = {
     "dedup_embedding_neardup": dedup_embedding_neardup,
     "dedup_incremental": dedup_incremental,
     "dedup_components": dedup_components,
+    "dedup_containment": dedup_containment,
+    "dedup_prefix_join": dedup_prefix_join,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -446,6 +629,51 @@ ORACLES = {
         " CAST(b.doc_id AS BIGINT) AS doc_b"
         " FROM bands a JOIN bands b"
         " ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    ),
+    "dedup_containment": (
+        "WITH sigs AS (" + _SQL_SIGS + "),"
+        f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
+        "   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY h)) AS band_key"
+        "   FROM sigs GROUP BY 1, 2),"
+        " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        "   FROM bands a JOIN bands b"
+        "   ON a.band = b.band AND a.band_key = b.band_key"
+        "     AND a.doc_id < b.doc_id),"
+        " agree AS (SELECT p.doc_a, p.doc_b,"
+        "   CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)"
+        "     AS m"
+        "   FROM pairs p JOIN sigs sa ON sa.doc_id = p.doc_a"
+        "   JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.h = sa.h"
+        "   GROUP BY 1, 2),"
+        f" sizes AS (SELECT doc_id,"
+        f"   CAST(len(list_distinct({_SQL_SHINGLES})) AS BIGINT) AS n"
+        "   FROM documents)"
+        " SELECT CAST(doc_a AS BIGINT) AS doc_a,"
+        " CAST(doc_b AS BIGINT) AS doc_b, m AS n_agree,"
+        " sa.n AS n_sh_a, sb.n AS n_sh_b,"
+        f" floor(m / {float(MINHASH_K)!r} * 1e6 + 0.5) / 1e6 AS est_jaccard,"
+        f" floor((m / {float(MINHASH_K)!r}) * (sa.n + sb.n)"
+        f"   / ((1 + m / {float(MINHASH_K)!r}) * least(sa.n, sb.n))"
+        "   * 1e6 + 0.5) / 1e6 AS est_containment"
+        " FROM agree JOIN sizes sa ON doc_a = sa.doc_id"
+        " JOIN sizes sb ON doc_b = sb.doc_id"
+    ),
+    # Brute-force all-pairs: prefix filtering is lossless, so the
+    # scalable plan must reproduce this exactly (recall proof).
+    "dedup_prefix_join": (
+        f"WITH toks AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS s"
+        "   FROM documents)"
+        " SELECT CAST(a.doc_id AS BIGINT) AS doc_a,"
+        " CAST(b.doc_id AS BIGINT) AS doc_b,"
+        " CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,"
+        " CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b,"
+        " floor(len(list_intersect(a.s, b.s))"
+        "   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+        "   * 1e6 + 0.5) / 1e6 AS jaccard"
+        " FROM toks a JOIN toks b ON a.doc_id < b.doc_id"
+        f" WHERE len(list_intersect(a.s, b.s)) * {PREFIX_T_DEN}"
+        f"   >= {PREFIX_T_NUM}"
+        "   * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
     ),
     "dedup_simhash": (
         "WITH toks AS (SELECT doc_id, md5(unnest(list_distinct("

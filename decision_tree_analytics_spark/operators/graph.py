@@ -125,7 +125,48 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.join(e2, "n2").join(e3, ["n1", "n3"]).select("n1", "n2", "n3")
 
 
-QUERIES = {"graph_pagerank": graph_pagerank, "graph_triangles": graph_triangles}
+KHOP_ROUNDS = 3
+
+
+def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop reachability (BFS with min-hop labels) from a
+    deterministic seed over the SPARSIFIED trade graph (edges above
+    the mean weight — the full nation graph is near-complete, so the
+    threshold creates real multi-hop topology at every SF).
+
+    Each round is one edges ⋈ frontier shuffle keyed on src followed
+    by a min-aggregate on dst — the Pregel superstep shape; with
+    KHOP_ROUNDS fixed, the rounds unroll into one Catalyst plan (and
+    into chained CTEs for the oracle), the same trick as
+    graph_pagerank.  At real scale you persist the frontier per round
+    exactly as dedup.connected_components does."""
+    edges = _trade_edges(spark, sf_dir)
+    mean_w = edges.agg(F.avg("weight").alias("mw"))
+    sparse = (
+        edges.crossJoin(F.broadcast(mean_w))
+        .filter(F.col("weight") > F.col("mw"))
+        .select("src", "dst")
+    )
+    seed = sparse.agg(F.min("src").alias("node"))
+    reach = F.broadcast(seed).select("node", F.lit(0).alias("hop"))
+    for _ in range(KHOP_ROUNDS):
+        nxt = (
+            sparse.join(reach, sparse.src == reach.node)
+            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        reach = (
+            reach.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return reach.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+QUERIES = {
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
+    "graph_khop": graph_khop,
+}
 
 _SQL_EDGES = (
     "SELECT n1.n_name AS src, n2.n_name AS dst, COUNT(*) AS weight"
@@ -175,5 +216,20 @@ ORACLES = {
         " SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3"
         " FROM und e1 JOIN und e2 ON e1.b = e2.a"
         " JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    ),
+    "graph_khop": (
+        f"WITH edges AS ({_SQL_EDGES}),"
+        " sparse AS (SELECT src, dst FROM edges"
+        "   WHERE weight > (SELECT avg(weight) FROM edges)),"
+        " r0 AS (SELECT min(src) AS node, 0 AS hop FROM sparse),"
+        + ",".join(
+            f" r{i + 1} AS (SELECT node, min(hop) AS hop FROM ("
+            f"   SELECT node, hop FROM r{i} UNION ALL"
+            f"   SELECT s.dst AS node, r{i}.hop + 1 AS hop"
+            f"   FROM sparse s JOIN r{i} ON s.src = r{i}.node)"
+            "   GROUP BY node)"
+            for i in range(KHOP_ROUNDS)
+        )
+        + f" SELECT node, CAST(hop AS BIGINT) AS hop FROM r{KHOP_ROUNDS}"
     ),
 }
