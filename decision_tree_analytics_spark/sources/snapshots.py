@@ -1,0 +1,205 @@
+"""Snapshot table layout — Iceberg/Delta-style versioned reads over
+plain parquet, with write-audit-publish.
+
+Why a lake needs this: a directory of parquet files has no atomicity
+(readers see half-written data), no history (yesterday's table is
+gone), and no safe audit step (bad data is live the instant it lands).
+The snapshot layout fixes all three with two ideas the table formats
+share:
+
+* **data files are immutable** — every commit writes a fresh
+  ``data/s<N>/`` file set and never touches existing files;
+* **state is a manifest + one pointer** — ``metadata/snap-<N>.json``
+  lists the exact data files of snapshot N, and ``metadata/_latest``
+  names the published snapshot.  Publishing is a single atomic
+  rename, so readers always see a complete snapshot, never a
+  partial write.
+
+Scale notes: the reader plans its scan from the manifest's file list
+(``spark.read.parquet(*files)``) — no directory walk, no eventual-
+consistency listing races, and a 1000-executor scan of a million-file
+table starts from one small JSON read.  Snapshot isolation is free:
+a long job pins the manifest it started with while writers race
+ahead.  Real Iceberg splits manifests into a tree and tracks
+per-file column stats for pruning; this layout keeps the semantics
+(atomic commits, time travel, WAP, expiry) with one manifest level.
+
+Optimistic concurrency: a commit allocates ``max(existing)+1`` and
+creates its manifest with O_EXCL — two racing writers cannot both
+win the same snapshot id; the loser retries on a fresh id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from decision_tree_analytics_spark.session import prepare_session
+
+_LATEST = "_latest"
+
+
+class NoPublishedSnapshot(RuntimeError):
+    pass
+
+
+class SnapshotNotFound(RuntimeError):
+    pass
+
+
+class SnapshotTable:
+    """A versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        prepare_session(spark)
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- metadata ---------------------------------------------------
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.meta_dir, f"snap-{sid:05d}.json")
+
+    def snapshot_ids(self) -> list[int]:
+        return sorted(
+            int(f[5:10])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("snap-") and f.endswith(".json")
+        )
+
+    def manifest(self, sid: int) -> dict:
+        p = self._manifest_path(sid)
+        if not os.path.exists(p):
+            raise SnapshotNotFound(f"snapshot {sid} does not exist at {self.path}")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def latest_id(self) -> int:
+        p = os.path.join(self.meta_dir, _LATEST)
+        if not os.path.exists(p):
+            raise NoPublishedSnapshot(f"no published snapshot at {self.path}")
+        with open(p) as fh:
+            return int(fh.read().strip())
+
+    def history(self) -> list[dict]:
+        return [self.manifest(s) for s in self.snapshot_ids()]
+
+    # -- commit -----------------------------------------------------
+    def _write_files(self, df: DataFrame, sid: int) -> list[str]:
+        out = os.path.join(self.data_dir, f"s{sid:05d}")
+        df.write.mode("error").parquet(out)
+        rel = []
+        for root, _dirs, files in os.walk(out):
+            for f in files:
+                if f.endswith(".parquet"):
+                    full = os.path.join(root, f)
+                    rel.append(os.path.relpath(full, self.path))
+        return sorted(rel)
+
+    def _commit(self, df: DataFrame, operation: str, publish: bool) -> int:
+        for _ in range(5):
+            ids = self.snapshot_ids()
+            sid = (ids[-1] if ids else 0) + 1
+            try:
+                # O_EXCL claims the id before any heavy work; a racing
+                # writer loses the create and retries on a fresh id.
+                fd = os.open(
+                    self._manifest_path(sid),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue
+            try:
+                parent: int | None = None
+                base: list[str] = []
+                if ids:
+                    parent = self.latest_id() if self._published() else ids[-1]
+                    if operation == "append":
+                        base = self.manifest(parent)["files"]
+                new_files = self._write_files(df, sid)
+                manifest = {
+                    "snapshot_id": sid,
+                    "parent_id": parent,
+                    "operation": operation,
+                    "committed_at": time.time(),
+                    "files": base + new_files,
+                    "summary": {"added_files": len(new_files)},
+                }
+                os.write(fd, json.dumps(manifest, indent=1).encode())
+            except BaseException:
+                os.close(fd)
+                os.remove(self._manifest_path(sid))  # release the claim
+                raise
+            else:
+                os.close(fd)
+            if publish:
+                self.publish(sid)
+            return sid
+        raise RuntimeError("snapshot id allocation kept colliding")
+
+    def _published(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, _LATEST))
+
+    def append(self, df: DataFrame, publish: bool = True) -> int:
+        """Commit a new snapshot = published files + df's files."""
+        return self._commit(df, "append", publish)
+
+    def overwrite(self, df: DataFrame, publish: bool = True) -> int:
+        """Commit a new snapshot containing only df's files."""
+        return self._commit(df, "overwrite", publish)
+
+    def publish(self, sid: int) -> None:
+        """Atomically move the table pointer to snapshot ``sid`` —
+        the write-audit-**publish** step (also: rollback)."""
+        self.manifest(sid)  # must exist
+        tmp = os.path.join(self.meta_dir, f"._latest.{sid}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(sid))
+        os.replace(tmp, os.path.join(self.meta_dir, _LATEST))
+
+    rollback = publish
+
+    # -- read -------------------------------------------------------
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """The table as of ``snapshot_id`` (default: published
+        latest).  Plans from the manifest file list — never lists
+        directories."""
+        sid = self.latest_id() if snapshot_id is None else snapshot_id
+        files = self.manifest(sid)["files"]
+        if not files:
+            raise SnapshotNotFound(f"snapshot {sid} has no data files")
+        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+
+    # -- maintenance ------------------------------------------------
+    def expire(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots (never the
+        published one) and delete data files no kept snapshot
+        references.  Returns the deleted paths."""
+        ids = self.snapshot_ids()
+        keep = set(ids[-keep_last:]) if keep_last else set()
+        if self._published():
+            keep.add(self.latest_id())
+        live: set[str] = set()
+        for s in keep:
+            live.update(self.manifest(s)["files"])
+        deleted = []
+        for s in ids:
+            if s not in keep:
+                os.remove(self._manifest_path(s))
+                deleted.append(self._manifest_path(s))
+        for root, _dirs, files in os.walk(self.data_dir):
+            for f in files:
+                full = os.path.join(root, f)
+                if (
+                    f.endswith(".parquet")
+                    and os.path.relpath(full, self.path) not in live
+                ):
+                    os.remove(full)
+                    deleted.append(full)
+        return deleted

@@ -1,0 +1,100 @@
+"""Snapshot table: atomic commits, time travel, write-audit-publish,
+rollback, and expiry over plain parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from decision_tree_analytics_spark.sources.snapshots import (
+    NoPublishedSnapshot,
+    SnapshotNotFound,
+    SnapshotTable,
+)
+from decision_tree_analytics_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+
+def test_append_history_and_time_travel(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    first = docs.filter(F.col("doc_id") < 50)
+    second = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    s1 = t.append(first)
+    s2 = t.append(second)
+    assert t.latest_id() == s2
+    assert t.read().count() == first.count() + second.count()
+    # Time travel: snapshot 1 still reads exactly the first batch.
+    assert t.read(s1).count() == first.count()
+    assert t.read(s1).exceptAll(first).count() == 0
+    ops = [m["operation"] for m in t.history()]
+    assert ops == ["append", "append"]
+    assert t.manifest(s2)["parent_id"] == s1
+
+
+def test_overwrite_keeps_old_snapshot_readable(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(docs.filter(F.col("doc_id") < 50))
+    s2 = t.overwrite(docs.filter(F.col("doc_id") >= 90))
+    assert t.read().count() == docs.filter(F.col("doc_id") >= 90).count()
+    assert t.read(s1).count() == 50
+    assert t.manifest(s2)["operation"] == "overwrite"
+
+
+def test_write_audit_publish(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(docs.filter(F.col("doc_id") < 50))
+    published = t.latest_id()
+    # Stage without publishing: readers still see the old snapshot.
+    staged = t.append(docs.filter(F.col("doc_id") >= 50), publish=False)
+    assert t.latest_id() == published
+    assert t.read().count() == 50
+    # Audit the staged snapshot directly, then publish atomically.
+    audit = t.read(staged)
+    assert audit.count() == docs.count()
+    t.publish(staged)
+    assert t.latest_id() == staged
+    assert t.read().count() == docs.count()
+
+
+def test_rollback(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(docs.filter(F.col("doc_id") < 50))
+    t.overwrite(docs.filter(F.col("doc_id") < 10))
+    assert t.read().count() == 10
+    t.rollback(s1)
+    assert t.read().count() == 50
+
+
+def test_expire_drops_orphans_keeps_live(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(docs.filter(F.col("doc_id") < 30))
+    t.overwrite(docs.filter(F.col("doc_id") < 20))
+    s3 = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    deleted = t.expire(keep_last=1)
+    assert deleted  # two manifests + their now-orphaned data files
+    assert t.snapshot_ids() == [s3]
+    assert t.read().count() == 10  # published snapshot untouched
+
+
+def test_missing_snapshot_and_empty_table_errors(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(NoPublishedSnapshot):
+        t.read()
+    t.append(docs.limit(5))
+    with pytest.raises(SnapshotNotFound):
+        t.read(99)
+
+
+def test_staged_then_never_published_is_invisible_to_append(spark, docs, tmp_path):
+    # An append on top of a table with an unpublished staged snapshot
+    # chains from the PUBLISHED state, not the staged one.
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(docs.filter(F.col("doc_id") < 10))
+    t.append(docs.filter(F.col("doc_id") >= 95), publish=False)  # staged
+    t.append(docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)))
+    assert t.read().count() == 20
