@@ -137,10 +137,125 @@ def rel_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited
+    to the user's most recent preceding click/view (the "touch"),
+    with the touch-to-purchase latency.
+
+    One user-keyed shuffle; the as-of lookup is a conditional running
+    ``last(ignorenulls)`` window — no self-join, no range join, the
+    same union-free shape as rel_asof_join.  Purchases with no prior
+    touch (organic) are dropped here; a left variant would keep them
+    with NULL channel."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.col("event_type").isin("click", "view")
+    attributed = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "t",
+        F.last(F.when(touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(touch, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("touch_t"),
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_channel"),
+    )
+    return (
+        attributed.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_event_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").cast("long").alias("purchase_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("touch_event_id").cast("long").alias("touch_event_id"),
+            "touch_channel",
+            (F.col("t") - F.col("touch_t")).cast("long").alias("latency_us"),
+        )
+    )
+
+
+def rel_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrency: the maximum number of user sessions
+    simultaneously active within each day (sessions = 30-min-gap
+    sessionization, clipped at day boundaries).
+
+    The interval-overlap sweep: each clipped session emits (+1 at
+    start, -1 past end); a per-day running sum over the ordered
+    deltas is the instantaneous concurrency, and its max is the
+    answer.  The sweep window partitions on day — state is bounded
+    by one day's deltas, days parallelize, and no interval self-join
+    (the naive O(n²) formulation) ever happens.  Tie order
+    (t, delta, user, session) is total, so the running max is
+    engine-deterministic."""
+    from decision_tree_analytics_spark.operators.relational import rel_sessionize
+
+    sess = rel_sessionize(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        F.col("session_start_us").alias("st"),
+        F.col("session_end_us").alias("en"),
+    )
+    days = sess.select(
+        "user_id",
+        "session_id",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {US_PER_DAY}"), F.expr(f"en div {US_PER_DAY}")
+            )
+        ).alias("day"),
+    )
+    clip = days.select(
+        "day",
+        "user_id",
+        "session_id",
+        F.greatest(F.col("st"), F.col("day") * US_PER_DAY).alias("cs"),
+        F.least(F.col("en"), (F.col("day") + 1) * US_PER_DAY - 1).alias("ce"),
+    )
+    deltas = clip.select(
+        "day", F.col("cs").alias("t"), F.lit(1).alias("d"), "user_id", "session_id"
+    ).unionByName(
+        clip.select(
+            "day",
+            (F.col("ce") + 1).alias("t"),
+            F.lit(-1).alias("d"),
+            "user_id",
+            "session_id",
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "d", "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.select("day", "d", F.sum("d").over(w).alias("c"))
+    return run.groupBy(F.col("day").cast("long").alias("day")).agg(
+        F.max("c").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+    )
+
+
 QUERIES = {
     "rel_cohort_retention": rel_cohort_retention,
     "rel_gap_fill": rel_gap_fill,
     "rel_data_quality": rel_data_quality,
+    "rel_attribution": rel_attribution,
+    "rel_concurrency": rel_concurrency,
 }
 
 ORACLES = {
@@ -196,5 +311,56 @@ ORACLES = {
         "     CAST(n_bad_status AS DOUBLE),"
         "     CAST(n_bad_status = 0 AS BIGINT) FROM a"
         " ) t"
+    ),
+    "rel_attribution": (
+        "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t"
+        "   FROM events),"
+        " w AS (SELECT event_id, user_id, event_type, t,"
+        "   last_value(CASE WHEN event_type IN ('click','view')"
+        "     THEN event_id END IGNORE NULLS) OVER win AS touch_event_id,"
+        "   last_value(CASE WHEN event_type IN ('click','view')"
+        "     THEN t END IGNORE NULLS) OVER win AS touch_t,"
+        "   last_value(CASE WHEN event_type IN ('click','view')"
+        "     THEN event_type END IGNORE NULLS) OVER win AS touch_channel"
+        "   FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+        " SELECT CAST(event_id AS BIGINT) AS purchase_id,"
+        " CAST(user_id AS BIGINT) AS user_id,"
+        " CAST(touch_event_id AS BIGINT) AS touch_event_id, touch_channel,"
+        " CAST(t - touch_t AS BIGINT) AS latency_us"
+        " FROM w WHERE event_type = 'purchase'"
+        "   AND touch_event_id IS NOT NULL"
+    ),
+    "rel_concurrency": (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),"
+        " g AS (SELECT user_id, event_id, t,"
+        "   CASE WHEN t - lag(t) OVER (PARTITION BY user_id"
+        "     ORDER BY t, event_id) > 1800000000 THEN 1 ELSE 0 END AS is_new"
+        "   FROM e),"
+        " s AS (SELECT user_id, t,"
+        "   sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "     AS session_id FROM g),"
+        " sess AS (SELECT user_id, session_id, min(t) AS st, max(t) AS en"
+        "   FROM s GROUP BY 1, 2),"
+        f" days AS (SELECT user_id, session_id, st, en,"
+        f"   unnest(generate_series(st // {US_PER_DAY}, en // {US_PER_DAY}))"
+        "     AS day FROM sess),"
+        f" clip AS (SELECT day, user_id, session_id,"
+        f"   greatest(st, day * {US_PER_DAY}) AS cs,"
+        f"   least(en, (day + 1) * {US_PER_DAY} - 1) AS ce FROM days),"
+        " deltas AS ("
+        "   SELECT day, cs AS t, 1 AS d, user_id, session_id FROM clip"
+        "   UNION ALL"
+        "   SELECT day, ce + 1, -1, user_id, session_id FROM clip),"
+        " run AS (SELECT day, d,"
+        "   sum(d) OVER (PARTITION BY day ORDER BY t, d, user_id, session_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c"
+        "   FROM deltas)"
+        " SELECT CAST(day AS BIGINT) AS day,"
+        " CAST(max(c) AS BIGINT) AS peak_concurrency,"
+        " CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_sessions"
+        " FROM run GROUP BY 1"
     ),
 }

@@ -500,31 +500,38 @@ PREFIX_T_NUM, PREFIX_T_DEN = 7, 10
 
 
 def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT set-similarity self-join at token-Jaccard ≥ 0.7 via
+    """EXACT set-similarity self-join at 3-shingle-Jaccard ≥ 0.7 via
     prefix filtering (AllPairs/PPJoin candidate generation).  Unlike
     the MinHash-LSH path this is lossless: a pair with J ≥ t is
-    *guaranteed* to share a token inside both docs' prefixes, so the
-    output equals a brute-force all-pairs scan — which is exactly what
-    the DuckDB oracle runs, making the oracle a proof of recall, not
-    just of agreement.
+    *guaranteed* to share an element inside both docs' prefixes, so
+    the output equals a brute-force all-pairs scan — which is exactly
+    what the DuckDB oracle runs, making the oracle a proof of recall,
+    not just of agreement.
 
-    Prefix rule: order every doc's distinct tokens by ascending
-    corpus frequency (rarest first, ties by token), keep the first
-    n - ⌈t·n⌉ + 1.  Rare tokens front-load the prefixes, so prefix
-    buckets stay small where full-token buckets (dedup_ngram_jaccard's
-    join) blow up on stopwords.
+    Shingles, not tokens: word sets over a small vocabulary are
+    non-selective (most doc pairs share most words — a token-level
+    t=0.7 join returns ~40% of ALL pairs on this corpus), while
+    3-word shingles are near-unique outside true near-dups, so both
+    the output and the candidate buckets stay small.
 
-    Scale shape: token explode → corpus-frequency join (token-keyed
-    shuffle) → per-doc rank window (doc-keyed, bounded rows) →
-    prefix-bucket self-join (Σ bucket², buckets capped by rarity) →
-    intersection count only over surviving candidates.  No stage is
-    quadratic in the corpus."""
+    Prefix rule: order every doc's distinct shingles by ascending
+    corpus frequency (rarest first, ties by value), keep the first
+    n - ⌈t·n⌉ + 1.  Rare shingles front-load the prefixes; a df=1
+    shingle generates no candidates at all.
+
+    Scale shape: shingle explode → corpus-frequency join
+    (shingle-keyed shuffle) → per-doc rank window (doc-keyed, bounded
+    rows) → prefix-bucket self-join (Σ bucket², buckets capped by
+    rarity) → intersection count only over surviving candidates.  No
+    stage is quadratic in the corpus."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    toked = d.select("doc_id", _tokens().alias("toks"))
+    toks = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_shingles(F.col("toks")))).alias("tok"),
     ).persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -661,7 +668,7 @@ ORACLES = {
     # Brute-force all-pairs: prefix filtering is lossless, so the
     # scalable plan must reproduce this exactly (recall proof).
     "dedup_prefix_join": (
-        f"WITH toks AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS s"
+        f"WITH toks AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s"
         "   FROM documents)"
         " SELECT CAST(a.doc_id AS BIGINT) AS doc_a,"
         " CAST(b.doc_id AS BIGINT) AS doc_b,"
@@ -671,7 +678,10 @@ ORACLES = {
         "   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
         "   * 1e6 + 0.5) / 1e6 AS jaccard"
         " FROM toks a JOIN toks b ON a.doc_id < b.doc_id"
-        f" WHERE len(list_intersect(a.s, b.s)) * {PREFIX_T_DEN}"
+        # shingle-less (<3-token) docs never reach the Spark explode;
+        # guard the brute force against the 0/0 both-empty pair
+        " WHERE len(a.s) > 0 AND len(b.s) > 0"
+        f" AND len(list_intersect(a.s, b.s)) * {PREFIX_T_DEN}"
         f"   >= {PREFIX_T_NUM}"
         "   * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
     ),
