@@ -250,12 +250,67 @@ def rel_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an event log:
+    track each user's state (their latest event_type) as
+    [valid_from, valid_to) versions, collapsing consecutive repeats —
+    the gaps-and-islands compression every CDC→warehouse dimension
+    load needs.
+
+    Two stacked windows on one user-keyed shuffle lineage: a lag()
+    marks state changes, a lead() over the surviving change rows
+    closes each version.  No self-join, no MERGE loop; the open
+    (current) version carries NULL valid_to on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    changes = e.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return changes.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("state"),
+        F.col("t").cast("long").alias("valid_from_us"),
+        (F.lead("t").over(w) - 1).cast("long").alias("valid_to_us"),
+    )
+
+
+def rel_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the running-countDistinct
+    shape Spark's window functions refuse directly (and which would
+    hold unbounded state if they didn't).
+
+    The dedup-before-window trick: distinct-to-date(d) = |{users
+    whose FIRST day ≤ d}|, so one user-keyed min-aggregate reduces
+    the input to per-day new-user counts, and the running sum runs
+    over the tiny day-cardinality table.  The unpartitioned window is
+    deliberate and safe: by then the data is one row per day."""
+    e = load_table(spark, sf_dir, "events").select("user_id", _day().alias("day"))
+    days = e.select("day").distinct()
+    first = e.groupBy("user_id").agg(F.min("day").alias("day"))
+    new = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    j = days.join(new, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
 QUERIES = {
     "rel_cohort_retention": rel_cohort_retention,
     "rel_gap_fill": rel_gap_fill,
     "rel_data_quality": rel_data_quality,
     "rel_attribution": rel_attribution,
     "rel_concurrency": rel_concurrency,
+    "rel_scd2_build": rel_scd2_build,
+    "rel_running_distinct": rel_running_distinct,
 }
 
 ORACLES = {
@@ -362,5 +417,35 @@ ORACLES = {
         " CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)"
         "   AS n_sessions"
         " FROM run GROUP BY 1"
+    ),
+    "rel_scd2_build": (
+        "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t"
+        "   FROM events),"
+        " c AS (SELECT user_id, event_id, event_type, t,"
+        "   lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)"
+        "     AS prev FROM e),"
+        " ch AS (SELECT user_id, event_type, t, event_id FROM c"
+        "   WHERE prev IS NULL OR prev <> event_type)"
+        " SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS state,"
+        " CAST(t AS BIGINT) AS valid_from_us,"
+        " CAST(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - 1"
+        "   AS BIGINT) AS valid_to_us"
+        " FROM ch"
+    ),
+    "rel_running_distinct": (
+        f"WITH e AS (SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day"
+        "   FROM events),"
+        " days AS (SELECT DISTINCT day FROM e),"
+        " f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),"
+        " n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users"
+        "   FROM f GROUP BY 1),"
+        " j AS (SELECT days.day, coalesce(n.new_users, 0) AS new_users"
+        "   FROM days LEFT JOIN n ON days.day = n.day)"
+        " SELECT CAST(day AS BIGINT) AS day,"
+        " CAST(new_users AS BIGINT) AS new_users,"
+        " CAST(sum(new_users) OVER (ORDER BY day"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        "   AS cum_users"
+        " FROM j"
     ),
 }

@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -206,10 +206,66 @@ def mm_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHARD_TARGET_BYTES = 64 * 1024
+SHARD_BUCKET_DOCS = 1000
+
+
+def mm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style training-shard packing: assign each document
+    to a size-bounded shard and emit the shard manifest (doc span,
+    doc count, byte total) a sharded tar/parquet writer would
+    consume.
+
+    Packing = running byte total within a doc_id bucket: a shard
+    boundary falls wherever the cumulative payload size crosses a
+    64 KiB multiple.  The running sum windows over ``doc_id div
+    1000`` buckets — bounded rows per window, every bucket
+    independent, so packing parallelizes instead of serializing on
+    one global cumsum (global packing order is a non-goal: training
+    shards only need bounded size and stable membership)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    bucket = F.expr(f"doc_id div {SHARD_BUCKET_DOCS}")
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_bytes").over(w) - F.col("n_bytes")  # shard-start offset
+    assigned = d.select(
+        "doc_id", "n_bytes", bucket.alias("bucket"), start.alias("start_off")
+    ).select(
+        "doc_id",
+        "n_bytes",
+        (
+            F.col("bucket") * 100000
+            + F.expr(f"start_off div {SHARD_TARGET_BYTES}")
+        ).alias("shard_id"),
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_docs",
+            "shard_bytes",
+            "first_doc",
+            "last_doc",
+        )
+    )
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_byte_stats": mm_byte_stats,
     "mm_header_parse": mm_header_parse,
+    "mm_shard_assign": mm_shard_assign,
 }
 
 # DuckDB replicates the deterministic fake-decode arithmetic: hex
@@ -243,6 +299,23 @@ ORACLES = {
         " CAST(MAX(byte) AS BIGINT) AS max_byte,"
         " CAST(COUNT(DISTINCT byte) AS BIGINT) AS n_distinct_bytes"
         " FROM b GROUP BY doc_id"
+    ),
+    "mm_shard_assign": (
+        "WITH d AS (SELECT doc_id,"
+        "   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+        f"   doc_id // {SHARD_BUCKET_DOCS} AS bucket FROM documents),"
+        " a AS (SELECT doc_id, n_bytes,"
+        "   bucket * 100000 +"
+        "   (sum(n_bytes) OVER (PARTITION BY bucket ORDER BY doc_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)"
+        f"     // {SHARD_TARGET_BYTES} AS shard_id"
+        "   FROM d)"
+        " SELECT CAST(shard_id AS BIGINT) AS shard_id,"
+        " CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,"
+        " CAST(min(doc_id) AS BIGINT) AS first_doc,"
+        " CAST(max(doc_id) AS BIGINT) AS last_doc"
+        " FROM a GROUP BY 1"
     ),
     # Independent arithmetic (no binary round-trip): if the Spark-side
     # parse misreads an offset or endianness, this mismatches.

@@ -339,6 +339,73 @@ def udf_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(_infer_batches, _INFER_SCHEMA)
 
 
+# ------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate pruning + exact verification.
+# The final answer is EXACT (hence fully oracled); the sketch's job
+# is to shrink the shuffle.  At 100 TB a naive token groupBy shuffles
+# every distinct token; MG summaries cap per-partition state at
+# HH_CAPACITY entries and emit ≤ capacity candidates per partition,
+# so the exact-count pass groups a semi-joined sliver of the stream.
+# Guarantee: an MG summary of capacity c undercounts any item by at
+# most n_p/(c+1), so an item with partition share > n_p/HH_K survives
+# whenever c ≥ HH_K; capacity 512 > 200 leaves margin.  Every global
+# heavy hitter (count > N/HH_K) is heavy in ≥1 partition, so the
+# candidate union has no false negatives — false positives are
+# killed by the exact pass.
+
+HH_K = 200  # report tokens with count > N / HH_K
+HH_CAPACITY = 512
+
+_HH_CAND_SCHEMA = StructType([StructField("tok", StringType())])
+
+
+def _mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        # vectorized per-batch count, then merge distincts into the
+        # summary — the per-row MG loop never touches Python.
+        for tok, c in pdf["tok"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > HH_CAPACITY:
+            # batched MG decrement: subtract the (capacity+1)-th
+            # largest count from everything; drop the non-positive.
+            m = sorted(counters.values(), reverse=True)[HH_CAPACITY]
+            counters = {t: c - m for t, c in counters.items() if c > m}
+    yield pd.DataFrame({"tok": list(counters.keys())})
+
+
+def udf_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (count > N/200) over the corpus token stream —
+    Misra-Gries per-partition candidates, then an exact count of the
+    candidates only.  See the module comment block for the sketch's
+    no-false-negative argument; the exact pass makes the result
+    engine-deterministic, so the oracle is a plain GROUP BY/HAVING."""
+    from decision_tree_analytics_spark.operators._cache import tether_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
+    ).persist()
+    cands = toks.mapInPandas(_mg_partition, _HH_CAND_SCHEMA).distinct()
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    result = (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * HH_K > F.col("n"))
+        .select(
+            "tok",
+            "cnt",
+            (F.floor(F.col("cnt") / F.col("n") * 1e6 + 0.5) / 1e6).alias("frac"),
+        )
+    )
+    return tether_cache(result, toks)
+
+
 QUERIES = {
     "udf_grouped_zscore": udf_grouped_zscore,
     "udf_frame_sample": udf_frame_sample,
@@ -346,9 +413,19 @@ QUERIES = {
     "udf_user_gap_stats": udf_user_gap_stats,
     "udf_secondary_sort": udf_secondary_sort,
     "udf_batch_inference": udf_batch_inference,
+    "udf_heavy_hitters": udf_heavy_hitters,
 }
 
 ORACLES = {
+    "udf_heavy_hitters": (
+        "WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' '))"
+        "   AS tok FROM documents),"
+        " tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)"
+        " SELECT tok, CAST(count(*) AS BIGINT) AS cnt,"
+        " floor(count(*) / (SELECT n FROM tot) * 1e6 + 0.5) / 1e6 AS frac"
+        " FROM t GROUP BY tok"
+        f" HAVING count(*) * {HH_K} > (SELECT n FROM tot)"
+    ),
     "udf_grouped_zscore": (
         "SELECT event_id, event_type,"
         " (value - avg(value) OVER (PARTITION BY event_type))"
