@@ -279,9 +279,17 @@ def connected_components(
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).persist()
+    # Lineage control: each round's labels are materialized with
+    # ``localCheckpoint`` (eager), which both caches the rows AND
+    # truncates the logical plan.  A plain persist() is NOT enough for
+    # an iterative self-join — the analyzed plan still nests the whole
+    # history, so analysis cost (and driver heap) grows exponentially
+    # with rounds; Spark 4.1's analyzer OOMs on it within ~4 rounds.
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("component_id")).first()[0]
     converged = False
     for _ in range(max_iter):
@@ -303,7 +311,7 @@ def connected_components(
         new_labels = (
             stepped.join(parents, stepped.component_id == parents.p_doc)
             .select("doc_id", F.col("p_label").alias("component_id"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("component_id")).first()[0]
         labels.unpersist()

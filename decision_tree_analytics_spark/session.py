@@ -10,10 +10,12 @@ then overridden downward for local test runs.
   coalesces.  On a real cluster this would be sized ~2-3× total cores.
 * Session timezone pinned to UTC so timestamp semantics are
   deterministic and oracle-comparable.
-* ``spark.sql.legacy.parquet.nanosAsLong`` — the ``events`` table is
-  written with parquet TIMESTAMP(NANOS), which Spark cannot represent
-  natively; we read it as an int64 nanosecond epoch and do all time
-  arithmetic on integers (timezone-free, lossless).
+* ``spark.sql.legacy.parquet.nanosAsLong`` — kept for older Spark
+  builds where it still applies; Spark 4.1 ignores it, so the events
+  reader (sources/tables.py) no longer relies on it: it pins an
+  explicit BIGINT schema for ``ts`` and normalizes to epoch-ns
+  itself, keeping all time arithmetic on integers (timezone-free,
+  lossless) regardless of the file's timestamp unit.
 """
 
 from __future__ import annotations

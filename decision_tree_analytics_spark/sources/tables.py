@@ -12,20 +12,79 @@ Scale notes
   At 100 TB the same tables would be directories of many files,
   partitioned (e.g. orders by month); nothing here assumes a single
   file.
-* ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as int64
-  nanoseconds (``nanosAsLong``).  All engine time arithmetic on events
-  uses integer epoch-microseconds (``ts div 1000``) which is exactly
-  DuckDB's ``epoch_us(ts)`` after its own ns→µs truncation — a
-  timezone-free, engine-portable contract.
+* ``events.ts`` is a parquet INT64 timestamp whose *unit has changed
+  across testdata generations* (TIMESTAMP(NANOS) originally, now
+  TIMESTAMP(MICROS)); Spark 4.1 also dropped the
+  ``nanosAsLong`` legacy read.  The reader therefore pins an explicit
+  int64 schema for the ``ts`` column (parquet INT64 physical reads
+  directly as BIGINT regardless of the timestamp logical annotation)
+  and normalizes it to **epoch nanoseconds** by the footer-declared
+  unit.  All engine time arithmetic on events keeps the original
+  contract: integer epoch-microseconds via ``ts div 1000``, which is
+  exactly DuckDB's ``epoch_us(ts)`` after its own →µs truncation — a
+  timezone-free, engine-portable contract immune to both the file's
+  unit and Spark's timestamp type politics.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from decision_tree_analytics_spark.session import prepare_session
+
+# Explicit read schema for events: ts pinned to BIGINT so the INT64
+# physical column arrives as a raw integer in the file's native unit
+# (scaled to ns below) instead of a lossy TIMESTAMP_NTZ.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_NS_PER_UNIT = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+
+
+def events_ts_scale(sf_dir: str) -> int:
+    """ns-per-stored-unit multiplier for ``events.ts``, read from one
+    parquet footer (a metadata-only read — O(KB) even when the table
+    is a 100 TB directory of files; all files share the unit)."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "events.parquet")
+        if not os.path.isfile(path):
+            path = sorted(_glob.glob(os.path.join(path, "*.parquet")))[0]
+        return _NS_PER_UNIT[pq.read_schema(path).field("ts").type.unit]
+    except Exception:
+        # No footer access (remote fs w/o pyarrow): current testdata
+        # generation writes TIMESTAMP(MICROS).
+        return 1_000
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    scale = events_ts_scale(sf_dir)
+    if scale != 1:
+        df = df.withColumn("ts", (F.col("ts") * F.lit(scale)).cast("long"))
+    return df
 
 TABLES = (
     "region",
@@ -48,6 +107,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     prepare_session(spark)
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -26,31 +26,20 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from decision_tree_analytics_spark.session import prepare_session
-
-# events schema with ts as int64 nanoseconds (nanosAsLong read).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
+from decision_tree_analytics_spark.sources.tables import (
+    EVENTS_SCHEMA,
+    events_ts_scale,
 )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table with event-time column."""
+    """File-source stream of the events table with event-time column.
+
+    ``ts`` is read as raw INT64 in the file's native unit and
+    normalized to epoch-ns exactly like the batch reader
+    (sources/tables.py) so the two plans share one time contract."""
     prepare_session(spark)
     # File stream sources take a directory; select just the events
     # file via glob (a production stream points at a landing dir).
@@ -59,6 +48,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    scale = events_ts_scale(sf_dir)
+    if scale != 1:
+        raw = raw.withColumn("ts", (F.col("ts") * F.lit(scale)).cast("long"))
     return raw.withColumn(
         "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
