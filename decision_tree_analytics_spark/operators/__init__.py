@@ -20,6 +20,7 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
     relational,
     similarity,
     skew,
+    stats_ext,
     streaming_inventory,
     text,
     tpch,
@@ -40,6 +41,7 @@ ALL_MODULES = (
     skew,
     cdc,
     graph,
+    stats_ext,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.
