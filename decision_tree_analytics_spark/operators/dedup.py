@@ -26,7 +26,7 @@ Scale design:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
@@ -599,6 +599,50 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tether_cache(result, toks)
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final step of the near-dup pipeline: map every document to its
+    cluster's canonical representative and flag the keepers.
+
+    ``dedup_components`` labels clusters; the representative is the
+    cluster's longest document (``n_chars`` DESC, doc_id ASC as the
+    unique tie-break — rule 5), the "keep best, not first" policy a
+    training-data pipeline actually wants (the longest variant usually
+    subsumes its truncated near-duplicates).
+
+    Scale: the ranking window partitions by component_id (near-dup
+    clusters are small by construction), and the canonical table that
+    joins back is |clusters| rows — broadcastable at any corpus size.
+    Output is one row per document: (doc_id, component_id,
+    canonical_id, is_kept)."""
+    comp = dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("d_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    labeled = comp.join(docs, comp.doc_id == docs.d_id).select(
+        "doc_id", "component_id", "n_chars"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    canon = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component_id").alias("c_id"),
+            F.col("doc_id").alias("canonical_id"),
+        )
+    )
+    return labeled.join(
+        F.broadcast(canon), labeled.component_id == canon.c_id
+    ).select(
+        "doc_id",
+        "component_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).cast("long").alias("is_kept"),
+    )
+
+
 QUERIES = {
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_signature": dedup_minhash_signature,
@@ -610,6 +654,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_containment": dedup_containment,
     "dedup_prefix_join": dedup_prefix_join,
+    "dedup_canonical": dedup_canonical,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -626,6 +671,28 @@ _SQL_SIGS = (
     "  FROM (SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents)"
     f" ), range({MINHASH_K}) r(h) GROUP BY doc_id, h"
 ).format(sh=_SQL_SHINGLES, p=MINHASH_PRIME)
+
+# Shared CTE chain: signatures → LSH bands → candidate pairs →
+# undirected edges → transitive closure → min-label components.
+# Used by the dedup_components and dedup_canonical oracles (must
+# follow "WITH RECURSIVE ").
+_SQL_COMP_CTES = (
+    "sigs AS (" + _SQL_SIGS + "),"
+    f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
+    "   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY h)) AS band_key"
+    "   FROM sigs GROUP BY 1, 2),"
+    " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+    "   FROM bands a JOIN bands b"
+    "   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"
+    " edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+    "   UNION SELECT doc_b, doc_a FROM pairs),"
+    " reach(src, dst) AS ("
+    "   SELECT src, dst FROM edges"
+    "   UNION"
+    "   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),"
+    " comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cid"
+    "   FROM reach GROUP BY src)"
+)
 
 ORACLES = {
     "dedup_exact_fingerprint": (
@@ -723,24 +790,26 @@ ORACLES = {
     # Components via transitive closure (recursive CTE): component id
     # of a node = min(doc_id) over its reachable set (incl. itself).
     "dedup_components": (
-        "WITH RECURSIVE sigs AS (" + _SQL_SIGS + "),"
-        f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
-        "   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY h)) AS band_key"
-        "   FROM sigs GROUP BY 1, 2),"
-        " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        "   FROM bands a JOIN bands b"
-        "   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"
-        " edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
-        "   UNION SELECT doc_b, doc_a FROM pairs),"
-        " reach(src, dst) AS ("
-        "   SELECT src, dst FROM edges"
-        "   UNION"
-        "   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),"
-        " comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cid"
-        "   FROM reach GROUP BY src)"
-        " SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+        "WITH RECURSIVE " + _SQL_COMP_CTES + " SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
         " CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS component_id"
         " FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"
+    ),
+    # Canonical keeper per cluster: longest doc wins, doc_id breaks
+    # ties (unique ORDER BY per rule 5).
+    "dedup_canonical": (
+        "WITH RECURSIVE " + _SQL_COMP_CTES + ","
+        " labeled AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+        "   CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS component_id,"
+        "   d.n_chars FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),"
+        " ranked AS (SELECT doc_id, component_id, row_number() OVER ("
+        "   PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC) AS rn"
+        "   FROM labeled),"
+        " canon AS (SELECT component_id, doc_id AS canonical_id"
+        "   FROM ranked WHERE rn = 1)"
+        " SELECT l.doc_id, l.component_id, c.canonical_id,"
+        " CAST(CASE WHEN l.doc_id = c.canonical_id THEN 1 ELSE 0 END AS BIGINT)"
+        "   AS is_kept"
+        " FROM labeled l JOIN canon c USING (component_id)"
     ),
     "dedup_incremental": (
         "WITH fp AS (SELECT md5(lower(trim(text))) AS fingerprint, doc_id"

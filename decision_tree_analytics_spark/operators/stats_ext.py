@@ -171,7 +171,196 @@ def rel_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_seq_patterns(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k frequent event-type trigrams across all user sequences —
+    sequential pattern mining's workhorse shape (PrefixSpan's length-3
+    closed patterns over a fixed alphabet reduce to exactly this).
+
+    One user-keyed window shuffle builds the (lead, lead²) trigram per
+    event, then a |types|³-bounded aggregate; the global top-k is a
+    TakeOrderedAndProject (per-partition heads, no global sort).
+    Tie-break: pattern lexicographic, so the cut is deterministic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    tri = (
+        e.withColumn("p2", F.lead("event_type", 1).over(w))
+        .withColumn("p3", F.lead("event_type", 2).over(w))
+        .filter(F.col("p3").isNotNull())
+    )
+    counts = tri.groupBy(
+        F.col("event_type").alias("p1"), "p2", "p3"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counts.orderBy(
+        F.col("n").desc(), F.col("p1"), F.col("p2"), F.col("p3")
+    ).limit(k)
+
+
+def rel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy, normalized entropy, and Gini impurity of the
+    event-type distribution per day-of-week — the class-balance
+    profile a training pipeline checks before sampling labels.
+
+    One |dow|×|types|-bounded aggregate pass builds the contingency
+    cells; entropy reduces over them with a window-summed marginal —
+    every post-aggregate step runs on ≤35 rows regardless of corpus
+    size.  log2 via ln/ln(2) (both engines), doubles floor-rounded at
+    1e-6."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.expr(f"(ts div 1000) div {US_PER_DAY}") + 4) % 7).alias("dow"),
+    )
+    cells = e.groupBy("dow", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    wd = Window.partitionBy("dow")
+    p = cells.select(
+        F.col("dow").cast("long").alias("dow"),
+        (F.col("n") / F.sum("n").over(wd)).alias("p"),
+        F.count(F.lit(1)).over(wd).cast("double").alias("k"),
+    )
+    return p.groupBy("dow").agg(
+        _r6(F.sum(-F.col("p") * F.log(2.0, "p"))).alias("entropy"),
+        _r6(
+            F.sum(-F.col("p") * F.log(2.0, "p"))
+            / (F.log(2.0, F.first("k")))
+        ).alias("norm_entropy"),
+        _r6(F.lit(1.0) - F.sum(F.col("p") * F.col("p"))).alias("gini"),
+    )
+
+
+def rel_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of order totals: exact decile cut
+    points (one percentile aggregate), broadcast to the scan, bin
+    assigned by counting cuts below the value, then per-bin stats.
+
+    The classic histogram-bucketing shape without a global sort: the
+    cut table is 9 doubles (broadcastable at any scale), binning is a
+    codegen projection, and the per-bin rollup is a 10-row aggregate.
+    Cut-point membership: value ≤ cut stays in the lower bin (both
+    engines count strictly-greater cuts)."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cuts = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q / 10.0})").alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    binned = o.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        sum(
+            [
+                F.when(F.col("o_totalprice") > F.col(f"c{q}"), 1).otherwise(0)
+                for q in range(1, 10)
+            ],
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _r6(F.min("o_totalprice")).alias("lo"),
+        _r6(F.max("o_totalprice")).alias("hi"),
+        _r6(F.avg("o_totalprice")).alias("avg_price"),
+    )
+
+
+def rel_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over events.user_id — the check you run
+    BEFORE choosing a salted join/agg strategy (see skew_salted_join).
+
+    One groupBy builds per-key counts; the profile (key count, max,
+    top-1 share, exact p50/p90/p99 of the count distribution, p99/p50
+    skew ratio) reduces those |keys| rows to one.  At 100 TB the
+    per-key count table is exactly what AQE's skew statistics see."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+        _r6(F.max("n") / F.sum("n")).alias("top1_share"),
+        _r6(F.expr("percentile(n, 0.5)")).alias("p50"),
+        _r6(F.expr("percentile(n, 0.9)")).alias("p90"),
+        _r6(F.expr("percentile(n, 0.99)")).alias("p99"),
+        _r6(
+            F.expr("percentile(n, 0.99)") / F.expr("percentile(n, 0.5)")
+        ).alias("skew_ratio"),
+    )
+
+
+SPLIT_BUCKETS = (8, 1, 1)  # train/val/test out of 10
+
+
+def ml_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10) by
+    content hash, with the per-split × label balance table a training
+    pipeline audits before a run.
+
+    The split key is md5(doc_id) — content-derived and engine-portable
+    (rule 6), stable under repartitioning and reruns (a random()
+    split is neither), and uncorrelated with doc_id ordering.  Label
+    = the document's language column.  Map-only assignment + one
+    bounded aggregate."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                    ).cast("long") % 10
+    split = (
+        F.when(bucket < SPLIT_BUCKETS[0], "train")
+        .when(bucket < SPLIT_BUCKETS[0] + SPLIT_BUCKETS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def ns_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: bucket the corpus into 10 equal
+    doc_id ranges and count the tokens whose FIRST occurrence falls in
+    each bucket, plus the running vocabulary size.
+
+    One explode → min(doc_id)-per-token aggregate (map-side partial
+    min collapses the explode before the shuffle carries one row per
+    distinct token), then a 10-row bucket rollup and a 10-row window —
+    corpus-size-independent after the first aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+        ).alias("tok"),
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    hi = d.agg((F.max("doc_id") + 1).alias("n_docs"))
+    bucketed = first.crossJoin(F.broadcast(hi)).select(
+        F.expr("(first_doc * 10) div n_docs").cast("long").alias("bucket")
+    )
+    growth = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return growth.select(
+        "bucket",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("vocab_size"),
+    )
+
+
 QUERIES = {
+    "rel_entropy": rel_entropy,
+    "rel_quantile_bin": rel_quantile_bin,
+    "rel_skew_profile": rel_skew_profile,
+    "ml_split_assign": ml_split_assign,
+    "ns_vocab_growth": ns_vocab_growth,
+    "rel_seq_patterns": rel_seq_patterns,
     "rel_regression_fns": rel_regression_fns,
     "rel_markov_transitions": rel_markov_transitions,
     "rel_anomaly_mad": rel_anomaly_mad,
@@ -179,6 +368,91 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_quantile_bin": (
+        "WITH cuts AS (SELECT"
+        + ",".join(
+            f" quantile_cont(o_totalprice, {q / 10.0}) AS c{q}"
+            for q in range(1, 10)
+        )
+        + " FROM orders),"
+        " b AS (SELECT o_totalprice, CAST(1 "
+        + " ".join(
+            f"+ (CASE WHEN o_totalprice > c{q} THEN 1 ELSE 0 END)"
+            for q in range(1, 10)
+        )
+        + " AS BIGINT) AS bin FROM orders CROSS JOIN cuts)"
+        " SELECT bin, CAST(count(*) AS BIGINT) AS n,"
+        " floor(min(o_totalprice) * 1e6 + 0.5) / 1e6 AS lo,"
+        " floor(max(o_totalprice) * 1e6 + 0.5) / 1e6 AS hi,"
+        " floor(avg(o_totalprice) * 1e6 + 0.5) / 1e6 AS avg_price"
+        " FROM b GROUP BY bin"
+    ),
+    "rel_skew_profile": (
+        "WITH c AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n"
+        "   FROM events GROUP BY 1)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_keys,"
+        " CAST(sum(n) AS BIGINT) AS n_rows,"
+        " CAST(max(n) AS BIGINT) AS max_n,"
+        " floor(max(n) / sum(n) * 1e6 + 0.5) / 1e6 AS top1_share,"
+        " floor(quantile_cont(n, 0.5) * 1e6 + 0.5) / 1e6 AS p50,"
+        " floor(quantile_cont(n, 0.9) * 1e6 + 0.5) / 1e6 AS p90,"
+        " floor(quantile_cont(n, 0.99) * 1e6 + 0.5) / 1e6 AS p99,"
+        " floor(quantile_cont(n, 0.99) / quantile_cont(n, 0.5)"
+        "   * 1e6 + 0.5) / 1e6 AS skew_ratio"
+        " FROM c"
+    ),
+    "ml_split_assign": (
+        "WITH a AS (SELECT"
+        "   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+        "     AS bucket, lang FROM documents)"
+        " SELECT CASE WHEN bucket < 8 THEN 'train'"
+        "   WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split, lang,"
+        " CAST(count(*) AS BIGINT) AS n"
+        " FROM a GROUP BY 1, 2"
+    ),
+    "ns_vocab_growth": (
+        "WITH toks AS (SELECT doc_id,"
+        "   unnest(list_distinct(string_split(lower(trim(text)), ' ')))"
+        "     AS tok FROM documents),"
+        " first AS (SELECT tok, min(doc_id) AS first_doc FROM toks"
+        "   GROUP BY 1),"
+        " hi AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),"
+        " g AS (SELECT CAST((first_doc * 10) // n_docs AS BIGINT) AS bucket,"
+        "   CAST(count(*) AS BIGINT) AS n_new_tokens"
+        "   FROM first CROSS JOIN hi GROUP BY 1)"
+        " SELECT bucket, n_new_tokens,"
+        " CAST(sum(n_new_tokens) OVER (ORDER BY bucket"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        "   AS vocab_size"
+        " FROM g"
+    ),
+    "rel_entropy": (
+        f"WITH e AS (SELECT event_type,"
+        f"   (epoch_us(ts) // {US_PER_DAY} + 4) % 7 AS dow FROM events),"
+        " cells AS (SELECT dow, event_type,"
+        "   CAST(count(*) AS DOUBLE) AS n FROM e GROUP BY 1, 2),"
+        " p AS (SELECT CAST(dow AS BIGINT) AS dow,"
+        "   n / sum(n) OVER (PARTITION BY dow) AS p,"
+        "   CAST(count(*) OVER (PARTITION BY dow) AS DOUBLE) AS k"
+        "   FROM cells)"
+        " SELECT dow,"
+        " floor(sum(-p * ln(p) / ln(2)) * 1e6 + 0.5) / 1e6 AS entropy,"
+        " floor(sum(-p * ln(p) / ln(2)) / (ln(any_value(k)) / ln(2))"
+        "   * 1e6 + 0.5) / 1e6 AS norm_entropy,"
+        " floor((1.0 - sum(p * p)) * 1e6 + 0.5) / 1e6 AS gini"
+        " FROM p GROUP BY dow"
+    ),
+    "rel_seq_patterns": (
+        "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t"
+        "   FROM events),"
+        " tri AS (SELECT event_type AS p1,"
+        "   lead(event_type, 1) OVER w AS p2,"
+        "   lead(event_type, 2) OVER w AS p3"
+        "   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))"
+        " SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS n"
+        " FROM tri WHERE p3 IS NOT NULL GROUP BY 1, 2, 3"
+        " ORDER BY n DESC, p1, p2, p3 LIMIT 20"
+    ),
     "rel_regression_fns": (
         "SELECT l_returnflag,"
         " CAST(regr_count(y, x) AS BIGINT) AS n,"

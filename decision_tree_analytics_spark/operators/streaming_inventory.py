@@ -149,7 +149,44 @@ def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAIRS_LOOKBACK_US = 300_000_000  # 5 minutes
+PAIRS_MAX_USER = 50
+
+
+def stream_recent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval self-join under the oracle gate:
+    pair each event with the same user's events from the preceding 5
+    minutes (streaming/events_stream.py:recent_pairs_stream).
+
+    Both sides carry event-time watermarks and the join condition
+    bounds prev_time to a finite interval behind event_time, so join
+    state is evicted as the watermark advances — O(events in the
+    interval) state, the only stream-stream join shape that survives
+    an unbounded stream.  The batch-SQL oracle (plain inequality
+    self-join) proves the streaming answer exact.  Bounded to
+    user_id < 50 to keep the oracle's quadratic check small; the
+    streaming plan itself is linear in matches."""
+    name = f"stream_pairs_{uuid.uuid4().hex[:8]}"
+    from decision_tree_analytics_spark.streaming.events_stream import (
+        recent_pairs_stream,
+    )
+
+    run_to_memory(
+        recent_pairs_stream(
+            spark, sf_dir, lookback="5 minutes", max_user=PAIRS_MAX_USER
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("prev_event_id").cast("long").alias("prev_event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
 QUERIES = {
+    "stream_recent_pairs": stream_recent_pairs,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_topk": stream_topk,
     "stream_rate_monitor": stream_rate_monitor,
@@ -158,6 +195,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_recent_pairs": (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us"
+        f"   FROM events WHERE user_id < {PAIRS_MAX_USER})"
+        " SELECT a.event_id AS event_id, b.event_id AS prev_event_id,"
+        " a.user_id AS user_id"
+        " FROM e a JOIN e b ON a.user_id = b.user_id"
+        " AND b.us < a.us"
+        f" AND b.us >= a.us - {PAIRS_LOOKBACK_US}"
+    ),
     "stream_windowed_counts": (
         f"SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,"
         " event_type, COUNT(*) AS n_events, SUM(value) AS sum_value"

@@ -375,7 +375,43 @@ def ns_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CAPACITY = 512
+
+
+def ns_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM pretraining sequence packing: concatenate each source's
+    documents (doc_id order) into fixed-capacity token sequences and
+    assign every document its (sequence index, offset) — the
+    concat-and-cut packing used to build training batches (documents
+    may straddle a sequence boundary; the cut is at the token budget,
+    exactly like packed pretraining with EOS separators).
+
+    One window shuffle keyed by ``source``: the running token total
+    within a source gives each doc's start position, and the bin
+    arithmetic is pure projection.  Sources partition the corpus, so
+    parallelism is |sources| for the window and full for everything
+    else — at 100 TB you'd sub-shard giant sources by a doc_id prefix
+    exactly like the salted grouped top-k does."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    x = d.withColumn("end_tok", F.sum("n_tokens").over(w))
+    return x.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"(end_tok - n_tokens) div {PACK_CAPACITY}").alias("seq_index"),
+        ((F.col("end_tok") - F.col("n_tokens")) % PACK_CAPACITY).alias("offset"),
+    )
+
+
 QUERIES = {
+    "ns_seq_pack": ns_seq_pack,
     "ns_text_chunk": ns_text_chunk,
     "ns_text_bigrams": ns_text_bigrams,
     "ns_text_repetition": ns_text_repetition,
@@ -392,6 +428,18 @@ QUERIES = {
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
 
 ORACLES = {
+    "ns_seq_pack": (
+        "WITH d AS (SELECT doc_id, source,"
+        "   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+        "   FROM documents),"
+        " x AS (SELECT doc_id, source, n_tokens,"
+        "   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)"
+        "     AS end_tok FROM d)"
+        " SELECT doc_id, source, n_tokens,"
+        f" CAST((end_tok - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS seq_index,"
+        f" CAST((end_tok - n_tokens) % {PACK_CAPACITY} AS BIGINT) AS offset"
+        " FROM x"
+    ),
     "ns_text_chunk": (
         f"WITH b AS (SELECT doc_id, {_SQL_TOKS} AS toks,"
         f"   len({_SQL_TOKS}) AS n FROM documents),"

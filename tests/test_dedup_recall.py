@@ -58,3 +58,26 @@ def test_simhash_distance_reflects_similarity(spark, tmp_path):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert sh[0] == sh[3]  # identical docs, identical fingerprint
     assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])  # near-dup closer than unrelated
+
+
+def test_canonical_keeps_longest_per_cluster(spark, sf_dir):
+    """dedup_canonical: exactly one keeper per component, and the
+    keeper has the component's max n_chars (doc_id breaks ties)."""
+    import pandas as pd
+
+    from decision_tree_analytics_spark.operators.dedup import dedup_canonical
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    got = dedup_canonical(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).toPandas()
+    merged = got.merge(docs, on="doc_id")
+    assert (merged.groupby("component_id")["is_kept"].sum() == 1).all()
+    for _, grp in merged.groupby("component_id"):
+        best = grp.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        keeper = grp[grp.is_kept == 1].iloc[0]
+        assert keeper.doc_id == best.doc_id
+        assert (grp.canonical_id == best.doc_id).all()

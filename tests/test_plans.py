@@ -435,3 +435,24 @@ def test_header_parse_is_jvm_only(spark, sf_dir):
     assert count_shuffles(plan) == 0
     assert not has_python_eval(plan)
     assert "MapInPandas" not in plan
+
+
+def test_seq_patterns_topk_no_global_sort(spark, sf_dir):
+    from decision_tree_analytics_spark.operators import stats_ext as SE
+
+    plan = simple_plan(SE.rel_seq_patterns(spark, sf_dir))
+    # Global top-k must be TakeOrderedAndProject (per-partition heads),
+    # never a full sort, and the trigram build is one window shuffle +
+    # one aggregate shuffle.
+    assert uses_top_k_sort(plan)
+    assert count_shuffles(plan) <= 2
+    assert not has_python_eval(plan)
+
+
+def test_seq_pack_single_window_shuffle(spark, sf_dir):
+    plan = simple_plan(T.ns_seq_pack(spark, sf_dir))
+    # One hashpartitioning on source for the running-total window; the
+    # bin arithmetic is pure codegen projection on top.
+    assert count_shuffles(plan) == 1
+    assert has_whole_stage_codegen(plan)
+    assert not has_python_eval(plan)
