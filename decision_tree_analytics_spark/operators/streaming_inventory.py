@@ -185,8 +185,36 @@ def stream_recent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dim enrichment under the oracle gate: the event
+    stream joins the customer dim (re-planned each micro-batch,
+    broadcast as a bounded dim — the stream side never shuffles for
+    the join) and aggregates counts per (market segment, event type).
+    See streaming/events_stream.py:enriched_segment_counts."""
+    from decision_tree_analytics_spark.sources.tables import load_table
+    from decision_tree_analytics_spark.streaming.events_stream import (
+        enriched_segment_counts,
+    )
+
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        enriched_segment_counts(
+            events_stream(spark, sf_dir), load_table(spark, sf_dir, "customer")
+        ),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name).select(
+        "c_mktsegment",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.floor(F.col("sum_value") * 1e6 + 0.5) / 1e6).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "stream_recent_pairs": stream_recent_pairs,
+    "stream_enrich_segments": stream_enrich_segments,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_topk": stream_topk,
     "stream_rate_monitor": stream_rate_monitor,
@@ -195,6 +223,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_enrich_segments": (
+        "SELECT c.c_mktsegment, e.event_type,"
+        " CAST(count(*) AS BIGINT) AS n_events,"
+        " floor(sum(e.value) * 1e6 + 0.5) / 1e6 AS sum_value"
+        " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        " GROUP BY 1, 2"
+    ),
     "stream_recent_pairs": (
         "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us"
         f"   FROM events WHERE user_id < {PAIRS_MAX_USER})"
