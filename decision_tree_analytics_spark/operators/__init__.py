@@ -63,6 +63,9 @@ BENCH_EXTRAS = [
     "rel_gap_fill",
     "udf_secondary_sort",
     "rel_kmv_setops",
+    "dedup_canonical",
+    "ns_seq_pack",
+    "rel_seq_patterns",
 ]
 
 

@@ -185,13 +185,28 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
 
     Aggregations should pass ``output_mode='complete'`` — in append
     mode a window only emits once the watermark passes it, and a
-    bounded availableNow replay ends with open windows unemitted."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    bounded availableNow replay ends with open windows unemitted.
+
+    The stateful-shuffle partition count is pinned low for the drain:
+    a streaming query creates one state store PER shuffle partition
+    PER stateful operator, so a vanilla session's 200 partitions cost
+    ~200 store initializations of pure fixed overhead (a stream-stream
+    join pays it per side).  The session value is restored afterwards
+    — on a real cluster this knob is sized to the stream's key
+    cardinality, not to a batch session's default."""
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "8")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
     return q
