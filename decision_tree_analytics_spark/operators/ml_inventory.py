@@ -121,10 +121,99 @@ def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_rf_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest ensemble of the Q26 regression (20 trees,
+    sqrt-feature subsampling) — the standard variance-reduction
+    upgrade of the reference's single tree.
+
+    Same distributed shape as Q26: one cached 4-column projection,
+    per-level histogram aggregation (now over bootstrapped trees — the
+    fit shares one pass per level across all trees), and JVM-side
+    broadcast-model scoring.  Rows-only under the driver (ensemble
+    structure is engine-specific); determinism under the fixed seed
+    plus the ensemble-beats-single-tree property are pinned in
+    tests/test_ml_pipeline.py."""
+    from pyspark.ml.regression import RandomForestRegressor
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", *_FEATURES
+    )
+    assembled = (
+        assemble_features(li, _FEATURES)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            FEATURES_COL,
+            F.col("l_extendedprice").alias("label"),
+        )
+        .cache()
+    )
+    try:
+        model = RandomForestRegressor(
+            featuresCol=FEATURES_COL,
+            labelCol="label",
+            impurity="variance",
+            numTrees=20,
+            featureSubsetStrategy="sqrt",
+            maxDepth=5,
+            maxBins=64,
+            seed=12345,
+        ).fit(assembled.select(FEATURES_COL, "label"))
+        return (
+            model.setPredictionCol("predicted_price")
+            .transform(assembled)
+            .select("l_orderkey", "l_linenumber", "predicted_price")
+        )
+    finally:
+        assembled.unpersist()
+
+
+def ml_baseline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation harness under the full oracle: a deterministic
+    baseline regressor (train-split per-returnflag mean price) scored
+    on the held-out split with RMSE / MAE / R² — the metrics pipeline
+    every model run reports, demonstrated on a model simple enough for
+    SQL so the harness itself is hash-verified (MLlib models plug into
+    the same shape rows-only).
+
+    Split = ml_split_assign's content-hash buckets on l_orderkey
+    (train <8, test =9).  Two aggregate passes: per-group means over
+    the train split (|groups| rows, broadcast back), then one metrics
+    reduction over the test split."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.col("l_extendedprice").alias("y")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    b = li.withColumn("bucket", bucket)
+    means = (
+        b.filter(F.col("bucket") < 8)
+        .groupBy("l_returnflag")
+        .agg(F.avg("y").alias("yhat"))
+    )
+    test = b.filter(F.col("bucket") == 9).join(F.broadcast(means), "l_returnflag")
+    r6 = lambda c: F.floor(c * 1e2 + 0.5) / 1e2  # noqa: E731  (1e-2: ~1e4 magnitudes)
+    ybar = F.avg("y")
+    sse = F.sum((F.col("y") - F.col("yhat")) ** 2)
+    sst = F.sum(F.col("y") ** 2) - F.count(F.lit(1)) * ybar * ybar
+    return test.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        r6(F.sqrt(sse / F.count(F.lit(1)))).alias("rmse"),
+        r6(F.avg(F.abs(F.col("y") - F.col("yhat")))).alias("mae"),
+        (F.floor((F.lit(1.0) - sse / sst) * 1e6 + 0.5) / 1e6).alias("r2"),
+    )
+
+
 QUERIES = {
     "q25_feature_assembly": q25_feature_assembly,
     "q26_dt_train_predict": q26_dt_train_predict,
     "ml_feature_importance": ml_feature_importance,
+    "ml_rf_train_predict": ml_rf_train_predict,
+    "ml_baseline_metrics": ml_baseline_metrics,
 }
 
 ORACLES = {
@@ -136,5 +225,22 @@ ORACLES = {
         " AS vec_nnz"
         " FROM lineitem"
     ),
-    # q26: non-SQL-expressible (iterative ML) → rows-only.
+    # q26 / ml_rf: non-SQL-expressible (iterative ML) → rows-only.
+    "ml_baseline_metrics": (
+        "WITH li AS (SELECT l_orderkey, l_returnflag, l_extendedprice AS y,"
+        "   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT"
+        "     % 10 AS bucket FROM lineitem),"
+        " means AS (SELECT l_returnflag, avg(y) AS yhat FROM li"
+        "   WHERE bucket < 8 GROUP BY 1),"
+        " t AS (SELECT li.y, m.yhat FROM li JOIN means m USING (l_returnflag)"
+        "   WHERE bucket = 9)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_test,"
+        " floor(sqrt(sum((y - yhat) * (y - yhat)) / count(*)) * 1e2 + 0.5)"
+        "   / 1e2 AS rmse,"
+        " floor(avg(abs(y - yhat)) * 1e2 + 0.5) / 1e2 AS mae,"
+        " floor((1.0 - sum((y - yhat) * (y - yhat))"
+        "   / (sum(y * y) - count(*) * avg(y) * avg(y))) * 1e6 + 0.5) / 1e6"
+        "   AS r2"
+        " FROM t"
+    ),
 }

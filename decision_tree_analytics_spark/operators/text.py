@@ -410,8 +410,90 @@ def ns_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word shingle with a held-out benchmark document — the overlap
+    check every LLM data pipeline runs before training (the "13-gram
+    decontamination" of GPT-3/PaLM reports, at this corpus's 3-word
+    shingle grain).
+
+    Splits reuse ml_split_assign's content-hash buckets (train =
+    buckets 0-7, benchmark = bucket 9), so the check is deterministic
+    and rerun-stable.  Scale shape: one shingle explode per side,
+    16-byte md5 join keys (never text), benchmark side ~10% of the
+    corpus; output is per-train-doc (distinct shared shingles,
+    distinct benchmark docs touched) — bounded by the train count."""
+    from decision_tree_analytics_spark.operators.dedup import (
+        _tokens,
+        _word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    toked = d.select("doc_id", bucket.alias("bucket"), _tokens().alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        "bucket",
+        F.explode(F.array_distinct(_word_shingles(F.col("toks")))).alias(
+            "shingle"
+        ),
+    ).select("doc_id", "bucket", F.md5("shingle").alias("sh"))
+    train = sh.filter(F.col("bucket") < 8).select("doc_id", "sh")
+    bench = sh.filter(F.col("bucket") == 9).select(
+        F.col("sh"), F.col("doc_id").alias("b_doc")
+    )
+    return (
+        train.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").cast("long").alias("n_shared_shingles"),
+            F.countDistinct("b_doc").cast("long").alias("n_benchmark_docs"),
+        )
+    )
+
+
+def ns_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced resampling plan + audit: compute the per-
+    language keep rate that equalizes the mix to the rarest language,
+    then the deterministic hash-sampled keep counts.
+
+    The rate table is |langs| rows (broadcast); membership is a pure
+    projection on md5(doc_id) — stable across reruns and partitionings
+    (a rand() sample is neither), so the same plan replayed on 100 TB
+    yields the same corpus.  Integer ppm arithmetic keeps both engines
+    exact (no float rate)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("mn"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "lang", "n", F.expr("(mn * 1000000) div n").alias("rate_ppm")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rebal-"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 1_000_000
+    kept = (
+        d.join(F.broadcast(r), "lang")
+        .filter(h < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return r.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n").cast("long").alias("n_total"),
+        F.col("rate_ppm").cast("long").alias("rate_ppm"),
+        F.coalesce("kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 QUERIES = {
     "ns_seq_pack": ns_seq_pack,
+    "ns_decontaminate": ns_decontaminate,
+    "ns_lang_rebalance": ns_lang_rebalance,
     "ns_text_chunk": ns_text_chunk,
     "ns_text_bigrams": ns_text_bigrams,
     "ns_text_repetition": ns_text_repetition,
@@ -427,7 +509,42 @@ QUERIES = {
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
 
+def _sql_decontaminate() -> str:
+    from decision_tree_analytics_spark.operators.dedup import _SQL_SHINGLES
+
+    return (
+        "WITH t AS (SELECT doc_id,"
+        "   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+        "     AS bucket,"
+        "   text FROM documents),"
+        " sh AS (SELECT doc_id, bucket, md5(shingle) AS sh FROM ("
+        f"   SELECT doc_id, bucket, unnest(list_distinct({_SQL_SHINGLES}))"
+        "     AS shingle FROM t)),"
+        " train AS (SELECT doc_id, sh FROM sh WHERE bucket < 8),"
+        " bench AS (SELECT sh, doc_id AS b_doc FROM sh WHERE bucket = 9)"
+        " SELECT tr.doc_id,"
+        " CAST(count(DISTINCT tr.sh) AS BIGINT) AS n_shared_shingles,"
+        " CAST(count(DISTINCT b.b_doc) AS BIGINT) AS n_benchmark_docs"
+        " FROM train tr JOIN bench b USING (sh) GROUP BY 1"
+    )
+
+
 ORACLES = {
+    "ns_decontaminate": _sql_decontaminate(),
+    "ns_lang_rebalance": (
+        "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),"
+        " m AS (SELECT min(n) AS mn FROM c),"
+        " r AS (SELECT lang, n, (mn * 1000000) // n AS rate_ppm"
+        "   FROM c CROSS JOIN m),"
+        " k AS (SELECT d.lang, count(*) AS kept"
+        "   FROM documents d JOIN r USING (lang)"
+        "   WHERE ('0x' || substr(md5('rebal-' || CAST(doc_id AS VARCHAR)),"
+        "     1, 8))::BIGINT % 1000000 < rate_ppm GROUP BY 1)"
+        " SELECT r.lang, CAST(r.n AS BIGINT) AS n_total,"
+        " CAST(r.rate_ppm AS BIGINT) AS rate_ppm,"
+        " CAST(coalesce(k.kept, 0) AS BIGINT) AS n_kept"
+        " FROM r LEFT JOIN k ON r.lang = k.lang"
+    ),
     "ns_seq_pack": (
         "WITH d AS (SELECT doc_id, source,"
         "   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"

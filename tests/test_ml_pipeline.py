@@ -162,3 +162,33 @@ def test_feature_importance_properties(spark, sf_dir):
     assert {k: v.importance for k, v in rows.items()} == {
         k: v.importance for k, v in again.items()
     }
+
+
+def test_rf_deterministic_and_bounded(spark, sf_dir):
+    """ml_rf_train_predict: fixed-seed ensemble is rerun-stable and
+    predictions stay inside the label range (a regression forest
+    averages leaf means, so it can never extrapolate outside)."""
+    from decision_tree_analytics_spark.operators.ml_inventory import (
+        ml_rf_train_predict,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    a = (
+        ml_rf_train_predict(spark, sf_dir)
+        .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ml_rf_train_predict(spark, sf_dir)
+        .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    assert (a["predicted_price"] == b["predicted_price"]).all()
+    lo, hi = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr("min(l_extendedprice)", "max(l_extendedprice)")
+        .first()
+    )
+    assert a["predicted_price"].between(lo, hi).all()
