@@ -456,3 +456,21 @@ def test_seq_pack_single_window_shuffle(spark, sf_dir):
     assert count_shuffles(plan) == 1
     assert has_whole_stage_codegen(plan)
     assert not has_python_eval(plan)
+
+
+def test_decontaminate_joins_on_hashes_no_python(spark, sf_dir):
+    plan = simple_plan(T.ns_decontaminate(spark, sf_dir))
+    # Shingle-overlap join moves 16-byte md5 keys: no Python, no
+    # global sort, and the join+agg pipeline stays within 3 exchanges.
+    assert not has_python_eval(plan)
+    assert count_shuffles(plan) <= 3
+
+
+def test_baseline_metrics_broadcasts_means(spark, sf_dir):
+    from decision_tree_analytics_spark.operators import ml_inventory as M
+
+    plan = simple_plan(M.ml_baseline_metrics(spark, sf_dir))
+    # The per-group mean table is |groups| rows and must broadcast —
+    # the test-split scan is never shuffled for the join.
+    assert has_broadcast_join(plan)
+    assert not has_python_eval(plan)
