@@ -303,7 +303,191 @@ def rel_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MARKOV_ITERS = 6
+CONV_STATE = "purchase"
+
+
+def rel_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven upgrade of
+    last-touch (rel_attribution): build the first-order transition
+    matrix over user journeys, estimate the probability of reaching
+    the conversion state within MARKOV_ITERS steps by value iteration,
+    then re-estimate with each channel blocked; a channel's credit is
+    the relative conversion it carries: (V_base − V_removed) / V_base.
+
+    Scale shape: ONE user-keyed window shuffle builds journey pairs
+    and first-touches; everything after is arithmetic over the
+    |states|²-row matrix — the 6 value-iteration rounds and the 5
+    removal scenarios live entirely in |states|-sized tables, unrolled
+    in-plan exactly like graph_pagerank (and mirrored as chained CTEs
+    in the oracle, so the whole estimator is hash-verified)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    m_counts = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wa = Window.partitionBy("a")
+    m = m_counts.select(
+        "a", "b", (F.col("n") / F.sum("n").over(wa)).alias("p")
+    )
+    states = e.select(F.col("event_type").alias("s")).distinct()
+    scen = (
+        states.filter(F.col("s") != CONV_STATE)
+        .select(F.col("s").alias("removed"))
+        .unionByName(spark.range(1).select(F.lit("base").alias("removed")))
+    )
+    mm = m.crossJoin(scen).select(
+        "removed",
+        "a",
+        "b",
+        F.when(F.col("b") == F.col("removed"), F.lit(0.0))
+        .otherwise(F.col("p"))
+        .alias("p"),
+    )
+    grid = states.crossJoin(scen)
+    v = grid.select(
+        "removed",
+        "s",
+        F.when(F.col("s") == CONV_STATE, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v"),
+    )
+    for _ in range(MARKOV_ITERS):
+        acc = (
+            mm.alias("m")
+            .join(
+                v.alias("v"),
+                (F.col("m.removed") == F.col("v.removed"))
+                & (F.col("m.b") == F.col("v.s")),
+            )
+            .groupBy(F.col("m.removed").alias("removed"), F.col("m.a").alias("s"))
+            .agg(F.sum(F.col("m.p") * F.col("v.v")).alias("acc"))
+        )
+        v = (
+            grid.alias("g")
+            .join(
+                acc.alias("x"),
+                (F.col("g.removed") == F.col("x.removed"))
+                & (F.col("g.s") == F.col("x.s")),
+                "left",
+            )
+            .select(
+                F.col("g.removed").alias("removed"),
+                F.col("g.s").alias("s"),
+                F.when(F.col("g.s") == CONV_STATE, F.lit(1.0))
+                .otherwise(F.coalesce("x.acc", F.lit(0.0)))
+                .alias("v"),
+            )
+        )
+    firsts = seq.filter(F.col("rn") == 1)
+    tot = firsts.agg(F.count(F.lit(1)).cast("double").alias("nu"))
+    st = (
+        firsts.groupBy(F.col("event_type").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select("s", (F.col("n") / F.col("nu")).alias("sp"))
+    )
+    conv = (
+        v.alias("v")
+        .join(F.broadcast(st.alias("t")), F.col("v.s") == F.col("t.s"))
+        .filter(F.col("v.s") != F.col("v.removed"))
+        .groupBy(F.col("v.removed").alias("removed"))
+        .agg(F.sum(F.col("t.sp") * F.col("v.v")).alias("V"))
+    )
+    base_v = conv.filter(F.col("removed") == "base").select(
+        F.col("V").alias("baseV")
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return (
+        conv.filter(F.col("removed") != "base")
+        .crossJoin(F.broadcast(base_v))
+        .select(
+            F.col("removed").alias("channel"),
+            r6(F.col("baseV")).alias("base_cv"),
+            r6(F.col("V")).alias("removed_cv"),
+            r6((F.col("baseV") - F.col("V")) / F.col("baseV")).alias(
+                "removal_effect"
+            ),
+        )
+    )
+
+
+def rel_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test readout: hash-deterministic 50/50 user
+    assignment, per-variant conversion (user made ≥1 purchase), and
+    the pooled two-proportion z statistic — the experiment-analysis
+    query every growth team runs.
+
+    Hash assignment (md5, rule 6) is stable across reruns and joins —
+    the same user always lands in the same arm, with no assignment
+    table to store.  One user-level aggregate (map-side partial), then
+    a single-row conditional rollup; the z arithmetic is projection
+    over that one row."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    # Metric: activation — the user's FIRST event is a purchase.  A
+    # "any purchase ever" metric saturates to 1.0 on a dense event log
+    # (degenerate z); first-touch activation stays a real proportion.
+    u = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1.0)
+            .otherwise(0.0)
+            .alias("conv"),
+        )
+    )
+    arm_a = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab-"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    v = u.select(arm_a.alias("is_a"), F.col("conv").cast("double"))
+    r = v.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0.0)).alias("ka"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0.0)).alias("kb"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    pa, pb = F.col("ka") / F.col("na"), F.col("kb") / F.col("nb")
+    pool = (F.col("ka") + F.col("kb")) / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb"))
+    )
+    return r.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ka").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("kb").cast("long").alias("conv_b"),
+        r6(pa).alias("rate_a"),
+        r6(pb).alias("rate_b"),
+        r6(z).alias("z_score"),
+    )
+
+
 QUERIES = {
+    "rel_attribution_markov": rel_attribution_markov,
+    "rel_ab_test": rel_ab_test,
     "rel_cohort_retention": rel_cohort_retention,
     "rel_gap_fill": rel_gap_fill,
     "rel_data_quality": rel_data_quality,
@@ -313,7 +497,81 @@ QUERIES = {
     "rel_running_distinct": rel_running_distinct,
 }
 
+def _sql_markov_iteration(prev: str, cur: str) -> str:
+    return (
+        f" {cur} AS (SELECT g.removed, g.s,"
+        f"   CASE WHEN g.s = '{CONV_STATE}' THEN 1.0"
+        "     ELSE coalesce(x.acc, 0.0) END AS v"
+        "   FROM grid g LEFT JOIN ("
+        f"     SELECT mm.removed, mm.a AS s, sum(mm.p * {prev}.v) AS acc"
+        f"     FROM mm JOIN {prev} ON mm.removed = {prev}.removed"
+        f"       AND mm.b = {prev}.s GROUP BY 1, 2) x"
+        "   ON g.removed = x.removed AND g.s = x.s)"
+    )
+
+
+_SQL_MARKOV_ATTRIBUTION = (
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t"
+    "   FROM events),"
+    " seq AS (SELECT user_id, event_type,"
+    "   lead(event_type) OVER w AS nxt, row_number() OVER w AS rn"
+    "   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),"
+    " mc AS (SELECT event_type AS a, nxt AS b, count(*) AS n FROM seq"
+    "   WHERE nxt IS NOT NULL GROUP BY 1, 2),"
+    " m AS (SELECT a, b, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY a)"
+    "   AS p FROM mc),"
+    " states AS (SELECT DISTINCT event_type AS s FROM e),"
+    f" scen AS (SELECT s AS removed FROM states WHERE s <> '{CONV_STATE}'"
+    "   UNION ALL SELECT 'base'),"
+    " mm AS (SELECT removed, a, b,"
+    "   CASE WHEN b = removed THEN 0.0 ELSE p END AS p"
+    "   FROM m CROSS JOIN scen),"
+    " grid AS (SELECT removed, s FROM states CROSS JOIN scen),"
+    f" v0 AS (SELECT removed, s, CASE WHEN s = '{CONV_STATE}' THEN 1.0"
+    "   ELSE 0.0 END AS v FROM grid),"
+    + ",".join(
+        _sql_markov_iteration(f"v{i}", f"v{i + 1}") for i in range(MARKOV_ITERS)
+    )
+    + ","
+    " firsts AS (SELECT event_type AS s FROM seq WHERE rn = 1),"
+    " tot AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM firsts),"
+    " st AS (SELECT s, count(*) / (SELECT nu FROM tot) AS sp FROM firsts"
+    "   GROUP BY 1),"
+    f" conv AS (SELECT v.removed, sum(st.sp * v.v) AS V FROM v{MARKOV_ITERS} v"
+    "   JOIN st ON v.s = st.s WHERE v.s <> v.removed GROUP BY 1),"
+    " basev AS (SELECT V AS baseV FROM conv WHERE removed = 'base')"
+    " SELECT removed AS channel,"
+    " floor(baseV * 1e6 + 0.5) / 1e6 AS base_cv,"
+    " floor(V * 1e6 + 0.5) / 1e6 AS removed_cv,"
+    " floor((baseV - V) / baseV * 1e6 + 0.5) / 1e6 AS removal_effect"
+    " FROM conv CROSS JOIN basev WHERE removed <> 'base'"
+)
+
+
 ORACLES = {
+    "rel_attribution_markov": _SQL_MARKOV_ATTRIBUTION,
+    "rel_ab_test": (
+        "WITH u AS (SELECT user_id,"
+        "   CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS conv"
+        "   FROM (SELECT user_id, event_type, row_number() OVER ("
+        "     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn"
+        "     FROM events) WHERE rn = 1),"
+        " v AS (SELECT ('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)),"
+        "   1, 8))::BIGINT % 2 = 0 AS is_a, conv FROM u),"
+        " r AS (SELECT"
+        "   CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS DOUBLE) AS na,"
+        "   sum(CASE WHEN is_a THEN conv ELSE 0.0 END) AS ka,"
+        "   CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,"
+        "   sum(CASE WHEN NOT is_a THEN conv ELSE 0.0 END) AS kb FROM v)"
+        " SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS conv_a,"
+        " CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS conv_b,"
+        " floor(ka / na * 1e6 + 0.5) / 1e6 AS rate_a,"
+        " floor(kb / nb * 1e6 + 0.5) / 1e6 AS rate_b,"
+        " floor((ka / na - kb / nb) / sqrt((ka + kb) / (na + nb)"
+        "   * (1 - (ka + kb) / (na + nb)) * (1 / na + 1 / nb))"
+        "   * 1e6 + 0.5) / 1e6 AS z_score"
+        " FROM r"
+    ),
     "rel_cohort_retention": (
         f"WITH e AS (SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day"
         "   FROM events),"
