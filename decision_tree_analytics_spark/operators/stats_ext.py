@@ -354,8 +354,47 @@ def ns_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_top_movers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Week-over-week change detection: aggregate events to
+    (event_type, week) cells, lag within each type for the previous
+    week's count, rank the biggest absolute movers — the anomaly
+    triage query on every metrics dashboard.
+
+    One aggregate shuffles the corpus down to |types|×|weeks| cells;
+    the lag window and the global top-k (TakeOrderedAndProject) run on
+    that tiny grid.  Deterministic cut: |Δ| desc, then type/week."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts div 1000) div {US_PER_DAY * 7}").alias("week"),
+    )
+    cells = e.groupBy("event_type", "week").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    d = cells.select(
+        "event_type",
+        F.col("week").cast("long").alias("week"),
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+    ).filter(F.col("prev_n").isNotNull())
+    return (
+        d.select(
+            "event_type",
+            "week",
+            "n",
+            F.col("prev_n").cast("long").alias("prev_n"),
+            (F.col("n") - F.col("prev_n")).cast("long").alias("delta"),
+        )
+        .orderBy(
+            F.abs(F.col("delta")).desc(), F.col("event_type"), F.col("week")
+        )
+        .limit(k)
+    )
+
+
 QUERIES = {
     "rel_entropy": rel_entropy,
+    "rel_top_movers": rel_top_movers,
     "rel_quantile_bin": rel_quantile_bin,
     "rel_skew_profile": rel_skew_profile,
     "ml_split_assign": ml_split_assign,
@@ -368,6 +407,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_top_movers": (
+        f"WITH e AS (SELECT event_type,"
+        f"   epoch_us(ts) // {US_PER_DAY * 7} AS week FROM events),"
+        " cells AS (SELECT event_type, CAST(week AS BIGINT) AS week,"
+        "   CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),"
+        " d AS (SELECT event_type, week, n,"
+        "   lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n"
+        "   FROM cells)"
+        " SELECT event_type, week, n, CAST(prev_n AS BIGINT) AS prev_n,"
+        " CAST(n - prev_n AS BIGINT) AS delta"
+        " FROM d WHERE prev_n IS NOT NULL"
+        " ORDER BY abs(n - prev_n) DESC, event_type, week LIMIT 10"
+    ),
     "rel_quantile_bin": (
         "WITH cuts AS (SELECT"
         + ",".join(

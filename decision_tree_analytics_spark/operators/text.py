@@ -490,10 +490,54 @@ def ns_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_perplexity_proxy(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Unigram language-model quality filter: score every document by
+    its per-token cross-entropy against the corpus unigram
+    distribution (≈ log-perplexity), and return the k most "surprising"
+    documents — the cheap statistical stand-in for the
+    perplexity-based filtering of LLM corpus pipelines (CCNet-style),
+    where a doc far from the corpus distribution is boilerplate, noise
+    or another language.
+
+    Two explode-aggregates: corpus token counts (|vocab| rows,
+    broadcast back), then per-doc Σ −log₂ p(tok) / n_tokens.  Tokens
+    shuffle as md5-free plain words but only |vocab| rows move in the
+    model build; the per-doc pass joins against the broadcast model.
+    Top-k is TakeOrderedAndProject with doc_id tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(F.sum("n").cast("double").alias("nt"))
+    model = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok", (F.col("n") / F.col("nt")).alias("p")
+    )
+    scored = (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum(-F.log(2.0, "p")) / F.count(F.lit(1))).alias("xent"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(F.col("xent") * 1e6 + 0.5) / 1e6).alias("bits_per_token"),
+        )
+        .orderBy(F.col("bits_per_token").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 QUERIES = {
     "ns_seq_pack": ns_seq_pack,
     "ns_decontaminate": ns_decontaminate,
     "ns_lang_rebalance": ns_lang_rebalance,
+    "ns_perplexity_proxy": ns_perplexity_proxy,
     "ns_text_chunk": ns_text_chunk,
     "ns_text_bigrams": ns_text_bigrams,
     "ns_text_repetition": ns_text_repetition,
@@ -531,6 +575,21 @@ def _sql_decontaminate() -> str:
 
 ORACLES = {
     "ns_decontaminate": _sql_decontaminate(),
+    "ns_perplexity_proxy": (
+        "WITH toks AS (SELECT doc_id,"
+        "   unnest(string_split(lower(trim(text)), ' ')) AS tok"
+        "   FROM documents),"
+        " vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),"
+        " tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM vocab),"
+        " model AS (SELECT tok, n / (SELECT nt FROM tot) AS p FROM vocab),"
+        " scored AS (SELECT t.doc_id,"
+        "   CAST(count(*) AS BIGINT) AS n_tokens,"
+        "   sum(-ln(m.p) / ln(2)) / count(*) AS xent"
+        "   FROM toks t JOIN model m USING (tok) GROUP BY 1)"
+        " SELECT doc_id, n_tokens,"
+        " floor(xent * 1e6 + 0.5) / 1e6 AS bits_per_token"
+        " FROM scored ORDER BY bits_per_token DESC, doc_id LIMIT 50"
+    ),
     "ns_lang_rebalance": (
         "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),"
         " m AS (SELECT min(n) AS mn FROM c),"
