@@ -392,9 +392,36 @@ def rel_top_movers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def rel_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality diagnostic: Pearson autocorrelation of the daily
+    event-count series at lag 1 (momentum) and lag 7 (weekly cycle) —
+    the one-row check before fitting any seasonal model.
+
+    The corpus reduces to |days| rows in one aggregate; the lag window
+    and corr() run on that bounded grid (a year is 365 rows at any
+    corpus size), so the deliberately global window is a constant-size
+    driver-of-one-task stage, not a scale hazard."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts div 1000) div {US_PER_DAY}").alias("day")
+    )
+    daily = e.groupBy("day").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.orderBy("day")
+    x = daily.select(
+        "n",
+        F.lag("n", 1).over(w).alias("l1"),
+        F.lag("n", 7).over(w).alias("l7"),
+    )
+    return x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        _r6(F.corr("n", "l1")).alias("autocorr_lag1"),
+        _r6(F.corr("n", "l7")).alias("autocorr_lag7"),
+    )
+
+
 QUERIES = {
     "rel_entropy": rel_entropy,
     "rel_top_movers": rel_top_movers,
+    "rel_seasonality": rel_seasonality,
     "rel_quantile_bin": rel_quantile_bin,
     "rel_skew_profile": rel_skew_profile,
     "ml_split_assign": ml_split_assign,
@@ -407,6 +434,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_seasonality": (
+        f"WITH e AS (SELECT epoch_us(ts) // {US_PER_DAY} AS day FROM events),"
+        " daily AS (SELECT day, CAST(count(*) AS DOUBLE) AS n FROM e"
+        "   GROUP BY 1),"
+        " x AS (SELECT n, lag(n, 1) OVER (ORDER BY day) AS l1,"
+        "   lag(n, 7) OVER (ORDER BY day) AS l7 FROM daily)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_days,"
+        " floor(corr(n, l1) * 1e6 + 0.5) / 1e6 AS autocorr_lag1,"
+        " floor(corr(n, l7) * 1e6 + 0.5) / 1e6 AS autocorr_lag7"
+        " FROM x"
+    ),
     "rel_top_movers": (
         f"WITH e AS (SELECT event_type,"
         f"   epoch_us(ts) // {US_PER_DAY * 7} AS week FROM events),"
