@@ -1221,8 +1221,12 @@ def rel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id makes the rounded ordering total).  Scale: one window
     shuffle on the group key; per-group state is the K-row heap —
     this is the mergeable-sample property A-Res is chosen for."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        # A-Res is defined for POSITIVE weights only; a zero weight is
+        # also an ANSI divide-by-zero (one appeared at sf0.1).
+        .filter(F.col("value") > 0)
     )
     u = (
         F.conv(
@@ -1525,7 +1529,7 @@ ORACLES = {
         "WITH p AS (SELECT event_type, event_id,"
         "   floor(ln((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))"
         f"     ::BIGINT + 1) / {_WS_DENOM!r}) / value * 1e9 + 0.5) / 1e9 AS pr"
-        "   FROM events),"
+        "   FROM events WHERE value > 0),"
         " r AS (SELECT event_type, event_id, row_number() OVER ("
         "   PARTITION BY event_type ORDER BY pr DESC, event_id ASC) AS rn"
         "   FROM p)"

@@ -1,6 +1,9 @@
 """Extended statistics operators — regression aggregates, Markov
-transition matrices, robust (MAD) anomaly detection, and a
-chi-square independence test.
+transition matrices, robust (MAD) anomaly detection, chi-square
+independence, entropy/Gini profiles, equi-depth binning, key-skew
+diagnostics, sequential patterns, week-over-week movers, daily-series
+autocorrelation, hash-deterministic split audits, and the Heaps-law
+vocabulary curve.
 
 The reference delegates all statistics to its host (its only model is
 MLlib's decision tree, SURVEY §2.1 O8); these are the classic
