@@ -66,6 +66,7 @@ BENCH_EXTRAS = [
     "dedup_canonical",
     "ns_seq_pack",
     "rel_seq_patterns",
+    "ns_train_manifest",
 ]
 
 

@@ -533,11 +533,71 @@ def ns_perplexity_proxy(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFr
     )
 
 
+def ns_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone corpus-curation pipeline in ONE declarative plan:
+    exact-dedup keepers ∩ near-dup cluster canonicals ∩ the
+    decontaminated train split, packed into fixed-capacity training
+    sequences — i.e. the final manifest a pretraining run reads.
+
+    Composition of four independently-oracled stages (each fragment is
+    hash-verified on its own): dedup_exact_fingerprint keep-first,
+    dedup_canonical keepers, ns_decontaminate's overlap flags, and
+    ns_seq_pack's concat-and-cut assignment over the surviving docs.
+    Catalyst fuses the whole thing — the doc table is scanned once per
+    branch, every join key is a doc_id or a 16-byte hash, and the
+    final pack window partitions by source."""
+    from pyspark.sql import Window
+
+    from decision_tree_analytics_spark.operators.dedup import (
+        dedup_canonical,
+        fingerprint_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    keep_exact = (
+        d.select(fingerprint_col().alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    canon = (
+        dedup_canonical(spark, sf_dir)
+        .filter(F.col("is_kept") == 1)
+        .select("doc_id")
+    )
+    contaminated = ns_decontaminate(spark, sf_dir).select("doc_id")
+    survivors = (
+        d.filter(bucket < 8)
+        .join(keep_exact, "doc_id", "semi")
+        .join(canon, "doc_id", "semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    x = survivors.withColumn("end_tok", F.sum("n_tokens").over(w))
+    return x.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"(end_tok - n_tokens) div {PACK_CAPACITY}").alias("seq_index"),
+        ((F.col("end_tok") - F.col("n_tokens")) % PACK_CAPACITY).alias("offset"),
+    )
+
+
 QUERIES = {
     "ns_seq_pack": ns_seq_pack,
     "ns_decontaminate": ns_decontaminate,
     "ns_lang_rebalance": ns_lang_rebalance,
     "ns_perplexity_proxy": ns_perplexity_proxy,
+    "ns_train_manifest": ns_train_manifest,
     "ns_text_chunk": ns_text_chunk,
     "ns_text_bigrams": ns_text_bigrams,
     "ns_text_repetition": ns_text_repetition,
@@ -573,8 +633,51 @@ def _sql_decontaminate() -> str:
     )
 
 
+def _sql_train_manifest() -> str:
+    from decision_tree_analytics_spark.operators.dedup import (
+        _SQL_COMP_CTES,
+        _SQL_SHINGLES,
+    )
+
+    return (
+        "WITH RECURSIVE " + _SQL_COMP_CTES + ","
+        " labeled AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+        "   CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS component_id,"
+        "   d.n_chars FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),"
+        " ranked AS (SELECT doc_id, row_number() OVER ("
+        "   PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC) AS rn"
+        "   FROM labeled),"
+        " canonk AS (SELECT doc_id FROM ranked WHERE rn = 1),"
+        " fp AS (SELECT md5(lower(trim(text))) AS f, doc_id FROM documents),"
+        " keepx AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),"
+        " bt AS (SELECT doc_id, source, text,"
+        "   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+        "     AS bucket FROM documents),"
+        " shx AS (SELECT doc_id, bucket, md5(shingle) AS sh FROM ("
+        f"   SELECT doc_id, bucket, unnest(list_distinct({_SQL_SHINGLES}))"
+        "     AS shingle FROM bt)),"
+        " contaminated AS (SELECT DISTINCT tr.doc_id FROM"
+        "   (SELECT doc_id, sh FROM shx WHERE bucket < 8) tr"
+        "   JOIN (SELECT sh FROM shx WHERE bucket = 9) b USING (sh)),"
+        " survivors AS (SELECT bt.doc_id, bt.source,"
+        "   CAST(len(string_split(bt.text, ' ')) AS BIGINT) AS n_tokens"
+        "   FROM bt WHERE bucket < 8"
+        "   AND doc_id IN (SELECT doc_id FROM keepx)"
+        "   AND doc_id IN (SELECT doc_id FROM canonk)"
+        "   AND doc_id NOT IN (SELECT doc_id FROM contaminated)),"
+        " x AS (SELECT doc_id, source, n_tokens,"
+        "   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)"
+        "     AS end_tok FROM survivors)"
+        " SELECT doc_id, source, n_tokens,"
+        f" CAST((end_tok - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS seq_index,"
+        f" CAST((end_tok - n_tokens) % {PACK_CAPACITY} AS BIGINT) AS offset"
+        " FROM x"
+    )
+
+
 ORACLES = {
     "ns_decontaminate": _sql_decontaminate(),
+    "ns_train_manifest": _sql_train_manifest(),
     "ns_perplexity_proxy": (
         "WITH toks AS (SELECT doc_id,"
         "   unnest(string_split(lower(trim(text)), ' ')) AS tok"
