@@ -212,9 +212,30 @@ def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator under the oracle gate: per-user CUSUM
+    drift detection via applyInPandasWithState (streaming/cusum.py) —
+    the alarm-and-reset recurrence no window function can express —
+    drained with availableNow and hash-compared against a recursive-
+    CTE replay of the identical arithmetic in DuckDB."""
+    from decision_tree_analytics_spark.streaming.cusum import user_cusum
+
+    name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        user_cusum(events_stream(spark, sf_dir)), name, output_mode="update"
+    )
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        "n_alarms",
+        (F.floor(F.col("final_s") * 1e6 + 0.5) / 1e6).alias("final_s"),
+    )
+
+
 QUERIES = {
     "stream_recent_pairs": stream_recent_pairs,
     "stream_enrich_segments": stream_enrich_segments,
+    "stream_cusum": stream_cusum,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_topk": stream_topk,
     "stream_rate_monitor": stream_rate_monitor,
@@ -222,7 +243,38 @@ QUERIES = {
     "stream_window_dedup": stream_window_dedup,
 }
 
+def _sql_cusum() -> str:
+    from decision_tree_analytics_spark.streaming.cusum import CUSUM_H, CUSUM_K
+
+    k, h = CUSUM_K, CUSUM_H
+    return (
+        "WITH RECURSIVE seq AS (SELECT user_id, value, row_number() OVER ("
+        "   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn"
+        "   FROM events WHERE value IS NOT NULL),"
+        " rec(user_id, rn, s, n_alarms) AS ("
+        f"   SELECT user_id, 1,"
+        f"     CASE WHEN greatest(0, value - {k}) > {h} THEN 0"
+        f"       ELSE greatest(0, value - {k}) END,"
+        f"     CASE WHEN greatest(0, value - {k}) > {h} THEN 1 ELSE 0 END"
+        "   FROM seq WHERE rn = 1"
+        "   UNION ALL"
+        f"   SELECT r.user_id, r.rn + 1,"
+        f"     CASE WHEN greatest(0, r.s + q.value - {k}) > {h} THEN 0"
+        f"       ELSE greatest(0, r.s + q.value - {k}) END,"
+        f"     r.n_alarms + CASE WHEN greatest(0, r.s + q.value - {k}) > {h}"
+        "       THEN 1 ELSE 0 END"
+        "   FROM rec r JOIN seq q ON q.user_id = r.user_id"
+        "     AND q.rn = r.rn + 1),"
+        " fin AS (SELECT user_id, max(rn) AS n_events FROM seq GROUP BY 1)"
+        " SELECT r.user_id, CAST(f.n_events AS BIGINT) AS n_events,"
+        " CAST(r.n_alarms AS BIGINT) AS n_alarms,"
+        " floor(r.s * 1e6 + 0.5) / 1e6 AS final_s"
+        " FROM rec r JOIN fin f ON r.user_id = f.user_id AND r.rn = f.n_events"
+    )
+
+
 ORACLES = {
+    "stream_cusum": _sql_cusum(),
     "stream_enrich_segments": (
         "SELECT c.c_mktsegment, e.event_type,"
         " CAST(count(*) AS BIGINT) AS n_events,"
