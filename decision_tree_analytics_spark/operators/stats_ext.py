@@ -421,10 +421,43 @@ def rel_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_agg_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-surface completion: deterministic MODE (most frequent
+    day-of-week per event type, smallest dow breaking ties — builtin
+    mode() is tie-arbitrary in both engines, so the portable form is
+    count + rank) plus the boolean quantifier aggregates
+    (bool_and / bool_or) and count_if.
+
+    Two bounded aggregates joined on the 5-row type key; the mode
+    branch ranks the |types|×7 cell grid."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.expr(f"(ts div 1000) div {US_PER_DAY}") + 4) % 7).alias("dow"),
+        "value",
+    )
+    cells = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("dow").asc()
+    )
+    mode = (
+        cells.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("dow").cast("long").alias("mode_dow"))
+    )
+    quants = e.groupBy("event_type").agg(
+        F.expr("bool_and(value > 1)").cast("long").alias("all_above_1"),
+        F.expr("bool_or(value > 400)").cast("long").alias("any_above_400"),
+        F.expr("count_if(value > 100)").cast("long").alias("n_above_100"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return quants.join(F.broadcast(mode), "event_type")
+
+
 QUERIES = {
     "rel_entropy": rel_entropy,
     "rel_top_movers": rel_top_movers,
     "rel_seasonality": rel_seasonality,
+    "rel_agg_quantifiers": rel_agg_quantifiers,
     "rel_quantile_bin": rel_quantile_bin,
     "rel_skew_profile": rel_skew_profile,
     "ml_split_assign": ml_split_assign,
@@ -437,6 +470,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_agg_quantifiers": (
+        f"WITH e AS (SELECT event_type,"
+        f"   (epoch_us(ts) // {US_PER_DAY} + 4) % 7 AS dow, value FROM events),"
+        " cells AS (SELECT event_type, dow, count(*) AS n FROM e"
+        "   GROUP BY 1, 2),"
+        " mode AS (SELECT event_type, CAST(dow AS BIGINT) AS mode_dow FROM ("
+        "   SELECT event_type, dow, row_number() OVER ("
+        "     PARTITION BY event_type ORDER BY n DESC, dow ASC) AS rn"
+        "   FROM cells) WHERE rn = 1),"
+        " q AS (SELECT event_type,"
+        "   CAST(bool_and(value > 1) AS BIGINT) AS all_above_1,"
+        "   CAST(bool_or(value > 400) AS BIGINT) AS any_above_400,"
+        "   CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)"
+        "     AS n_above_100,"
+        "   CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)"
+        " SELECT q.event_type, all_above_1, any_above_400, n_above_100, n,"
+        " mode_dow FROM q JOIN mode ON q.event_type = mode.event_type"
+    ),
     "rel_seasonality": (
         f"WITH e AS (SELECT epoch_us(ts) // {US_PER_DAY} AS day FROM events),"
         " daily AS (SELECT day, CAST(count(*) AS DOUBLE) AS n FROM e"

@@ -119,3 +119,16 @@ def write_clustered_parquet(
         .parquet(path)
     )
     return path
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge the footers of every file under
+    ``path`` so files written before a column existed surface it as
+    NULL — the additive-evolution contract a long-lived 100 TB table
+    needs (writers upgrade gradually; readers must not break).
+
+    ``mergeSchema`` costs one footer read per file (driver-side
+    metadata, not data), which is why it is an explicit entry point
+    here rather than the default read path."""
+    prepare_session(spark)
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -93,3 +93,24 @@ def test_clustered_write_layout_and_pruning(spark, sf_dir, tmp_path):
         assert vals == sorted(vals)
     plan = simple_plan(spark.read.parquet(path).filter("event_type = 'click'"))
     assert "PartitionFilters" in plan and "event_type" in plan  # dir pruning
+
+
+def test_parquet_schema_evolution_merges_additive_column(spark, tmp_path):
+    """Files written before a column existed read back with NULLs for
+    it, and both generations' rows survive the merged scan."""
+    from decision_tree_analytics_spark.sources.formats import (
+        read_parquet_evolved,
+        write_parquet,
+    )
+
+    base = str(tmp_path / "evolved")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    write_parquet(v1, base, mode="overwrite")
+    write_parquet(v2, base, mode="append")
+    got = read_parquet_evolved(spark, base)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
