@@ -64,10 +64,43 @@ BENCH_EXTRAS = [
     "udf_secondary_sort",
     "rel_kmv_setops",
     "dedup_canonical",
+    "dedup_canonical_snapshot",
+    "dedup_semantic_components",
     "ns_seq_pack",
     "rel_seq_patterns",
     "ns_train_manifest",
 ]
+
+
+# Query names that already received a driver CORRECTNESS row in
+# rounds 1-2 (union of CORRECTNESS_r01/r02 sample keys, minus
+# rel_approx_quantile whose r02 row errored before validating).  The
+# driver samples a 50-query subset per round in enumeration order, so
+# all_queries() lists never-sampled queries FIRST to rotate coverage
+# across rounds (VERDICT r2 item 6).  Names themselves are stable.
+_DRIVER_SAMPLED = {
+    "dedup_embedding_neardup", "dedup_exact_fingerprint", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signature", "dedup_ngram_jaccard", "dedup_simhash",
+    "q01_scan_project", "q02_project_exclude", "q03_null_filter",
+    "q04_label_derive", "q05_compound_filter", "q06_inner_join",
+    "q07_broadcast_dim_join", "q08_left_join", "q09_semi_join",
+    "q10_anti_join", "q11_hash_agg", "q12_distinct_agg",
+    "q13_cardinality", "q14_approx_distinct", "q15_rollup",
+    "q16_window_keep_first", "q17_window_lag", "q18_window_running_sum",
+    "q19_topk", "q20_set_ops", "q21_string_fns",
+    "q22_date_fns", "q23_math_fns", "q24_exact_dedup",
+    "q25_feature_assembly", "q26_dt_train_predict",
+    "rel_array_fns", "rel_asof_join", "rel_conditional_fns",
+    "rel_cube", "rel_event_pattern", "rel_explode",
+    "rel_funnel", "rel_grouped_topk", "rel_grouping_sets",
+    "rel_histogram_quantile", "rel_incremental_agg", "rel_json_fns",
+    "rel_kmv_distinct", "rel_map_fns", "rel_percentile",
+    "rel_pivot", "rel_profile", "rel_range_join",
+    "rel_rank_family", "rel_sessionize", "rel_stats_fns",
+    "rel_stratified_sample", "rel_string_pad_fns", "rel_time_rollup",
+    "rel_unpivot", "sim_ann_buckets", "sim_ann_topk",
+    "sim_cosine_topk", "sim_embed_nn", "sim_ivf_topk",
+}
 
 
 def all_queries():
@@ -77,7 +110,9 @@ def all_queries():
         if overlap:
             raise RuntimeError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    return out
+    fresh = {k: v for k, v in out.items() if k not in _DRIVER_SAMPLED}
+    fresh.update((k, v) for k, v in out.items() if k in _DRIVER_SAMPLED)
+    return fresh
 
 
 def all_oracles():

@@ -469,10 +469,17 @@ def rel_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0.0)).alias("kb"),
     )
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
-    pa, pb = F.col("ka") / F.col("na"), F.col("kb") / F.col("nb")
-    pool = (F.col("ka") + F.col("kb")) / (F.col("na") + F.col("nb"))
-    z = (pa - pb) / F.sqrt(
-        pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb"))
+    # ANSI-safe denominators: an empty arm (na/nb = 0) or a saturated
+    # pooled rate (pool ∈ {0, 1} ⇒ sqrt = 0) yields NULL on both
+    # engines instead of a divide-by-zero error.
+    na = F.expr("nullif(na, 0.0)")
+    nb = F.expr("nullif(nb, 0.0)")
+    pa, pb = F.col("ka") / na, F.col("kb") / nb
+    pool = (F.col("ka") + F.col("kb")) / F.nullif(
+        F.col("na") + F.col("nb"), F.lit(0.0)
+    )
+    z = (pa - pb) / F.nullif(
+        F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb)), F.lit(0.0)
     )
     return r.select(
         F.col("na").cast("long").alias("n_a"),
@@ -565,10 +572,12 @@ ORACLES = {
         "   sum(CASE WHEN NOT is_a THEN conv ELSE 0.0 END) AS kb FROM v)"
         " SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS conv_a,"
         " CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS conv_b,"
-        " floor(ka / na * 1e6 + 0.5) / 1e6 AS rate_a,"
-        " floor(kb / nb * 1e6 + 0.5) / 1e6 AS rate_b,"
-        " floor((ka / na - kb / nb) / sqrt((ka + kb) / (na + nb)"
-        "   * (1 - (ka + kb) / (na + nb)) * (1 / na + 1 / nb))"
+        " floor(ka / nullif(na, 0.0) * 1e6 + 0.5) / 1e6 AS rate_a,"
+        " floor(kb / nullif(nb, 0.0) * 1e6 + 0.5) / 1e6 AS rate_b,"
+        " floor((ka / nullif(na, 0.0) - kb / nullif(nb, 0.0))"
+        "   / nullif(sqrt((ka + kb) / nullif(na + nb, 0.0)"
+        "   * (1 - (ka + kb) / nullif(na + nb, 0.0))"
+        "   * (1 / nullif(na, 0.0) + 1 / nullif(nb, 0.0))), 0.0)"
         "   * 1e6 + 0.5) / 1e6 AS z_score"
         " FROM r"
     ),

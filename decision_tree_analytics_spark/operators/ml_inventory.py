@@ -17,6 +17,7 @@ from pyspark.ml.regression import DecisionTreeRegressor
 from pyspark.sql import DataFrame, SparkSession
 
 from decision_tree_analytics_spark.ml.features import FEATURES_COL, assemble_features
+from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
 
 _FEATURES = {"l_quantity": 0, "l_discount": 1, "l_tax": 2}
@@ -148,24 +149,26 @@ def ml_rf_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    try:
-        model = RandomForestRegressor(
-            featuresCol=FEATURES_COL,
-            labelCol="label",
-            impurity="variance",
-            numTrees=20,
-            featureSubsetStrategy="sqrt",
-            maxDepth=5,
-            maxBins=64,
-            seed=12345,
-        ).fit(assembled.select(FEATURES_COL, "label"))
-        return (
-            model.setPredictionCol("predicted_price")
-            .transform(assembled)
-            .select("l_orderkey", "l_linenumber", "predicted_price")
-        )
-    finally:
-        assembled.unpersist()
+    model = RandomForestRegressor(
+        featuresCol=FEATURES_COL,
+        labelCol="label",
+        impurity="variance",
+        numTrees=20,
+        featureSubsetStrategy="sqrt",
+        maxDepth=5,
+        maxBins=64,
+        seed=12345,
+    ).fit(assembled.select(FEATURES_COL, "label"))
+    # tether, don't eagerly unpersist: the returned prediction frame is
+    # lazy, so a finally-block unpersist here would evict the cache
+    # before the scoring pass ever reads it (the transform would
+    # recompute the projection from parquet).
+    return tether_cache(
+        model.setPredictionCol("predicted_price")
+        .transform(assembled)
+        .select("l_orderkey", "l_linenumber", "predicted_price"),
+        assembled,
+    )
 
 
 def ml_baseline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,15 +183,19 @@ def q14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate quantiles (Greenwald-Khanna / KLL-family sketch).  Like
 # Q14: sketch internals are engine-specific → rows-only for the
 # driver; pytest asserts ≤1% relative error vs the exact percentile.
+# The three quantiles are projected to SCALAR columns (p50/p95/p99)
+# rather than one array<double> — the driver's canonicalizer sorts
+# and hashes output cells, and an ndarray cell is unhashable.
 # Scale: the sketch is mergeable with bounded size (controlled by the
 # accuracy parameter) — the only way to do percentiles in one pass
 # over 100 TB without a global sort.
 def rel_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.95, 0.99], 10000
-        ).alias("price_pcts")
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        F.element_at(pcts, 3).alias("p99"),
     )
 
 

@@ -8,9 +8,10 @@ Three tiers:
   via window rank.  The corpus is never shuffled; at 100 TB this is
   the correct "small probe batch × huge corpus" plan (cost O(N·k·d),
   one pass).
-* ``sim_embed_nn`` — all-pairs nearest neighbor on an explicitly
-  bounded subset (pairwise is quadratic; the operator refuses to be
-  the scale path by construction).
+* ``sim_embed_nn`` — nearest neighbor with LSH-bucket candidate
+  generation and exact-cosine scoring: the "embedding near-dup over a
+  candidate set" pattern in its scale-true form (candidates come from
+  the SRP buckets, never from a corpus-sized broadcast or subset).
 * ``sim_ann_buckets`` — the scale path: sign-random-projection LSH.
   The 16 hyperplanes are content-derived (md5 of plane/dim indices →
   ±1), so bucketing is deterministic across engines and runs — no
@@ -99,18 +100,33 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_embed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest neighbor within the bounded subset vec_id % 25 == 0
-    (embedding-cosine near-dup pattern on a candidate set)."""
+    """Embedding-cosine nearest neighbor with LSH-bucket candidate
+    generation: candidates are same-SRP-bucket pairs (sim_ann_buckets'
+    deterministic 16-plane code), scored with EXACT cosine, keeping
+    each vector's single best neighbor.
+
+    This replaces the r2 form (vec_id % 25 subset + corpus broadcast,
+    flagged in VERDICT r2 item 7): the candidate set is now bounded by
+    bucket occupancy instead of growing linearly with the corpus, and
+    the pairwise stage is a bucket equi-JOIN (shuffle on the bucket
+    key), so no corpus-sized table is ever broadcast — locked by
+    tests/test_plans.py::test_embed_nn_no_corpus_broadcast.  Vectors
+    whose bucket holds no other member have no neighbor row (the
+    recall/selectivity trade LSH makes by design; raise N_PLANES to
+    tighten buckets, lower it to widen candidates)."""
     from pyspark.sql import Window
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 25 == 0)
-        .select("vec_id", _vecd("embedding").alias("v"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+    both = emb.join(sim_ann_buckets(spark, sf_dir), "vec_id").persist()
+    a = both.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = both.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") != F.col("id_b"))
     scored = pairs.select(
         "id_a",
         "id_b",
@@ -119,7 +135,7 @@ def sim_embed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
-    return (
+    result = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -128,6 +144,7 @@ def sim_embed_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+    return tether_cache(result, both)
 
 
 def sim_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,10 +669,19 @@ ORACLES = {
         " WHERE rank <= 5"
     ),
     "sim_embed_nn": (
-        f"WITH e AS ({_SQL_EXPLODED.replace('FROM embeddings', 'FROM embeddings WHERE vec_id % 25 = 0')}),"
+        f"WITH planes(p, i, s) AS (VALUES {_sql_planes_values()}),"
+        f" e AS ({_SQL_EXPLODED}),"
+        " pdots AS (SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS dot"
+        "   FROM e JOIN planes pl ON e.i = pl.i + 1 GROUP BY 1, 2),"
+        " buckets AS (SELECT vec_id,"
+        "   sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)"
+        "     AS bucket FROM pdots GROUP BY vec_id),"
         f" norms AS ({_SQL_NORMS}),"
         " dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot"
-        "   FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),"
+        "   FROM e a JOIN buckets ba ON a.vec_id = ba.vec_id"
+        "   JOIN buckets bb ON ba.bucket = bb.bucket"
+        "   JOIN e b ON b.vec_id = bb.vec_id AND a.i = b.i"
+        "   WHERE a.vec_id <> b.vec_id GROUP BY 1, 2),"
         " scored AS (SELECT id_a, id_b,"
         "   floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 AS cos_sim"
         "   FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)"

@@ -118,12 +118,18 @@ def rel_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("med").alias("med"),
         F.expr("percentile(adev, 0.5)").alias("mad"),
     )
+    # nullif guards the ANSI divide: MAD is 0 whenever >=50% of a
+    # group's values are identical — such degenerate groups yield
+    # z = NULL identically in both engines (CLAUDE.md rule: keep
+    # denominators provably nonzero or NULL them out on both sides).
     z = e.join(F.broadcast(mad), "event_type").select(
         "event_type",
         "med",
         "mad",
         _r6(
-            F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+            F.lit(0.6745)
+            * (F.col("value") - F.col("med"))
+            / F.expr("nullif(mad, 0.0)")
         ).alias("z"),
     )
     return z.groupBy("event_type").agg(
@@ -223,12 +229,14 @@ def rel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / F.sum("n").over(wd)).alias("p"),
         F.count(F.lit(1)).over(wd).cast("double").alias("k"),
     )
+    # k = 1 (a day-of-week with a single event type) makes log2(k)
+    # zero — an ANSI divide error; such days get norm_entropy = NULL
+    # on both sides instead.
+    ent = F.sum(-F.col("p") * F.log(2.0, "p"))
+    k1 = F.first("k")
     return p.groupBy("dow").agg(
-        _r6(F.sum(-F.col("p") * F.log(2.0, "p"))).alias("entropy"),
-        _r6(
-            F.sum(-F.col("p") * F.log(2.0, "p"))
-            / (F.log(2.0, F.first("k")))
-        ).alias("norm_entropy"),
+        _r6(ent).alias("entropy"),
+        _r6(F.when(k1 > 1.0, ent / F.log(2.0, k1))).alias("norm_entropy"),
         _r6(F.lit(1.0) - F.sum(F.col("p") * F.col("p"))).alias("gini"),
     )
 
@@ -453,7 +461,76 @@ def rel_agg_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quants.join(F.broadcast(mode), "event_type")
 
 
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation harness under the full oracle:
+    confusion counts plus accuracy/precision/recall/F1, demonstrated
+    on a deterministic rule model (predict "returned" when the line is
+    deep-discounted) so every cell is hash-verified — an MLlib model
+    plugs into the same shape rows-only.
+
+    One single-pass conditional aggregate (map-side partials carry
+    four counters); the metric arithmetic is projection over one row.
+    All divides are nullif-guarded — a degenerate split (no positives
+    predicted or present) yields NULL metrics on both engines instead
+    of an ANSI divide error."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        (F.col("l_discount") >= 0.06).cast("int").alias("p"),
+    )
+    cnt = lambda c: F.sum(c).cast("long")  # noqa: E731
+    r = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt(F.col("y") * F.col("p")).alias("tp"),
+        cnt((1 - F.col("y")) * F.col("p")).alias("fp"),
+        cnt(F.col("y") * (1 - F.col("p"))).alias("fn"),
+        cnt((1 - F.col("y")) * (1 - F.col("p"))).alias("tn"),
+    )
+    d = lambda a, b: a.cast("double") / F.nullif(b.cast("double"), F.lit(0.0))  # noqa: E731
+    prec = d(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = d(F.col("tp"), F.col("tp") + F.col("fn"))
+    return r.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _r6(d(F.col("tp") + F.col("tn"), F.col("n"))).alias("accuracy"),
+        _r6(prec).alias("precision"),
+        _r6(rec).alias("recall"),
+        _r6(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))).alias("f1"),
+    )
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: bucket a [0,1] model score into
+    deciles and compare each bin's mean score against its empirical
+    positive rate — the calibration check behind ECE and Platt
+    scaling.  Score = scaled discount (deterministic stand-in for a
+    model probability), outcome = the line was returned.
+
+    Map-only bin assignment (pure codegen floor arithmetic, no cut
+    table needed for a fixed [0,1] score) then one 10-row aggregate —
+    the same single-shuffle shape at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") * 10).alias("s"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    binned = li.select(
+        F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("long").alias("bin"),
+        "s",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _r6(F.avg("s")).alias("mean_score"),
+        _r6(F.avg("y")).alias("pos_rate"),
+        _r6(F.avg("s") - F.avg("y")).alias("gap"),
+    )
+
+
 QUERIES = {
+    "ml_confusion_matrix": ml_confusion_matrix,
+    "ml_calibration_bins": ml_calibration_bins,
     "rel_entropy": rel_entropy,
     "rel_top_movers": rel_top_movers,
     "rel_seasonality": rel_seasonality,
@@ -470,6 +547,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ml_confusion_matrix": (
+        "WITH c AS (SELECT"
+        "   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,"
+        "   CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS p"
+        "   FROM lineitem),"
+        " r AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        "   CAST(sum(y * p) AS BIGINT) AS tp,"
+        "   CAST(sum((1 - y) * p) AS BIGINT) AS fp,"
+        "   CAST(sum(y * (1 - p)) AS BIGINT) AS fn,"
+        "   CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn FROM c)"
+        " SELECT n, tp, fp, fn, tn,"
+        " floor(CAST(tp + tn AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0)"
+        "   * 1e6 + 0.5) / 1e6 AS accuracy,"
+        " floor(CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)"
+        "   * 1e6 + 0.5) / 1e6 AS precision,"
+        " floor(CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)"
+        "   * 1e6 + 0.5) / 1e6 AS recall,"
+        " floor(2 * (CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0))"
+        "   * (CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0))"
+        "   / nullif(CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)"
+        "     + CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0), 0.0)"
+        "   * 1e6 + 0.5) / 1e6 AS f1"
+        " FROM r"
+    ),
+    "ml_calibration_bins": (
+        "WITH b AS (SELECT"
+        "   CAST(least(floor(l_discount * 10 * 10), 9) AS BIGINT) AS bin,"
+        "   l_discount * 10 AS s,"
+        "   CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y"
+        "   FROM lineitem)"
+        " SELECT bin, CAST(count(*) AS BIGINT) AS n,"
+        " floor(avg(s) * 1e6 + 0.5) / 1e6 AS mean_score,"
+        " floor(avg(y) * 1e6 + 0.5) / 1e6 AS pos_rate,"
+        " floor((avg(s) - avg(y)) * 1e6 + 0.5) / 1e6 AS gap"
+        " FROM b GROUP BY bin"
+    ),
     "rel_agg_quantifiers": (
         f"WITH e AS (SELECT event_type,"
         f"   (epoch_us(ts) // {US_PER_DAY} + 4) % 7 AS dow, value FROM events),"
@@ -581,7 +694,8 @@ ORACLES = {
         "   FROM cells)"
         " SELECT dow,"
         " floor(sum(-p * ln(p) / ln(2)) * 1e6 + 0.5) / 1e6 AS entropy,"
-        " floor(sum(-p * ln(p) / ln(2)) / (ln(any_value(k)) / ln(2))"
+        " floor(CASE WHEN any_value(k) > 1 THEN"
+        "   sum(-p * ln(p) / ln(2)) / (ln(any_value(k)) / ln(2)) END"
         "   * 1e6 + 0.5) / 1e6 AS norm_entropy,"
         " floor((1.0 - sum(p * p)) * 1e6 + 0.5) / 1e6 AS gini"
         " FROM p GROUP BY dow"
@@ -628,7 +742,8 @@ ORACLES = {
         "   quantile_cont(abs(value - med), 0.5) AS mad"
         "   FROM events e JOIN med USING (event_type) GROUP BY 1),"
         " z AS (SELECT e.event_type, med, mad,"
-        "   floor(0.6745 * (value - med) / mad * 1e6 + 0.5) / 1e6 AS z"
+        "   floor(0.6745 * (value - med) / nullif(mad, 0.0)"
+        "     * 1e6 + 0.5) / 1e6 AS z"
         "   FROM events e JOIN mad USING (event_type))"
         " SELECT event_type,"
         " floor(any_value(med) * 1e6 + 0.5) / 1e6 AS med,"

@@ -15,7 +15,7 @@ results are bit-stable across engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from decision_tree_analytics_spark.sources.tables import load_table
 
@@ -490,19 +490,28 @@ def ns_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPLX_VOCAB_TOP_N = 1024  # CCNet-style model cap: bounded regardless of corpus
+
+
 def ns_perplexity_proxy(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
     """Unigram language-model quality filter: score every document by
-    its per-token cross-entropy against the corpus unigram
-    distribution (≈ log-perplexity), and return the k most "surprising"
-    documents — the cheap statistical stand-in for the
-    perplexity-based filtering of LLM corpus pipelines (CCNet-style),
-    where a doc far from the corpus distribution is boilerplate, noise
-    or another language.
+    its per-token cross-entropy against a CAPPED corpus unigram model
+    (≈ log-perplexity), and return the k most "surprising" documents —
+    the cheap statistical stand-in for the perplexity-based filtering
+    of LLM corpus pipelines (CCNet-style), where a doc far from the
+    corpus distribution is boilerplate, noise or another language.
 
-    Two explode-aggregates: corpus token counts (|vocab| rows,
-    broadcast back), then per-doc Σ −log₂ p(tok) / n_tokens.  Tokens
-    shuffle as md5-free plain words but only |vocab| rows move in the
-    model build; the per-doc pass joins against the broadcast model.
+    The model is the top-``PPLX_VOCAB_TOP_N`` tokens by corpus count
+    (count DESC, token ASC tie-break); everything else is OOV with a
+    floor probability of 1/N_corpus_tokens.  The cap is what makes
+    this scale: a raw web corpus's vocabulary grows with the corpus
+    (Heaps' law — see ns_vocab_growth), so broadcasting the FULL
+    unigram table would eventually exceed any broadcast limit, while
+    top-N+floor is a fixed-size model and the better-defined metric.
+
+    Two explode-aggregates: corpus token counts → TakeOrdered top-N
+    (bounded rows, legitimately broadcast back), then per-doc
+    Σ −log₂ p(tok) / n_tokens via a LEFT join (miss ⇒ OOV floor).
     Top-k is TakeOrderedAndProject with doc_id tie-break."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -511,15 +520,25 @@ def ns_perplexity_proxy(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFr
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = vocab.agg(F.sum("n").cast("double").alias("nt"))
-    model = vocab.crossJoin(F.broadcast(tot)).select(
-        "tok", (F.col("n") / F.col("nt")).alias("p")
+    model = vocab.orderBy(F.col("n").desc(), F.col("tok")).limit(
+        PPLX_VOCAB_TOP_N
     )
     scored = (
-        toks.join(F.broadcast(model), "tok")
+        toks.join(F.broadcast(model), "tok", "left")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (F.sum(-F.log(2.0, "p")) / F.count(F.lit(1))).alias("xent"),
+            (
+                F.sum(
+                    -F.log(
+                        2.0,
+                        F.coalesce(F.col("n").cast("double"), F.lit(1.0))
+                        / F.col("nt"),
+                    )
+                )
+                / F.count(F.lit(1))
+            ).alias("xent"),
         )
     )
     return (
@@ -545,11 +564,17 @@ def ns_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns_seq_pack's concat-and-cut assignment over the surviving docs.
     Catalyst fuses the whole thing — the doc table is scanned once per
     branch, every join key is a doc_id or a 16-byte hash, and the
-    final pack window partitions by source."""
+    final pack window partitions by source.
+
+    The near-dup canon stage consumes PERSISTED component labels
+    (dedup_canonical_snapshot → component_labels_snapshot): at scale
+    the minhash→LSH→connected-components labeling is derived state
+    computed once per corpus generation and shared by every consumer,
+    not recomputed inside each query plan."""
     from pyspark.sql import Window
 
     from decision_tree_analytics_spark.operators.dedup import (
-        dedup_canonical,
+        dedup_canonical_snapshot,
         fingerprint_col,
     )
 
@@ -565,7 +590,7 @@ def ns_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     canon = (
-        dedup_canonical(spark, sf_dir)
+        dedup_canonical_snapshot(spark, sf_dir)
         .filter(F.col("is_kept") == 1)
         .select("doc_id")
     )
@@ -592,7 +617,45 @@ def ns_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: per-source document/token inventory plus
+    temperature-smoothed sampling weights — the domain-mixture table a
+    pretraining run reads (raw token share ∝ corpus, α=0.5 weight
+    upsamples small high-value domains, the Pile/DoReMi-style static
+    mix knob).
+
+    One narrow projection computes per-doc token counts (size(split),
+    pure codegen), one aggregate reduces the corpus to |sources| rows,
+    and the share/weight arithmetic runs in windows over that bounded
+    grid — corpus-size-independent after the first shuffle.  The total
+    token count per source is the SAME number ns_seq_pack packs
+    against, so the mix plan and the packing manifest stay consistent."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .cast("long")
+        .alias("nt"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        r6(F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("token_share"),
+        r6(
+            F.sqrt(F.col("n_tokens").cast("double"))
+            / F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w)
+        ).alias("mix_weight"),
+    )
+
+
 QUERIES = {
+    "ns_domain_mix": ns_domain_mix,
     "ns_seq_pack": ns_seq_pack,
     "ns_decontaminate": ns_decontaminate,
     "ns_lang_rebalance": ns_lang_rebalance,
@@ -676,6 +739,20 @@ def _sql_train_manifest() -> str:
 
 
 ORACLES = {
+    "ns_domain_mix": (
+        "WITH d AS (SELECT source,"
+        "   CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS nt"
+        "   FROM documents),"
+        " g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        "   CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1)"
+        " SELECT source, n_docs, n_tokens,"
+        " floor(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()"
+        "   * 1e6 + 0.5) / 1e6 AS token_share,"
+        " floor(sqrt(CAST(n_tokens AS DOUBLE))"
+        "   / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()"
+        "   * 1e6 + 0.5) / 1e6 AS mix_weight"
+        " FROM g"
+    ),
     "ns_decontaminate": _sql_decontaminate(),
     "ns_train_manifest": _sql_train_manifest(),
     "ns_perplexity_proxy": (
@@ -684,11 +761,13 @@ ORACLES = {
         "   FROM documents),"
         " vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),"
         " tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM vocab),"
-        " model AS (SELECT tok, n / (SELECT nt FROM tot) AS p FROM vocab),"
+        " model AS (SELECT tok, n FROM vocab"
+        f"   ORDER BY n DESC, tok LIMIT {PPLX_VOCAB_TOP_N}),"
         " scored AS (SELECT t.doc_id,"
         "   CAST(count(*) AS BIGINT) AS n_tokens,"
-        "   sum(-ln(m.p) / ln(2)) / count(*) AS xent"
-        "   FROM toks t JOIN model m USING (tok) GROUP BY 1)"
+        "   sum(-ln(CAST(coalesce(m.n, 1) AS DOUBLE)"
+        "       / (SELECT nt FROM tot)) / ln(2)) / count(*) AS xent"
+        "   FROM toks t LEFT JOIN model m USING (tok) GROUP BY 1)"
         " SELECT doc_id, n_tokens,"
         " floor(xent * 1e6 + 0.5) / 1e6 AS bits_per_token"
         " FROM scored ORDER BY bits_per_token DESC, doc_id LIMIT 50"

@@ -21,6 +21,7 @@ correctness gate.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import numpy as np
@@ -115,21 +116,41 @@ def udf_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MERGE_HEX = frozenset("02468ace")
 
 
-def subword_tokens(word: str) -> list[str]:
-    """Tokenize one word by block-aligned deterministic pair-merge."""
+@functools.lru_cache(maxsize=1 << 16)
+def _pair_merges(pair: str) -> bool:
+    """Does this 2-char pair merge?  The decision depends only on the
+    pair, and a corpus has few distinct pairs (≤ alphabet²) — caching
+    removes an md5 call per pair occurrence from the hot loop."""
     import hashlib
 
+    return hashlib.md5(pair.encode("utf-8")).hexdigest()[0] in _MERGE_HEX
+
+
+def subword_tokens(word: str) -> list[str]:
+    """Tokenize one word by block-aligned deterministic pair-merge."""
     toks: list[str] = []
     for i in range(0, len(word), 2):
         pair = word[i : i + 2]
-        if (
-            len(pair) == 2
-            and hashlib.md5(pair.encode("utf-8")).hexdigest()[0] in _MERGE_HEX
-        ):
+        if len(pair) == 2 and _pair_merges(pair):
             toks.append(pair)
         else:
             toks.extend(pair)  # one or two single-char tokens
     return toks
+
+
+@functools.lru_cache(maxsize=1 << 20)
+def _subword_count(word: str) -> int:
+    """len(subword_tokens(word)) without building the list.  Word-
+    level memoization: natural-language vocabulary is Zipfian, so the
+    per-executor cache absorbs nearly every lookup; maxsize bounds the
+    memory on adversarial (all-unique) corpora."""
+    n = 0
+    for i in range(0, len(word), 2):
+        if i + 2 <= len(word) and _pair_merges(word[i : i + 2]):
+            n += 1
+        else:
+            n += len(word) - i if i + 2 > len(word) else 2
+    return n
 
 
 _SUBWORD_SCHEMA = StructType(
@@ -148,7 +169,7 @@ def _subword_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for t in norm:
             words = t.split(" ")
             n_words.append(len(words))
-            n_subwords.append(sum(len(subword_tokens(w)) for w in words))
+            n_subwords.append(sum(map(_subword_count, words)))
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"], "n_words": n_words, "n_subwords": n_subwords}
         )

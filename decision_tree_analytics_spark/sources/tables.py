@@ -66,15 +66,25 @@ def events_ts_scale(sf_dir: str) -> int:
     is a 100 TB directory of files; all files share the unit)."""
     try:
         import pyarrow.parquet as pq
-
-        path = os.path.join(sf_dir, "events.parquet")
-        if not os.path.isfile(path):
-            path = sorted(_glob.glob(os.path.join(path, "*.parquet")))[0]
-        return _NS_PER_UNIT[pq.read_schema(path).field("ts").type.unit]
-    except Exception:
-        # No footer access (remote fs w/o pyarrow): current testdata
-        # generation writes TIMESTAMP(MICROS).
+        import pyarrow.types as pat
+    except ImportError:
+        # No footer access (pyarrow absent): current testdata
+        # generation writes TIMESTAMP(MICROS).  This is the ONLY
+        # silent fallback — any readable-but-unexpected footer below
+        # raises instead of guessing, because a wrong guess shifts
+        # every event time key by 1000x with no diagnostic signal.
         return 1_000
+    path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.isfile(path):
+        path = sorted(_glob.glob(os.path.join(path, "*.parquet")))[0]
+    ts_type = pq.read_schema(path).field("ts").type
+    if not pat.is_timestamp(ts_type):
+        raise ValueError(
+            f"events.ts in {path} is {ts_type}, not a parquet TIMESTAMP - "
+            "cannot infer the epoch unit; update events_ts_scale for the "
+            "new testdata generation"
+        )
+    return _NS_PER_UNIT[ts_type.unit]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

