@@ -18,6 +18,7 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
     ml_inventory,
     multimodal,
     relational,
+    retrieval,
     similarity,
     skew,
     stats_ext,
@@ -42,6 +43,7 @@ ALL_MODULES = (
     cdc,
     graph,
     stats_ext,
+    retrieval,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.

@@ -76,7 +76,56 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"cdc_merge_upsert": cdc_merge_upsert}
+def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style incremental consumption: a SnapshotTable of events
+    is committed in two appends (v1 = event_id % 4 != 0, v2 adds the
+    % 4 == 0 rows); the query reads ONLY the delta between the two
+    manifests (`SnapshotTable.read_incremental`) and aggregates it —
+    the downstream-pipeline shape where each run pays for new files
+    only, never a full-table scan or diff.
+
+    The snapshot directory is keyed by the source file identity
+    (path+size+mtime), so a regenerated corpus misses and rebuilds;
+    the oracle is the batch definition of the delta (the % 4 == 0
+    slice), proving manifest-diff planning returns exactly the
+    appended rows."""
+    import hashlib
+    import os
+
+    from decision_tree_analytics_spark.sources.snapshots import (
+        NoPublishedSnapshot,
+        SnapshotTable,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
+    tag = hashlib.md5(
+        f"{os.path.abspath(ev_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get(
+        "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
+    )
+    table = SnapshotTable(spark, os.path.join(root, f"events_incr_{tag}"))
+    try:
+        table.latest_id()
+    except NoPublishedSnapshot:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        table.append(ev.filter(F.col("event_id") % 4 != 0))
+        table.append(ev.filter(F.col("event_id") % 4 == 0))
+    v1, v2 = table.snapshot_ids()[:2]
+    delta = table.read_incremental(v1, v2)
+    return delta.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        (F.floor(F.sum("value") * 1e6 + 0.5) / 1e6).alias("sum_value"),
+    )
+
+
+QUERIES = {
+    "cdc_merge_upsert": cdc_merge_upsert,
+    "snap_incremental_read": snap_incremental_read,
+}
 
 ORACLES = {
     "cdc_merge_upsert": (
@@ -89,5 +138,10 @@ ORACLES = {
         "   CASE WHEN op IS NULL THEN 'base' ELSE 'applied' END AS source"
         " FROM base FULL JOIN changes ON doc_id = c_id"
         " WHERE op IS NULL OR op <> 'D'"
+    ),
+    "snap_incremental_read": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_new,"
+        " floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value"
+        " FROM events WHERE event_id % 4 = 0 GROUP BY event_type"
     ),
 }

@@ -211,12 +211,117 @@ def ml_baseline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GD_ITERS = 5
+GD_LR = 5.0
+
+
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled iterative trainer: batch-gradient-descent
+    logistic regression (label<5 vs embedding dims 1-4), GD_ITERS
+    unrolled full-batch steps at lr=GD_LR from w=0.
+
+    Unlike the MLlib trainers (q26/ml_rf — engine-internal, rows-only
+    checked), every step here is a plain aggregate, so the whole
+    training run is SQL-expressible and the DuckDB oracle replays it
+    exactly.  Each step is one scan of the cached feature projection
+    + a 1-row broadcast of the current weights: gradients are
+    mergeable averages (map-side combine does the work, the shuffle
+    carries one row), which is how full-batch GD actually scales —
+    iterations × one-pass aggregates, never a driver-side loop over
+    rows.  Output: n, final weights, training log-loss (all smooth
+    functions of row-order-independent sums → 1e-6 rounding holds
+    across engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
+        *[
+            F.col("embedding").getItem(i).cast("double").alias(f"x{i + 1}")
+            for i in range(4)
+        ],
+    ).persist()
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(5)]
+    )
+    margin = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+        + F.col("w4") * F.col("x4")
+    )
+    for _ in range(GD_ITERS):
+        j = feats.crossJoin(F.broadcast(w)).withColumn(
+            "p", 1.0 / (1.0 + F.exp(-margin))
+        )
+        err = F.col("p") - F.col("y")
+        w = j.agg(
+            (F.max("w0") - GD_LR * F.avg(err)).alias("w0"),
+            *[
+                (
+                    F.max(f"w{k}") - GD_LR * F.avg(err * F.col(f"x{k}"))
+                ).alias(f"w{k}")
+                for k in range(1, 5)
+            ],
+        )
+    final = feats.crossJoin(F.broadcast(w)).withColumn(
+        "p", 1.0 / (1.0 + F.exp(-margin))
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    result = final.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[r6(F.max(f"w{j}")).alias(f"w{j}") for j in range(5)],
+        r6(
+            F.avg(
+                -(
+                    F.col("y") * F.log("p")
+                    + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))
+                )
+            )
+        ).alias("log_loss"),
+    )
+    return tether_cache(result, feats)
+
+
+def _logreg_oracle() -> str:
+    margin = "w0 + w1*x1 + w2*x2 + w3*x3 + w4*x4"
+    parts = [
+        "WITH d AS (SELECT CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,"
+        " embedding[1]::DOUBLE AS x1, embedding[2]::DOUBLE AS x2,"
+        " embedding[3]::DOUBLE AS x3, embedding[4]::DOUBLE AS x4"
+        " FROM embeddings),"
+        " it0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,"
+        " 0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4)"
+    ]
+    for i in range(1, GD_ITERS + 1):
+        grads = ", ".join(
+            f"max(w{k}) - {GD_LR} * avg((p - y) * x{k}) AS w{k}"
+            for k in range(1, 5)
+        )
+        parts.append(
+            f", it{i} AS (SELECT max(w0) - {GD_LR} * avg(p - y) AS w0, {grads}"
+            f" FROM (SELECT *, 1.0/(1.0 + exp(-({margin}))) AS p"
+            f" FROM d CROSS JOIN it{i - 1}))"
+        )
+    ws = ", ".join(
+        f"floor(max(w{j}) * 1e6 + 0.5) / 1e6 AS w{j}" for j in range(5)
+    )
+    parts.append(
+        f" SELECT CAST(count(*) AS BIGINT) AS n, {ws},"
+        " floor(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) * 1e6 + 0.5)"
+        " / 1e6 AS log_loss"
+        f" FROM (SELECT *, 1.0/(1.0 + exp(-({margin}))) AS p"
+        f" FROM d CROSS JOIN it{GD_ITERS})"
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "q25_feature_assembly": q25_feature_assembly,
     "q26_dt_train_predict": q26_dt_train_predict,
     "ml_feature_importance": ml_feature_importance,
     "ml_rf_train_predict": ml_rf_train_predict,
     "ml_baseline_metrics": ml_baseline_metrics,
+    "ml_logreg_gd": ml_logreg_gd,
 }
 
 ORACLES = {
@@ -229,6 +334,7 @@ ORACLES = {
         " FROM lineitem"
     ),
     # q26 / ml_rf: non-SQL-expressible (iterative ML) → rows-only.
+    "ml_logreg_gd": _logreg_oracle(),
     "ml_baseline_metrics": (
         "WITH li AS (SELECT l_orderkey, l_returnflag, l_extendedprice AS y,"
         "   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT"

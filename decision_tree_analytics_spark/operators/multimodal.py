@@ -261,7 +261,55 @@ def mm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATCH = 32
+
+
+def mm_patch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch manifest from the parsed container header: for
+    each image (width/height as in mm_header_parse, both ≥ 64 so the
+    32-px grid is never empty), emit one row per non-overlapping
+    32×32 patch with its grid position, pixel offset, and byte offset
+    into a row-major RGB plane after the 10-byte header.
+
+    This is the pre-decode work-plan a multimodal loader fans out to
+    GPU workers: pure codegen arithmetic + one explode — no shuffle,
+    no Python, no codec; only the per-patch pixel decode (the
+    documented stub) needs the actual bytes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    width = F.pmod(F.col("doc_id"), F.lit(192)) + 64
+    height = F.pmod(F.col("doc_id") * 7, F.lit(192)) + 64
+    g = d.select(
+        "doc_id",
+        width.alias("width"),
+        height.alias("height"),
+        F.floor(width / PATCH).cast("long").alias("nx"),
+        F.floor(height / PATCH).cast("long").alias("ny"),
+    )
+    p = g.select(
+        "doc_id",
+        "nx",
+        "width",
+        F.explode(F.sequence(F.lit(0), (F.col("nx") * F.col("ny")) - 1)).alias(
+            "patch_id"
+        ),
+    )
+    px = F.pmod(F.col("patch_id"), F.col("nx"))
+    py = F.floor(F.col("patch_id") / F.col("nx"))
+    return p.select(
+        "doc_id",
+        F.col("patch_id").cast("long").alias("patch_id"),
+        px.cast("long").alias("px"),
+        py.cast("long").alias("py"),
+        (px * PATCH).cast("long").alias("x_off"),
+        (py * PATCH).cast("long").alias("y_off"),
+        (10 + (py * PATCH * F.col("width") + px * PATCH) * 3)
+        .cast("long")
+        .alias("byte_off"),
+    )
+
+
 QUERIES = {
+    "mm_patch_manifest": mm_patch_manifest,
     "mm_binary_meta": mm_binary_meta,
     "mm_byte_stats": mm_byte_stats,
     "mm_header_parse": mm_header_parse,
@@ -276,6 +324,24 @@ _B = (
 )
 
 ORACLES = {
+    "mm_patch_manifest": (
+        "WITH g AS (SELECT doc_id,"
+        "   doc_id % 192 + 64 AS width, (doc_id * 7) % 192 + 64 AS height"
+        "   FROM documents),"
+        " n AS (SELECT doc_id, width,"
+        f"   CAST(floor(width / {PATCH}) AS BIGINT) AS nx,"
+        f"   CAST(floor(height / {PATCH}) AS BIGINT) AS ny FROM g),"
+        " p AS (SELECT doc_id, width, nx,"
+        "   unnest(range(nx * ny)) AS patch_id FROM n)"
+        " SELECT doc_id, CAST(patch_id AS BIGINT) AS patch_id,"
+        " CAST(patch_id % nx AS BIGINT) AS px,"
+        " CAST(patch_id // nx AS BIGINT) AS py,"
+        f" CAST((patch_id % nx) * {PATCH} AS BIGINT) AS x_off,"
+        f" CAST((patch_id // nx) * {PATCH} AS BIGINT) AS y_off,"
+        f" CAST(10 + ((patch_id // nx) * {PATCH} * width"
+        f"   + (patch_id % nx) * {PATCH}) * 3 AS BIGINT) AS byte_off"
+        " FROM p"
+    ),
     "mm_binary_meta": (
         "SELECT doc_id,"
         " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"

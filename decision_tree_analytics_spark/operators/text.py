@@ -654,7 +654,65 @@ def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_STOPS = ("the", "a", "of", "and", "to", "in")
+
+
+def _round6_col(c: Column) -> Column:
+    return F.floor(c * 1e6 + 0.5) / 1e6
+
+
+def ns_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. '21 §A1.1 adapted to the
+    synthetic corpus): hard thresholds with a reason bitmask, the
+    keep/drop decision layer that sits in front of every LLM corpus
+    (ns_text_quality scores; this one *decides* and says why).
+
+    Rules (bit set = rule passed): 1 word count ∈ [50, 100000];
+    2 mean word length ∈ [3, 10]; 4 max word length ≤ 20;
+    8 ≥ 2 distinct stopwords; 16 ≥ 80% purely-alphabetic words.
+
+    Scale: map-only — every metric comes from the row's own split
+    array (HOF filter/transform/aggregate), so the plan is one scan
+    with zero shuffles and the filter composes with any downstream
+    pipeline for free.  ANSI: divisions guarded by nullif(wc, 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda w: w != "")
+    lens = F.transform(toks, lambda w: F.length(w))
+    wc = F.size(toks).cast("long")
+    wc_nz = F.nullif(wc, F.lit(0))
+    mean_len = _round6_col(
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / wc_nz
+    )
+    max_len = F.array_max(lens).cast("long")
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPS])
+    stop_distinct = F.size(F.array_intersect(toks, stops)).cast("long")
+    alpha_frac = _round6_col(
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$"))).cast("double")
+        / wc_nz
+    )
+    bit = lambda cond, v: F.when(cond, v).otherwise(0)  # noqa: E731
+    flags = (
+        bit((wc >= 50) & (wc <= 100000), 1)
+        + bit((mean_len >= 3.0) & (mean_len <= 10.0), 2)
+        + bit(max_len <= 20, 4)
+        + bit(stop_distinct >= 2, 8)
+        + bit(alpha_frac >= 0.8, 16)
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        wc.alias("word_count"),
+        mean_len.alias("mean_word_len"),
+        max_len.alias("max_word_len"),
+        stop_distinct.alias("stop_distinct"),
+        alpha_frac.alias("alpha_frac"),
+        flags.alias("flags"),
+        (flags == 31).alias("passes"),
+    )
+
+
 QUERIES = {
+    "ns_gopher_filter": ns_gopher_filter,
     "ns_domain_mix": ns_domain_mix,
     "ns_seq_pack": ns_seq_pack,
     "ns_decontaminate": ns_decontaminate,
@@ -738,7 +796,38 @@ def _sql_train_manifest() -> str:
     )
 
 
+_GOPHER_SQL = (
+    "WITH t AS (SELECT doc_id,"
+    "   list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')"
+    "     AS toks FROM documents),"
+    " m AS (SELECT doc_id,"
+    "   CAST(len(toks) AS BIGINT) AS word_count,"
+    "   floor(CAST(list_sum(list_transform(toks, w -> length(w)))"
+    "       AS DOUBLE) / nullif(len(toks), 0) * 1e6 + 0.5) / 1e6"
+    "     AS mean_word_len,"
+    "   CAST(list_aggregate(list_transform(toks, w -> length(w)), 'max')"
+    "       AS BIGINT) AS max_word_len,"
+    "   CAST(len(list_intersect(toks,"
+    f"       [{', '.join(repr(w) for w in GOPHER_STOPS)}])) AS BIGINT)"
+    "     AS stop_distinct,"
+    "   floor(CAST(len(list_filter(toks,"
+    "       w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE)"
+    "       / nullif(len(toks), 0) * 1e6 + 0.5) / 1e6 AS alpha_frac"
+    "   FROM t),"
+    " f AS (SELECT *,"
+    "   CAST((CASE WHEN word_count BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)"
+    "   + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0"
+    "       THEN 2 ELSE 0 END)"
+    "   + (CASE WHEN max_word_len <= 20 THEN 4 ELSE 0 END)"
+    "   + (CASE WHEN stop_distinct >= 2 THEN 8 ELSE 0 END)"
+    "   + (CASE WHEN alpha_frac >= 0.8 THEN 16 ELSE 0 END) AS BIGINT)"
+    "     AS flags FROM m)"
+    " SELECT doc_id, word_count, mean_word_len, max_word_len,"
+    " stop_distinct, alpha_frac, flags, flags = 31 AS passes FROM f"
+)
+
 ORACLES = {
+    "ns_gopher_filter": _GOPHER_SQL,
     "ns_domain_mix": (
         "WITH d AS (SELECT source,"
         "   CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS nt"

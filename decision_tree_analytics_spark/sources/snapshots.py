@@ -176,6 +176,20 @@ class SnapshotTable:
             raise SnapshotNotFound(f"snapshot {sid} has no data files")
         return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
 
+    def read_incremental(self, from_sid: int, to_sid: int) -> DataFrame:
+        """Iceberg-style incremental scan: only the rows in data files
+        that ``to_sid`` references and ``from_sid`` does not.  Plans
+        from the manifest DIFFERENCE — the consumer pays for the delta,
+        never a full-table diff (append-only tables: the delta IS the
+        new data; overwrites surface the whole rewritten file set)."""
+        before = set(self.manifest(from_sid)["files"])
+        delta = [f for f in self.manifest(to_sid)["files"] if f not in before]
+        if not delta:
+            return self.read(to_sid).limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in delta]
+        )
+
     # -- maintenance ------------------------------------------------
     def expire(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots (never the

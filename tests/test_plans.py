@@ -518,3 +518,49 @@ def test_embed_nn_no_corpus_broadcast(spark, sf_dir):
 
     plan = _plan_with_no_auto_broadcast(spark, lambda: S.sim_embed_nn(spark, sf_dir))
     assert not has_broadcast_join(plan)
+
+
+def test_bm25_prunes_scan_and_uses_topk(spark, sf_dir):
+    # The keyword search reads only (doc_id, text); doc length comes
+    # from the row's own split array (no second shuffle), and the
+    # global top-10 lowers to TakeOrderedAndProject, never a
+    # single-partition sort of all matching docs.
+    from decision_tree_analytics_spark.operators import retrieval as RT
+
+    plan = simple_plan(RT.rel_bm25_topk(spark, sf_dir))
+    for schema in scan_read_schemas(plan):
+        assert set(schema) <= {"doc_id", "text"}
+    assert uses_top_k_sort(plan)
+    assert not has_python_eval(plan)
+
+
+def test_gopher_filter_is_map_only(spark, sf_dir):
+    # Every rule metric derives from the row's split array: one scan,
+    # zero shuffles, no Python — the filter composes for free.
+    plan = simple_plan(T.ns_gopher_filter(spark, sf_dir))
+    assert count_shuffles(plan) == 0
+    assert not has_python_eval(plan)
+
+
+def test_logreg_gd_broadcasts_only_weights(spark, sf_dir):
+    # Each GD step broadcasts the 1-row weight table over the cached
+    # feature projection; the corpus itself is never shuffled — the
+    # only exchanges are the per-step single-row gradient reductions.
+    from decision_tree_analytics_spark.operators import ml_inventory as M
+
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: M.ml_logreg_gd(spark, sf_dir)
+    )
+    assert "partial_avg" in plan  # map-side combine carries the grads
+    assert not has_python_eval(plan)
+    assert "hashpartitioning" not in plan  # only SinglePartition reductions
+
+
+def test_mmr_rerank_candidates_bounded_and_cached(spark, sf_dir):
+    # The corpus contributes via TakeOrdered top-20 only; the greedy
+    # steps rerun over a persisted candidate table, not the corpus.
+    from decision_tree_analytics_spark.operators import retrieval as RT
+
+    plan = simple_plan(RT.sim_mmr_rerank(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert uses_top_k_sort(plan)

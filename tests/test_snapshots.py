@@ -98,3 +98,19 @@ def test_staged_then_never_published_is_invisible_to_append(spark, docs, tmp_pat
     t.append(docs.filter(F.col("doc_id") >= 95), publish=False)  # staged
     t.append(docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)))
     assert t.read().count() == 20
+
+
+def test_incremental_read_returns_only_the_delta(spark, docs, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(docs.filter(F.col("doc_id") < 10))
+    s2 = t.append(docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 25)))
+    delta = t.read_incremental(s1, s2)
+    got = sorted(r.doc_id for r in delta.select("doc_id").collect())
+    assert got == list(range(10, 25))
+    # same snapshot on both sides → empty delta, schema preserved
+    empty = t.read_incremental(s2, s2)
+    assert empty.count() == 0
+    assert empty.columns == t.read().columns
+    # an overwrite rewrites the file set → the whole new set is the delta
+    s3 = t.overwrite(docs.filter(F.col("doc_id") < 5))
+    assert t.read_incremental(s2, s3).count() == 5
