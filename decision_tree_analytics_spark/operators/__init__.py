@@ -71,6 +71,10 @@ BENCH_EXTRAS = [
     "ns_seq_pack",
     "rel_seq_patterns",
     "ns_train_manifest",
+    "rel_bm25_topk",
+    "sim_hybrid_rrf",
+    "ml_logreg_gd",
+    "ns_gopher_filter",
 ]
 
 

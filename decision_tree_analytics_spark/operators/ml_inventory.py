@@ -211,6 +211,126 @@ def ml_baseline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection under the full oracle: three candidate price
+    models of increasing granularity (global mean, per-returnflag
+    mean, per-returnflag×linestatus mean) are fit on the train split,
+    scored on the validation split, ranked by val RMSE, and the
+    winner alone reports its held-out test RMSE — the grid-search /
+    cross-validation harness every training pipeline runs,
+    demonstrated on SQL-expressible models so the selection logic
+    itself is hash-verified (MLlib grids plug into the same shape
+    rows-only).
+
+    Splits are ml_split_assign's content-hash buckets (train <7,
+    val 7-8, test 9) — no engine-seeded randomness.  Scale: each fit
+    is a bounded-group aggregate broadcast back onto one scan of its
+    split; the selection window runs over 3 rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        F.col("l_extendedprice").alias("y"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    b = li.withColumn("bucket", bucket).persist()
+    train = b.filter(F.col("bucket") < 7)
+    val = b.filter((F.col("bucket") >= 7) & (F.col("bucket") <= 8))
+    test = b.filter(F.col("bucket") == 9)
+
+    m0 = train.agg(F.avg("y").alias("yhat"))
+    m1 = train.groupBy("l_returnflag").agg(F.avg("y").alias("yhat"))
+    m2 = train.groupBy("l_returnflag", "l_linestatus").agg(
+        F.avg("y").alias("yhat")
+    )
+
+    def _rmse(split: DataFrame, model: DataFrame, keys: list, mid: str):
+        if keys:
+            scored = split.join(F.broadcast(model), keys)
+        else:
+            scored = split.crossJoin(F.broadcast(model))
+        return scored.agg(
+            F.lit(mid).alias("model_id"),
+            F.sqrt(F.avg((F.col("y") - F.col("yhat")) ** 2)).alias("rmse"),
+        )
+
+    r2 = lambda c: F.floor(c * 1e2 + 0.5) / 1e2  # noqa: E731  (~1e4 magnitudes)
+    vals = (
+        _rmse(val, m0, [], "global_mean")
+        .unionByName(_rmse(val, m1, ["l_returnflag"], "by_returnflag"))
+        .unionByName(
+            _rmse(val, m2, ["l_returnflag", "l_linestatus"], "by_flag_status")
+        )
+        .select("model_id", r2(F.col("rmse")).alias("val_rmse"))
+    )
+    tests = (
+        _rmse(test, m0, [], "global_mean")
+        .unionByName(_rmse(test, m1, ["l_returnflag"], "by_returnflag"))
+        .unionByName(
+            _rmse(test, m2, ["l_returnflag", "l_linestatus"], "by_flag_status")
+        )
+        .select("model_id", r2(F.col("rmse")).alias("t_rmse"))
+    )
+    w = Window.orderBy("val_rmse", "model_id")
+    ranked = vals.withColumn("rank", F.row_number().over(w).cast("long"))
+    result = ranked.join(tests, "model_id").select(
+        "model_id",
+        "val_rmse",
+        "rank",
+        F.when(F.col("rank") == 1, F.col("t_rmse")).alias("test_rmse"),
+    )
+    return tether_cache(result, b)
+
+
+_CV_SQL = """
+WITH li AS (SELECT l_returnflag, l_linestatus, l_extendedprice AS y,
+   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10
+     AS bucket FROM lineitem),
+train AS (SELECT * FROM li WHERE bucket < 7),
+val AS (SELECT * FROM li WHERE bucket BETWEEN 7 AND 8),
+test AS (SELECT * FROM li WHERE bucket = 9),
+m0 AS (SELECT avg(y) AS yhat FROM train),
+m1 AS (SELECT l_returnflag, avg(y) AS yhat FROM train GROUP BY 1),
+m2 AS (SELECT l_returnflag, l_linestatus, avg(y) AS yhat FROM train
+  GROUP BY 1, 2),
+vals AS (
+  SELECT 'global_mean' AS model_id,
+    floor(sqrt(avg((y - yhat) * (y - yhat))) * 1e2 + 0.5) / 1e2 AS val_rmse
+  FROM val CROSS JOIN m0
+  UNION ALL
+  SELECT 'by_returnflag',
+    floor(sqrt(avg((y - yhat) * (y - yhat))) * 1e2 + 0.5) / 1e2
+  FROM val JOIN m1 USING (l_returnflag)
+  UNION ALL
+  SELECT 'by_flag_status',
+    floor(sqrt(avg((y - yhat) * (y - yhat))) * 1e2 + 0.5) / 1e2
+  FROM val JOIN m2 USING (l_returnflag, l_linestatus)),
+tests AS (
+  SELECT 'global_mean' AS model_id,
+    floor(sqrt(avg((y - yhat) * (y - yhat))) * 1e2 + 0.5) / 1e2 AS t_rmse
+  FROM test CROSS JOIN m0
+  UNION ALL
+  SELECT 'by_returnflag',
+    floor(sqrt(avg((y - yhat) * (y - yhat))) * 1e2 + 0.5) / 1e2
+  FROM test JOIN m1 USING (l_returnflag)
+  UNION ALL
+  SELECT 'by_flag_status',
+    floor(sqrt(avg((y - yhat) * (y - yhat))) * 1e2 + 0.5) / 1e2
+  FROM test JOIN m2 USING (l_returnflag, l_linestatus)),
+ranked AS (SELECT model_id, val_rmse,
+  CAST(row_number() OVER (ORDER BY val_rmse, model_id) AS BIGINT) AS rank
+  FROM vals)
+SELECT model_id, val_rmse, rank,
+  CASE WHEN rank = 1 THEN t_rmse END AS test_rmse
+FROM ranked JOIN tests USING (model_id)
+"""
+
+
 GD_ITERS = 5
 GD_LR = 5.0
 
@@ -322,6 +442,7 @@ QUERIES = {
     "ml_rf_train_predict": ml_rf_train_predict,
     "ml_baseline_metrics": ml_baseline_metrics,
     "ml_logreg_gd": ml_logreg_gd,
+    "ml_cv_select": ml_cv_select,
 }
 
 ORACLES = {
@@ -335,6 +456,7 @@ ORACLES = {
     ),
     # q26 / ml_rf: non-SQL-expressible (iterative ML) → rows-only.
     "ml_logreg_gd": _logreg_oracle(),
+    "ml_cv_select": _CV_SQL,
     "ml_baseline_metrics": (
         "WITH li AS (SELECT l_orderkey, l_returnflag, l_extendedprice AS y,"
         "   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT"
