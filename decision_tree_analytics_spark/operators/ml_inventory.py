@@ -435,6 +435,81 @@ def _logreg_oracle() -> str:
     return "".join(parts)
 
 
+def ml_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMeans/IVF *assignment step* under the full oracle: class
+    centroids (per-label mean vectors) are computed once, broadcast,
+    and every corpus vector is assigned to its nearest centroid by
+    squared euclidean distance — per-centroid counts and mean distance
+    come back as the 10-row readout.
+
+    This is the hash-verified companion to the rows-only
+    ``sim_ivf_topk`` (engine-seeded KMeans): the centroid table here
+    is a deterministic aggregate, so DuckDB replays the whole
+    assignment.  Scale: centroid build is an exploded (label, dim)
+    aggregate — 64·|labels| rows of mergeable partials; assignment is
+    map-only (broadcast 10×64 table, zip_with distance per row, min
+    over a 10-element struct — no corpus shuffle); the readout
+    shuffles |labels| keys.  Distances rounded 1e-6 before the
+    argmin, label ascending as tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "cx"))),
+                lambda s: s.getField("cx"),
+            ).alias("cv")
+        )
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = emb.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("c_label"), "cv"))
+    ).select("vec_id", "c_label", r6(dist).alias("dist"))
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "c_label")).alias("m")
+    )
+    return (
+        best.select(F.col("m.c_label").alias("centroid"), F.col("m.dist").alias("d"))
+        .groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            r6(F.avg("d")).alias("avg_dist"),
+        )
+    )
+
+
+_CENTROID_SQL = """
+WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+    generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+cent AS (SELECT label AS c_label, i, avg(x) AS cx FROM e GROUP BY 1, 2),
+dists AS (
+  SELECT e.vec_id, c.c_label,
+    floor(sum((e.x - c.cx) * (e.x - c.cx)) * 1e6 + 0.5) / 1e6 AS dist
+  FROM e JOIN cent c ON c.i = e.i
+  GROUP BY 1, 2),
+best AS (
+  SELECT vec_id, c_label, dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  FROM dists)
+SELECT c_label AS centroid, CAST(count(*) AS BIGINT) AS n_assigned,
+  floor(avg(dist) * 1e6 + 0.5) / 1e6 AS avg_dist
+FROM best WHERE rn = 1 GROUP BY 1
+"""
+
+
 QUERIES = {
     "q25_feature_assembly": q25_feature_assembly,
     "q26_dt_train_predict": q26_dt_train_predict,
@@ -443,6 +518,7 @@ QUERIES = {
     "ml_baseline_metrics": ml_baseline_metrics,
     "ml_logreg_gd": ml_logreg_gd,
     "ml_cv_select": ml_cv_select,
+    "ml_centroid_assign": ml_centroid_assign,
 }
 
 ORACLES = {
@@ -457,6 +533,7 @@ ORACLES = {
     # q26 / ml_rf: non-SQL-expressible (iterative ML) → rows-only.
     "ml_logreg_gd": _logreg_oracle(),
     "ml_cv_select": _CV_SQL,
+    "ml_centroid_assign": _CENTROID_SQL,
     "ml_baseline_metrics": (
         "WITH li AS (SELECT l_orderkey, l_returnflag, l_extendedprice AS y,"
         "   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT"

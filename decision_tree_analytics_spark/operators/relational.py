@@ -1301,7 +1301,37 @@ def rel_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the cross-engine /
+    cross-replica integrity audit (does the replicated or migrated
+    table hold EXACTLY these rows?).  Each row renders to a canonical
+    string (floats as exact cents, no timestamp types), hashes to a
+    64-bit int via md5, and the table fingerprint is the (count, sum,
+    xor) of row hashes — all three mergeable, so the audit is one
+    map-side-combined scan with a single-row shuffle, and fingerprints
+    of partitions/shards combine associatively at any scale.
+
+    The oracle match IS the use case: DuckDB computing the identical
+    fingerprint from its copy proves row-level equality without
+    moving either table."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return o.select(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("h").cast("long").alias("sum_hash"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+    )
+
+
 QUERIES = {
+    "rel_table_fingerprint": rel_table_fingerprint,
     "q01_scan_project": q01_scan_project,
     "q02_project_exclude": q02_project_exclude,
     "q03_null_filter": q03_null_filter,
@@ -1361,6 +1391,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_table_fingerprint": (
+        "WITH h AS (SELECT ('0x' || substr(md5(concat_ws('|',"
+        "   o_orderkey::VARCHAR, o_custkey::VARCHAR, o_orderstatus,"
+        "   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)::VARCHAR)),"
+        "   1, 8))::BIGINT AS h FROM orders)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(sum(h) AS BIGINT) AS sum_hash,"
+        " CAST(bit_xor(h) AS BIGINT) AS xor_hash FROM h"
+    ),
     "q01_scan_project": "SELECT l_orderkey, l_quantity FROM lineitem",
     "q02_project_exclude": (
         "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,"

@@ -232,7 +232,53 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the lake-table format, end-to-end
+    under the oracle: the event stream lands via a foreachBatch sink
+    that COMMITS one SnapshotTable append per micro-batch (write →
+    manifest → atomic publish, so readers only ever see whole
+    batches), then the query reads the published table back and
+    aggregates it — proving the stream→table→reader loop loses and
+    duplicates nothing.
+
+    This is the batch-verifiable twin of streaming/dedup_sink.py's
+    replay-safe store sink; the shuffle-partition pin in the drain
+    matches run_to_memory's rationale.  Each call ingests into a
+    fresh temp table (content is what's verified, not the path)."""
+    import tempfile
+
+    from decision_tree_analytics_spark.sources.snapshots import SnapshotTable
+
+    table_path = tempfile.mkdtemp(prefix="stream_snap_ingest_")
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        SnapshotTable(batch_df.sparkSession, table_path).append(
+            batch_df.select("event_id", "event_type", "value")
+        )
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "8")
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.outputMode("append")
+            .foreachBatch(commit_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
+    landed = SnapshotTable(spark, table_path).read()
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.floor(F.sum("value") * 1e6 + 0.5) / 1e6).alias("sum_value"),
+    )
+
+
 QUERIES = {
+    "stream_snapshot_ingest": stream_snapshot_ingest,
     "stream_recent_pairs": stream_recent_pairs,
     "stream_enrich_segments": stream_enrich_segments,
     "stream_cusum": stream_cusum,
@@ -274,6 +320,11 @@ def _sql_cusum() -> str:
 
 
 ORACLES = {
+    "stream_snapshot_ingest": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,"
+        " floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value"
+        " FROM events GROUP BY event_type"
+    ),
     "stream_cusum": _sql_cusum(),
     "stream_enrich_segments": (
         "SELECT c.c_mktsegment, e.event_type,"

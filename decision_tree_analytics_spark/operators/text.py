@@ -711,7 +711,69 @@ def ns_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_LOADER_SHARDS = 16
+
+
+def ns_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every document
+    gets a content-derived shuffle key (md5 of its id), lands in one of
+    N_LOADER_SHARDS loader shards by key prefix, and is ordered within
+    its shard by the key — the write manifest a dataloader replays
+    identically on every run/engine (no seeded RNG to disagree about).
+
+    The readout audits the interleave per shard: row count, distinct
+    sources, and the fraction of ADJACENT positions whose source
+    differs (a well-shuffled shard ≈ 1 − Σ share²; a source-sorted
+    shard ≈ 0) — the cheap statistic that catches a broken shuffle
+    before a training run does.  Scale: one shuffle on the shard key;
+    the within-shard sort is exactly what the loader contract
+    requires, and shard count scales with the cluster (16 here).
+    ANSI: adjacent-pair fraction guards nullif(n-1, 0)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % N_LOADER_SHARDS
+    )
+    s = d.select("doc_id", "source", key.alias("k"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    seq = s.withColumn(
+        "changed",
+        F.when(
+            F.lag("source").over(w).isNotNull()
+            & (F.lag("source").over(w) != F.col("source")),
+            1,
+        ).otherwise(0),
+    )
+    return seq.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        _round6_col(
+            F.sum("changed")
+            / F.nullif(F.count(F.lit(1)) - 1, F.lit(0)).cast("double")
+        ).alias("adjacent_mix"),
+    )
+
+
+_SHARD_SQL = f"""
+WITH s AS (SELECT doc_id, source, md5(doc_id::VARCHAR) AS k,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+      % {N_LOADER_SHARDS} AS shard
+  FROM documents),
+seq AS (SELECT shard, source,
+    CASE WHEN lag(source) OVER (PARTITION BY shard ORDER BY k, doc_id)
+      IS NOT NULL AND lag(source) OVER (PARTITION BY shard ORDER BY k,
+      doc_id) <> source THEN 1 ELSE 0 END AS changed
+  FROM s)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  floor(sum(changed) / CAST(nullif(count(*) - 1, 0) AS DOUBLE)
+    * 1e6 + 0.5) / 1e6 AS adjacent_mix
+FROM seq GROUP BY shard
+"""
+
+
 QUERIES = {
+    "ns_shard_interleave": ns_shard_interleave,
     "ns_gopher_filter": ns_gopher_filter,
     "ns_domain_mix": ns_domain_mix,
     "ns_seq_pack": ns_seq_pack,
@@ -827,6 +889,7 @@ _GOPHER_SQL = (
 )
 
 ORACLES = {
+    "ns_shard_interleave": _SHARD_SQL,
     "ns_gopher_filter": _GOPHER_SQL,
     "ns_domain_mix": (
         "WITH d AS (SELECT source,"
