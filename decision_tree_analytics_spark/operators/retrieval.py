@@ -74,12 +74,16 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rel_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 for the fixed query ``join hash window scan``.
-
-    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
-    idf(t) = ln(1 + (N−df+0.5)/(df+0.5))  (Lucene's non-negative form).
-    """
+def _bm25_scores(spark: SparkSession, sf_dir: str):
+    """(scored, tf): per-doc BM25 scores plus the PERSISTED postings
+    table the plan must reuse.  Catalyst does not reuse the tf
+    exchange across the document-frequency and score branches
+    (verified: 3 corpus FileScans without the persist), so the
+    bounded postings table — |docs matching a query term| × |query
+    terms| slim rows — is cached: one corpus scan builds it, df_t and
+    the score aggregate both read the cache, and the only other
+    corpus pass is the map-only length/avgdl reduction.  The caller
+    tethers ``tf`` to its result."""
     toks = _doc_tokens(spark, sf_dir)
     # Scalars: corpus size and average doc length (one map-only pass).
     stats = toks.agg(
@@ -87,12 +91,13 @@ def rel_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("dl").alias("avgdl"),
     )
     # Postings for the query terms only: the isin filter runs on the
-    # exploded stream, so groupBy state is |matching docs × 4|.
+    # exploded stream, so groupBy state is |matching docs x terms|.
     tf = (
         toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*BM25_TERMS))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
     )
     df_t = tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -119,9 +124,21 @@ def rel_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(_round6(F.sum("part")).alias("score"))
     )
+    return scored, tf
+
+
+def rel_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query ``join hash window scan``.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5))  (Lucene's non-negative form).
+    """
+    scored, tf = _bm25_scores(spark, sf_dir)
     top = scored.orderBy(F.desc("score"), "doc_id").limit(10)
     w = Window.orderBy(F.desc("score"), "doc_id")
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    return tether_cache(
+        top.withColumn("rank", F.row_number().over(w).cast("long")), tf
+    )
 
 
 def _bm25_oracle_cte() -> str:
@@ -206,42 +223,8 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 BEFORE ranking, so rank windows and the fusion join are
     bounded at any corpus size; a doc missing from one side simply
     contributes nothing from it."""
-    toks = _doc_tokens(spark, sf_dir)
-    stats = toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    tf = (
-        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    bm25 = (
-        tf.join(F.broadcast(df_t), "tok")
-        .join(F.broadcast(stats), how="cross")
-        .select(
-            "doc_id",
-            (
-                F.log(
-                    1.0
-                    + (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * (BM25_K1 + 1))
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("part"),
-        )
-        .groupBy("doc_id")
-        .agg(_round6(F.sum("part")).alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(50)
-    )
+    scored, tf = _bm25_scores(spark, sf_dir)
+    bm25 = scored.orderBy(F.desc("score"), "doc_id").limit(50)
     wb = Window.orderBy(F.desc("score"), "doc_id")
     bm_rank = bm25.select(
         F.col("doc_id").alias("id"), F.row_number().over(wb).alias("kw_rank")
@@ -269,7 +252,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "id")
         .limit(10)
     )
-    return fused
+    return tether_cache(fused, tf)
 
 
 _HYBRID_SQL = f"""

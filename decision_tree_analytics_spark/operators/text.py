@@ -772,7 +772,69 @@ FROM seq GROUP BY shard
 """
 
 
+def ns_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row: corpus size (docs / tokens /
+    chars), composition (sources, languages), exact-duplicate rate
+    (1 − distinct fingerprints ÷ docs), and mean quality score — the
+    summary block every released training corpus publishes, fused
+    into a single plan.
+
+    One scan computes every per-doc metric map-side (tokens, chars,
+    quality, fingerprint via the shared normalize-then-hash key);
+    the only shuffles are the three distinct-count reductions
+    (fingerprint / source / lang), each over slim key columns.  All
+    counts BIGINT; rates rounded 1e-6."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    per_doc = d.select(
+        F.size(toks).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+        _quality_score_col(toks).alias("q"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fp"
+        ),
+        "source",
+        "lang",
+    )
+    n_docs = F.count(F.lit(1)).cast("long")
+    return per_doc.agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        _round6_col(
+            1.0 - F.countDistinct("fp") / n_docs.cast("double")
+        ).alias("dup_rate"),
+        _round6_col(F.avg("q")).alias("mean_quality"),
+    )
+
+
+_TOKS_LIT = "string_split(lower(trim(text)), ' ')"
+
+_CARD_SQL = f"""
+WITH per_doc AS (SELECT
+    CAST(len({_TOKS_LIT}) AS BIGINT) AS n_toks,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    least(CAST(len({_TOKS_LIT}) AS DOUBLE) / 50.0, 1.0) * 0.5
+      + CAST({{stop}} AS DOUBLE) / len({_TOKS_LIT}) * 0.5 AS q,
+    md5(array_to_string(list_sort(list_distinct({_TOKS_LIT})), ' ')) AS fp,
+    source, lang
+  FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  floor((1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5)
+    / 1e6 AS dup_rate,
+  floor(avg(q) * 1e6 + 0.5) / 1e6 AS mean_quality
+FROM per_doc
+""".format(stop=_sql_stop_hits(STOPWORDS["en"]))
+
+
 QUERIES = {
+    "ns_dataset_card": ns_dataset_card,
     "ns_shard_interleave": ns_shard_interleave,
     "ns_gopher_filter": ns_gopher_filter,
     "ns_domain_mix": ns_domain_mix,
@@ -889,6 +951,7 @@ _GOPHER_SQL = (
 )
 
 ORACLES = {
+    "ns_dataset_card": _CARD_SQL,
     "ns_shard_interleave": _SHARD_SQL,
     "ns_gopher_filter": _GOPHER_SQL,
     "ns_domain_mix": (
@@ -951,8 +1014,8 @@ ORACLES = {
         " FROM x"
     ),
     "ns_text_chunk": (
-        f"WITH b AS (SELECT doc_id, {_SQL_TOKS} AS toks,"
-        f"   len({_SQL_TOKS}) AS n FROM documents),"
+        f"WITH b AS (SELECT doc_id, {_TOKS_LIT} AS toks,"
+        f"   len({_TOKS_LIT}) AS n FROM documents),"
         " c AS (SELECT doc_id, toks,"
         f"   (greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1)"
         f"     // {CHUNK_STRIDE} AS extra FROM b),"
@@ -965,7 +1028,7 @@ ORACLES = {
         " FROM c2"
     ),
     "ns_text_bigrams": (
-        f"WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),"
+        f"WITH t AS (SELECT {_TOKS_LIT} AS toks FROM documents),"
         " bg AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),"
         "   i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)"
         " SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences"
@@ -973,7 +1036,7 @@ ORACLES = {
         " ORDER BY n_occurrences DESC, bigram ASC LIMIT 20"
     ),
     "ns_text_repetition": (
-        f"WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),"
+        f"WITH t AS (SELECT doc_id, {_TOKS_LIT} AS toks FROM documents),"
         " s AS (SELECT doc_id,"
         "   list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
         "     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh"
@@ -995,13 +1058,13 @@ ORACLES = {
     "ns_text_quality": (
         "SELECT doc_id,"
         " CAST(length(text) AS BIGINT) AS n_chars_m,"
-        f" CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,"
-        f" CAST(list_sum(list_transform({_SQL_TOKS}, t -> length(t))) AS DOUBLE)"
-        f"   / len({_SQL_TOKS}) AS avg_token_len,"
-        f" CAST({_sql_stop_hits(STOPWORDS['en'])} AS DOUBLE) / len({_SQL_TOKS})"
+        f" CAST(len({_TOKS_LIT}) AS BIGINT) AS n_tokens,"
+        f" CAST(list_sum(list_transform({_TOKS_LIT}, t -> length(t))) AS DOUBLE)"
+        f"   / len({_TOKS_LIT}) AS avg_token_len,"
+        f" CAST({_sql_stop_hits(STOPWORDS['en'])} AS DOUBLE) / len({_TOKS_LIT})"
         "   AS stopword_ratio,"
-        f" least(CAST(len({_SQL_TOKS}) AS DOUBLE) / 50.0, 1.0) * 0.5"
-        f"   + (CAST({_sql_stop_hits(STOPWORDS['en'])} AS DOUBLE) / len({_SQL_TOKS})) * 0.5"
+        f" least(CAST(len({_TOKS_LIT}) AS DOUBLE) / 50.0, 1.0) * 0.5"
+        f"   + (CAST({_sql_stop_hits(STOPWORDS['en'])} AS DOUBLE) / len({_TOKS_LIT})) * 0.5"
         "   AS quality_score"
         " FROM documents"
     ),
@@ -1019,7 +1082,7 @@ ORACLES = {
     ),
     "ns_text_fingerprint": (
         "SELECT doc_id,"
-        f" md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))"
+        f" md5(array_to_string(list_sort(list_distinct({_TOKS_LIT})), ' '))"
         " AS fingerprint"
         " FROM documents"
     ),
@@ -1038,8 +1101,8 @@ ORACLES = {
             f" {_sql_stop_hits(words)} AS s_{lang}"
             for lang, words in STOPWORDS.items()
         )
-        + f", CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks,"
-        f" md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))"
+        + f", CAST(len({_TOKS_LIT}) AS BIGINT) AS n_toks,"
+        f" md5(array_to_string(list_sort(list_distinct({_TOKS_LIT})), ' '))"
         "   AS fingerprint"
         " FROM documents),"
         " scored AS (SELECT doc_id,"
