@@ -510,6 +510,252 @@ FROM best WHERE rn = 1 GROUP BY 1
 """
 
 
+NB_VOCAB = 64  # bounded model: top-N train tokens (CCNet-style cap)
+
+
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled multinomial Naive Bayes language classifier:
+    train on a content-hash split of ``documents`` (md5 buckets < 8),
+    predict ``lang`` for the held-out docs, return the confusion
+    matrix.  Like ml_logreg_gd, TRAINING itself is hash-verified —
+    the whole model is two aggregates, so DuckDB replays it exactly.
+
+    Scale: the model is bounded by construction — vocabulary is the
+    top-``NB_VOCAB`` train tokens (Heaps' law means an uncapped vocab
+    grows with the corpus; the cap is what makes the |langs|×|vocab|
+    grid broadcastable at any corpus size, same fix as
+    ns_perplexity_proxy).  Token counting is explode + groupBy with
+    map-side partials; scoring is a broadcast join of the ≤ 5×64-row
+    model against per-doc token counts; Laplace-smoothed log-probs
+    are rounded 1e-6 before the per-doc argmax (lang ascending
+    tie-break).  The prior uses unnormalized ln(n_docs_lang) — the
+    shared -ln(n_train) shifts every lang equally, so the argmax is
+    unchanged and no driver-side count() is needed."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("toks"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 10
+        ).alias("bucket"),
+    )
+    train = d.filter(F.col("bucket") < 8)
+    test = d.filter(F.col("bucket") >= 8)
+    ttoks = train.select("lang", F.explode("toks").alias("tok"))
+    vocab = (
+        ttoks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(NB_VOCAB)
+        .select("tok")
+    )
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = (
+        ttoks.join(F.broadcast(vocab), "tok")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    model = (
+        vocab.crossJoin(priors.select("lang"))
+        .join(counts, ["lang", "tok"], "left")
+        .join(totals, ["lang"], "left")
+        .select(
+            "lang",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("tot"), F.lit(0)) + F.lit(float(NB_VOCAB)))
+            ).alias("lp"),
+        )
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    ll = (
+        test.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(model), "tok")
+        .groupBy("doc_id", F.col("lang").alias("lang_pred"))
+        .agg(F.sum(F.col("n") * F.col("lp")).alias("ll"))
+    )
+    base = test.select("doc_id", F.col("lang").alias("lang_true")).crossJoin(
+        F.broadcast(
+            priors.select(
+                F.col("lang").alias("lang_pred"),
+                F.log(F.col("n_docs").cast("double")).alias("lprior"),
+            )
+        )
+    )
+    scored = base.join(ll, ["doc_id", "lang_pred"], "left").select(
+        "doc_id",
+        "lang_true",
+        "lang_pred",
+        r6(F.col("lprior") + F.coalesce(F.col("ll"), F.lit(0.0))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_pred").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_NB_SQL = f"""
+WITH d AS (SELECT doc_id, lang,
+    regexp_extract_all(lower(text), '[a-z]+') AS toks,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bucket
+  FROM documents),
+train AS (SELECT * FROM d WHERE bucket < 8),
+test AS (SELECT * FROM d WHERE bucket >= 8),
+ttoks AS (SELECT lang, unnest(toks) AS tok FROM train),
+vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM ttoks GROUP BY 1)
+  ORDER BY cnt DESC, tok ASC LIMIT {NB_VOCAB}),
+priors AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY 1),
+counts AS (SELECT lang, tok, count(*) AS c FROM ttoks JOIN vocab USING (tok)
+  GROUP BY 1, 2),
+totals AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+model AS (SELECT p.lang, v.tok,
+    ln((coalesce(c.c, 0) + 1.0) / (coalesce(t.tot, 0) + {NB_VOCAB}.0)) AS lp
+  FROM vocab v CROSS JOIN priors p
+  LEFT JOIN counts c ON c.lang = p.lang AND c.tok = v.tok
+  LEFT JOIN totals t ON t.lang = p.lang),
+dt AS (SELECT doc_id, tok, count(*) AS n
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM test) GROUP BY 1, 2),
+ll AS (SELECT dt.doc_id, m.lang AS lang_pred, sum(dt.n * m.lp) AS ll
+  FROM dt JOIN model m USING (tok) GROUP BY 1, 2),
+scored AS (SELECT t.doc_id, t.lang AS lang_true, p.lang AS lang_pred,
+    floor((ln(CAST(p.n_docs AS DOUBLE)) + coalesce(l.ll, 0.0)) * 1e6 + 0.5)
+      / 1e6 AS score
+  FROM test t CROSS JOIN priors p
+  LEFT JOIN ll l ON l.doc_id = t.doc_id AND l.lang_pred = p.lang),
+pred AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY score DESC, lang_pred ASC) AS rn FROM scored)
+SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+KNN_PROBES = 16  # fixed probe set — broadcastable at any corpus size
+KNN_K = 15
+_KNN_SALTS = 64
+
+
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled k-NN majority-vote classifier over the embedding
+    corpus: for ``KNN_PROBES`` fixed probes, find the exact-cosine
+    top-``KNN_K`` neighbors and predict the majority neighbor label
+    (vote-count desc, label asc tie-break).
+
+    Scale: the probe set is a fixed constant (16 rows), so its
+    broadcast is bounded at any corpus size — unlike a %-of-corpus
+    probe set.  Scoring is one map-only corpus pass; the per-probe
+    top-k uses the salted two-phase strategy from rel_grouped_topk
+    (stage 1 ranks within (probe, vec_id % 64) so no single task
+    sorts a corpus-sized partition; stage 2 ranks ≤ salts×k
+    survivors), because 16 probe groups would otherwise serialize the
+    corpus through 16 tasks.  Similarities rounded 1e-6 before
+    ranking; votes are a ≤ probes×k-row aggregate."""
+    from pyspark.sql import Window
+
+    from decision_tree_analytics_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _round6,
+        _vecd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _vecd("embedding").alias("v"),
+        F.col("label").cast("long").alias("label"),
+    )
+    probes = emb.filter(F.col("vec_id") < KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("label").alias("label_true"),
+    )
+    scored = emb.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "label_true",
+        "vec_id",
+        F.col("label").alias("nb_label"),
+        _round6(
+            _dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v")))
+        ).alias("sim"),
+        F.pmod("vec_id", F.lit(_KNN_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("probe_id", "salt").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= KNN_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    votes = topk.groupBy("probe_id", "label_true", "nb_label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.max("sim").alias("best_sim")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("nb_label").asc()
+    )
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select(
+            "probe_id",
+            "label_true",
+            F.col("nb_label").alias("label_pred"),
+            "n_votes",
+            "best_sim",
+        )
+    )
+
+
+def _knn_oracle() -> str:
+    from decision_tree_analytics_spark.operators.similarity import (
+        _SQL_EXPLODED,
+        _SQL_NORMS,
+    )
+
+    return f"""
+WITH e AS ({_SQL_EXPLODED}),
+norms AS ({_SQL_NORMS}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+dots AS (SELECT p.vec_id AS probe_id, c.vec_id, sum(p.x * c.x) AS dot
+  FROM e p JOIN e c ON p.i = c.i
+    AND p.vec_id < {KNN_PROBES} AND c.vec_id <> p.vec_id
+  GROUP BY 1, 2),
+scored AS (SELECT probe_id, d.vec_id,
+    floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS sim
+  FROM dots d JOIN norms np ON d.probe_id = np.vec_id
+  JOIN norms nc ON d.vec_id = nc.vec_id),
+topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY sim DESC, vec_id ASC) AS rn FROM scored) WHERE rn <= {KNN_K}),
+votes AS (SELECT t.probe_id, nl.label AS nb_label,
+    CAST(count(*) AS BIGINT) AS n_votes, max(sim) AS best_sim
+  FROM topk t JOIN lab nl ON t.vec_id = nl.vec_id GROUP BY 1, 2),
+win AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY n_votes DESC, nb_label ASC) AS rv FROM votes)
+SELECT w.probe_id, pl.label AS label_true, w.nb_label AS label_pred,
+  w.n_votes, w.best_sim
+FROM win w JOIN lab pl ON w.probe_id = pl.vec_id WHERE rv = 1
+"""
+
+
 QUERIES = {
     "q25_feature_assembly": q25_feature_assembly,
     "q26_dt_train_predict": q26_dt_train_predict,
@@ -519,6 +765,8 @@ QUERIES = {
     "ml_logreg_gd": ml_logreg_gd,
     "ml_cv_select": ml_cv_select,
     "ml_centroid_assign": ml_centroid_assign,
+    "ml_naive_bayes": ml_naive_bayes,
+    "ml_knn_classify": ml_knn_classify,
 }
 
 ORACLES = {
@@ -534,6 +782,8 @@ ORACLES = {
     "ml_logreg_gd": _logreg_oracle(),
     "ml_cv_select": _CV_SQL,
     "ml_centroid_assign": _CENTROID_SQL,
+    "ml_naive_bayes": _NB_SQL,
+    "ml_knn_classify": _knn_oracle(),
     "ml_baseline_metrics": (
         "WITH li AS (SELECT l_orderkey, l_returnflag, l_extendedprice AS y,"
         "   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT"
