@@ -122,9 +122,73 @@ def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style TIME TRAVEL: the same two-commit SnapshotTable
+    shape as snap_incremental_read, but consumed through
+    ``SnapshotTable.read(snapshot_id=v1)`` — reading the table as of
+    an older committed version while later appends exist, and
+    reconciling it against the latest version (per-type row counts
+    then vs now, plus the delta).  This is the reproducibility
+    primitive a training pipeline needs: re-run yesterday's manifest
+    against yesterday's table version while ingestion keeps
+    committing.
+
+    Scale: a snapshot read plans only the files in that version's
+    manifest (no diff/undo log to replay), so the old-version scan
+    costs what the old version cost; both aggregates are mergeable
+    per-type partials and the final reconciliation joins |event_type|
+    rows.  The oracle replays the parity arithmetic (v1 = even
+    event_ids) on the raw table."""
+    import hashlib
+    import os
+
+    from decision_tree_analytics_spark.sources.snapshots import (
+        NoPublishedSnapshot,
+        SnapshotTable,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
+    tag = hashlib.md5(
+        f"{os.path.abspath(ev_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get(
+        "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
+    )
+    table = SnapshotTable(spark, os.path.join(root, f"events_tt_{tag}"))
+    try:
+        table.latest_id()
+    except NoPublishedSnapshot:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        table.append(ev.filter(F.col("event_id") % 2 == 0))
+        table.append(ev.filter(F.col("event_id") % 2 == 1))
+    v1 = table.snapshot_ids()[0]
+    old = table.read(v1).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_v1"),
+        (F.floor(F.sum("value") * 1e6 + 0.5) / 1e6).alias("sum_v1"),
+    )
+    cur = (
+        table.read()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_latest"))
+    )
+    return cur.join(old, ["event_type"], "left").select(
+        "event_type",
+        F.coalesce(F.col("n_v1"), F.lit(0)).cast("long").alias("n_v1"),
+        F.col("n_latest").cast("long").alias("n_latest"),
+        (F.col("n_latest") - F.coalesce(F.col("n_v1"), F.lit(0)))
+        .cast("long")
+        .alias("n_added"),
+        F.coalesce(F.col("sum_v1"), F.lit(0.0)).alias("sum_v1"),
+    )
+
+
 QUERIES = {
     "cdc_merge_upsert": cdc_merge_upsert,
     "snap_incremental_read": snap_incremental_read,
+    "snap_time_travel": snap_time_travel,
 }
 
 ORACLES = {
@@ -143,5 +207,17 @@ ORACLES = {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_new,"
         " floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value"
         " FROM events WHERE event_id % 4 = 0 GROUP BY event_type"
+    ),
+    "snap_time_travel": (
+        "WITH v1 AS (SELECT event_type, count(*) AS n_v1,"
+        "   floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_v1"
+        "   FROM events WHERE event_id % 2 = 0 GROUP BY 1),"
+        " cur AS (SELECT event_type, count(*) AS n_latest"
+        "   FROM events GROUP BY 1)"
+        " SELECT c.event_type, CAST(coalesce(v.n_v1, 0) AS BIGINT) AS n_v1,"
+        "   CAST(c.n_latest AS BIGINT) AS n_latest,"
+        "   CAST(c.n_latest - coalesce(v.n_v1, 0) AS BIGINT) AS n_added,"
+        "   coalesce(v.sum_v1, 0.0) AS sum_v1"
+        " FROM cur c LEFT JOIN v1 v USING (event_type)"
     ),
 }

@@ -308,7 +308,89 @@ def mm_patch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_CHARS = 32  # fuzzy-hash block size
+CHUNK_MAX_FREQ = 32  # stop-chunk cap: ignore blocks this common
+
+
+def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-hash near-dup detection for opaque payloads: split each
+    payload into fixed ``CHUNK_CHARS`` blocks, md5 each block, and
+    pair documents that share >= 2 block hashes — the
+    ssdeep/CDC-style dedup that works on media bytes where token- or
+    shingle-based text dedup cannot (no tokens to shingle).  Output:
+    (id_a, id_b, n_shared, overlap) with overlap = block-level
+    Jaccard.
+
+    The payload proxy is the text column (as in mm_binary_meta);
+    blocks are carved on characters so Spark ``substr`` and DuckDB
+    ``substr`` agree for any encoding — on real binary the same plan
+    carves with byte offsets.
+
+    Scale: candidate generation is an equi-join on the block hash, so
+    the quadratic stage is bounded per bucket, and ``CHUNK_MAX_FREQ``
+    drops degenerate buckets (boilerplate blocks shared by thousands
+    of payloads) the way stopword filtering bounds shingle joins —
+    without the cap one hot block is a |bucket|² blowup.  Singleton
+    hashes are pruned before the self-join (freq >= 2), the pair
+    aggregate shuffles on (id_a, id_b), and the denominator
+    n_a + n_b - shared >= max(n_a, n_b) >= 1 is provably nonzero
+    under ANSI."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    n_blocks = F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), n_blocks)),
+                lambda i: F.md5(
+                    F.substr(
+                        F.col("text"),
+                        (i - F.lit(1)) * F.lit(CHUNK_CHARS) + F.lit(1),
+                        F.lit(CHUNK_CHARS),
+                    )
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    sizes = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("nf"))
+    keep = chunks.join(
+        freq.filter((F.col("nf") >= 2) & (F.col("nf") <= CHUNK_MAX_FREQ)), "h"
+    )
+    a = keep.select(F.col("doc_id").alias("id_a"), "h")
+    b = keep.select(F.col("doc_id").alias("id_b"), "h")
+    pairs = (
+        a.join(b, ["h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_chunks").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_chunks").alias("nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.floor(
+                    F.col("n_shared")
+                    / (F.col("na") + F.col("nb") - F.col("n_shared"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("overlap"),
+        )
+    )
+
+
 QUERIES = {
+    "mm_chunk_dedup": mm_chunk_dedup,
     "mm_patch_manifest": mm_patch_manifest,
     "mm_binary_meta": mm_binary_meta,
     "mm_byte_stats": mm_byte_stats,
@@ -323,7 +405,31 @@ _B = (
     " + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)"
 )
 
+_CHUNK_SQL = f"""
+WITH chunks AS (
+  SELECT DISTINCT doc_id,
+    md5(substr(text, (i - 1) * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS h
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(1,
+            CAST(ceil(length(text) / {CHUNK_CHARS}.0) AS BIGINT)))) AS i
+        FROM documents)),
+freq AS (SELECT h, count(*) AS nf FROM chunks GROUP BY 1),
+keep AS (SELECT c.doc_id, c.h FROM chunks c JOIN freq f USING (h)
+  WHERE f.nf BETWEEN 2 AND {CHUNK_MAX_FREQ}),
+sizes AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+  floor(p.n_shared / (sa.n_chunks + sb.n_chunks - p.n_shared) * 1e6 + 0.5)
+    / 1e6 AS overlap
+FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE p.n_shared >= 2
+"""
+
 ORACLES = {
+    "mm_chunk_dedup": _CHUNK_SQL,
     "mm_patch_manifest": (
         "WITH g AS (SELECT doc_id,"
         "   doc_id % 192 + 64 AS width, (doc_id * 7) % 192 + 64 AS height"

@@ -528,7 +528,63 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the outlier-clamping cleaning step a
+    feature pipeline runs before training: clamp ``value`` to the
+    exact per-type [p05, p95] band and report, per event_type, the
+    clamp counts and the mean before/after.
+
+    Scale: pass 1 computes the two exact percentiles per group
+    (|event_type| groups, bounded state) and rebroadcasts the tiny
+    band table; pass 2 is a map-side clamp + one mergeable aggregate —
+    the events table never shuffles on its full width.  Strict
+    inequalities against the band edges are boundary-safe across
+    engines: both interpolate at rank p·(n-1), and a datum can only
+    equal the band edge when the edge is exactly that datum (zero
+    interpolation fraction or equal neighbors), where < is false in
+    both engines identically."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    j = ev.join(F.broadcast(bands), "event_type")
+    clamped = F.greatest("p05", F.least("p95", F.col("value")))
+    return j.groupBy("event_type").agg(
+        F.count("value").cast("long").alias("n"),
+        F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_low"),
+        F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+        r6(F.avg("value")).alias("mean_raw"),
+        r6(F.avg(clamped)).alias("mean_wins"),
+        r6(F.min("p05")).alias("p05"),
+        r6(F.min("p95")).alias("p95"),
+    )
+
+
+_WINSORIZE_SQL = """
+WITH bands AS (SELECT event_type,
+    quantile_cont(value, 0.05) AS p05, quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1),
+j AS (SELECT e.event_type, e.value, b.p05, b.p95
+  FROM events e JOIN bands b USING (event_type))
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+  floor(avg(value) * 1e6 + 0.5) / 1e6 AS mean_raw,
+  floor(avg(greatest(p05, least(p95, value))) * 1e6 + 0.5) / 1e6 AS mean_wins,
+  floor(min(p05) * 1e6 + 0.5) / 1e6 AS p05,
+  floor(min(p95) * 1e6 + 0.5) / 1e6 AS p95
+FROM j GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "rel_winsorize": rel_winsorize,
     "ml_confusion_matrix": ml_confusion_matrix,
     "ml_calibration_bins": ml_calibration_bins,
     "rel_entropy": rel_entropy,
@@ -547,6 +603,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_winsorize": _WINSORIZE_SQL,
     "ml_confusion_matrix": (
         "WITH c AS (SELECT"
         "   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,"
