@@ -75,6 +75,9 @@ BENCH_EXTRAS = [
     "sim_hybrid_rrf",
     "ml_logreg_gd",
     "ns_gopher_filter",
+    "ml_naive_bayes",
+    "mm_chunk_dedup",
+    "ns_pii_scrub",
 ]
 
 

@@ -756,6 +756,114 @@ FROM win w JOIN lab pl ON w.probe_id = pl.vec_id WHERE rv = 1
 """
 
 
+RIDGE_L2 = 0.1
+
+
+def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression by NORMAL EQUATIONS — the third
+    fully-oracled trainer, and the one-pass counterpart of the
+    iterative ml_logreg_gd: all nine sufficient statistics
+    (n, Σx, Σxxᵀ, Σxy) are mergeable sums collected in a single scan,
+    and the 3×3 system (X'X + λI)β = X'y is solved in plain
+    arithmetic via Cramer's rule, so DuckDB replays training exactly.
+
+    Model: embedding dim 2 ~ intercept + dims 0,1 with λ=0.1.
+    λ > 0 makes the Gram matrix positive definite, so det ≥ λ³ > 0 —
+    the Cramer denominators are provably nonzero under ANSI.
+
+    Scale: this is how distributed closed-form regression actually
+    works — map-side partial sums, a shuffle carrying ONE row of
+    moments, and O(p³) driver-free arithmetic in the plan itself;
+    the scoring pass for train RMSE re-reads the cached projection
+    with the 1-row coefficient table broadcast.  Outputs rounded
+    1e-6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("embedding").getItem(0).cast("double").alias("x1"),
+        F.col("embedding").getItem(1).cast("double").alias("x2"),
+        F.col("embedding").getItem(2).cast("double").alias("y"),
+    ).persist()
+    lam = float(RIDGE_L2)
+    m = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    # A = [[n+λ, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]],
+    # b = [sy, s1y, s2y]; β_i = det(A with col i := b) / det(A).
+    a00, a01, a02 = F.col("n") + lam, F.col("s1"), F.col("s2")
+    a11, a12, a22 = F.col("s11") + lam, F.col("s12"), F.col("s22") + lam
+    b0, b1, b2 = F.col("sy"), F.col("s1y"), F.col("s2y")
+
+    def det3(c00, c01, c02, c10, c11, c12, c20, c21, c22):
+        return (
+            c00 * (c11 * c22 - c12 * c21)
+            - c01 * (c10 * c22 - c12 * c20)
+            + c02 * (c10 * c21 - c11 * c20)
+        )
+
+    det = det3(a00, a01, a02, a01, a11, a12, a02, a12, a22)
+    beta = m.select(
+        (det3(b0, a01, a02, b1, a11, a12, b2, a12, a22) / det).alias("b0"),
+        (det3(a00, b0, a02, a01, b1, a12, a02, b2, a22) / det).alias("b1"),
+        (det3(a00, a01, b0, a01, a11, b1, a02, a12, b2) / det).alias("b2"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    resid = F.col("y") - (
+        F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+    )
+    scored = feats.crossJoin(F.broadcast(beta))
+    out = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r6(F.max("b0")).alias("b0"),
+        r6(F.max("b1")).alias("b1"),
+        r6(F.max("b2")).alias("b2"),
+        r6(F.sqrt(F.avg(resid * resid))).alias("train_rmse"),
+    )
+    return tether_cache(out, feats)
+
+
+def _ridge_oracle() -> str:
+    lam = float(RIDGE_L2)
+
+    def det3(c):
+        return (
+            f"({c[0]} * ({c[4]} * {c[8]} - {c[5]} * {c[7]})"
+            f" - {c[1]} * ({c[3]} * {c[8]} - {c[5]} * {c[6]})"
+            f" + {c[2]} * ({c[3]} * {c[7]} - {c[4]} * {c[6]}))"
+        )
+
+    a = ["(n + {l})", "s1", "s2", "s1", "(s11 + {l})", "s12", "s2", "s12", "(s22 + {l})"]
+    a = [x.format(l=lam) for x in a]
+    b = ["sy", "s1y", "s2y"]
+    det = det3(a)
+    d0 = det3([b[0], a[1], a[2], b[1], a[4], a[5], b[2], a[7], a[8]])
+    d1 = det3([a[0], b[0], a[2], a[3], b[1], a[5], a[6], b[2], a[8]])
+    d2 = det3([a[0], a[1], b[0], a[3], a[4], b[1], a[6], a[7], b[2]])
+    return f"""
+WITH f AS (SELECT embedding[1]::DOUBLE AS x1, embedding[2]::DOUBLE AS x2,
+    embedding[3]::DOUBLE AS y FROM embeddings),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+    sum(y) AS sy, sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+    sum(x2 * x2) AS s22, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y FROM f),
+beta AS (SELECT {d0} / {det} AS b0, {d1} / {det} AS b1, {d2} / {det} AS b2
+  FROM m)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  floor(max(b0) * 1e6 + 0.5) / 1e6 AS b0,
+  floor(max(b1) * 1e6 + 0.5) / 1e6 AS b1,
+  floor(max(b2) * 1e6 + 0.5) / 1e6 AS b2,
+  floor(sqrt(avg((y - (b0 + b1 * x1 + b2 * x2))
+    * (y - (b0 + b1 * x1 + b2 * x2)))) * 1e6 + 0.5) / 1e6 AS train_rmse
+FROM f CROSS JOIN beta
+"""
+
+
 QUERIES = {
     "q25_feature_assembly": q25_feature_assembly,
     "q26_dt_train_predict": q26_dt_train_predict,
@@ -767,6 +875,7 @@ QUERIES = {
     "ml_centroid_assign": ml_centroid_assign,
     "ml_naive_bayes": ml_naive_bayes,
     "ml_knn_classify": ml_knn_classify,
+    "ml_ridge_normal_eq": ml_ridge_normal_eq,
 }
 
 ORACLES = {
@@ -784,6 +893,7 @@ ORACLES = {
     "ml_centroid_assign": _CENTROID_SQL,
     "ml_naive_bayes": _NB_SQL,
     "ml_knn_classify": _knn_oracle(),
+    "ml_ridge_normal_eq": _ridge_oracle(),
     "ml_baseline_metrics": (
         "WITH li AS (SELECT l_orderkey, l_returnflag, l_extendedprice AS y,"
         "   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT"

@@ -583,7 +583,56 @@ FROM j GROUP BY event_type
 """
 
 
+def rel_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit — the classic fraud /
+    data-generation-bug detector for a value column: observed digit
+    share vs the Benford expectation log10(1 + 1/d), with per-digit
+    chi-square contributions.
+
+    Cross-engine note: the first digit is extracted from the INTEGER
+    cents rendering (floor(|v|·100 + 0.5) → string → first char),
+    not from log10 arithmetic — integer-to-string is identical in
+    both engines while log10(|v|) can land on either side of a power
+    of ten by one ulp.  Scale: single mergeable aggregate over a
+    9-key digit domain; the share denominator is the audited row
+    count, provably positive because digit rows only exist when rows
+    do."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    cents = F.floor(F.abs(F.col("value")) * 100 + 0.5).cast("long")
+    digits = ev.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    obs = F.col("n") / F.sum("n").over(w)
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return counts.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        r6(obs).alias("obs_share"),
+        r6(exp).alias("benford_share"),
+        r6((obs - exp) * (obs - exp) / exp).alias("chi_contrib"),
+    )
+
+
+_BENFORD_SQL = """
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM events),
+counts AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1 GROUP BY 1)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  floor(n / sum(n) OVER () * 1e6 + 0.5) / 1e6 AS obs_share,
+  floor(log10(1.0 + 1.0 / digit) * 1e6 + 0.5) / 1e6 AS benford_share,
+  floor((n / sum(n) OVER () - log10(1.0 + 1.0 / digit))
+    * (n / sum(n) OVER () - log10(1.0 + 1.0 / digit))
+    / log10(1.0 + 1.0 / digit) * 1e6 + 0.5) / 1e6 AS chi_contrib
+FROM counts
+"""
+
+
 QUERIES = {
+    "rel_benford": rel_benford,
     "rel_winsorize": rel_winsorize,
     "ml_confusion_matrix": ml_confusion_matrix,
     "ml_calibration_bins": ml_calibration_bins,
@@ -603,6 +652,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_benford": _BENFORD_SQL,
     "rel_winsorize": _WINSORIZE_SQL,
     "ml_confusion_matrix": (
         "WITH c AS (SELECT"

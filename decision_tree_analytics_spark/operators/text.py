@@ -833,7 +833,92 @@ FROM per_doc
 """.format(stop=_sql_stop_hits(STOPWORDS["en"]))
 
 
+# PII scrub patterns — written with character classes only ([0-9],
+# [.], [+]) so the same literal parses identically in Java regex and
+# RE2 (CLAUDE.md rule 7; no \d / \. escapes).
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PII_PHONE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_PII_ID = "[0-9]{5,}"
+
+
+def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus runs
+    before release: replace emails, phone numbers, and long numeric
+    identifiers with typed placeholder tags, reporting per-doc
+    redaction counts and the scrubbed-content fingerprint.
+
+    The synthetic corpus carries no contact strings, so the query
+    derives a deterministic contact-laden field per doc (text +
+    ``user{id}@…``, ``+1-555-…``, a 6-digit ref) and scrubs THAT —
+    the fixture-derivation pattern cdc_merge_upsert uses — which
+    keeps every rule's match count nonzero and oracle-checked at all
+    SFs.
+
+    Scale: pure map — three regexp_replace passes and three
+    regexp_extract_all counts per row, zero shuffles, no Python; at
+    100 TB this runs at scan speed and composes into the curation
+    chain (ns_corpus_curate) as another narrow gate.  Replacement
+    order matters and is pinned: emails first (they contain digits),
+    then phones, then bare digit runs."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        F.lpad(((F.col("doc_id") * 7919) % 100000).cast("string"), 6, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(contact, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_ID,
+        "<ID>",
+    )
+    n = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(contact, F.lit(pat), 0)
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n(_PII_EMAIL).alias("n_emails"),
+        n(_PII_PHONE).alias("n_phones"),
+        n(_PII_ID).alias("n_ids"),
+        (F.length(contact) - F.length(scrubbed)).cast("long").alias("chars_removed"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_PII_SQL = f"""
+WITH c AS (SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com or +1-555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' ref ' || lpad(CAST((doc_id * 7919) % 100000 AS VARCHAR), 6, '0')
+      AS contact
+  FROM documents),
+s AS (SELECT doc_id, contact,
+    regexp_replace(regexp_replace(regexp_replace(contact,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g'),
+      '{_PII_ID}', '<ID>', 'g') AS scrubbed
+  FROM c)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(contact, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(contact, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(contact, '{_PII_ID}')) AS BIGINT) AS n_ids,
+  CAST(length(contact) - length(scrubbed) AS BIGINT) AS chars_removed,
+  md5(scrubbed) AS scrubbed_md5
+FROM s
+"""
+
+
 QUERIES = {
+    "ns_pii_scrub": ns_pii_scrub,
     "ns_dataset_card": ns_dataset_card,
     "ns_shard_interleave": ns_shard_interleave,
     "ns_gopher_filter": ns_gopher_filter,
@@ -951,6 +1036,7 @@ _GOPHER_SQL = (
 )
 
 ORACLES = {
+    "ns_pii_scrub": _PII_SQL,
     "ns_dataset_card": _CARD_SQL,
     "ns_shard_interleave": _SHARD_SQL,
     "ns_gopher_filter": _GOPHER_SQL,

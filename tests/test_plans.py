@@ -564,3 +564,63 @@ def test_mmr_rerank_candidates_bounded_and_cached(spark, sf_dir):
     plan = simple_plan(RT.sim_mmr_rerank(spark, sf_dir))
     assert "InMemoryTableScan" in plan
     assert uses_top_k_sort(plan)
+
+
+def test_naive_bayes_vocab_capped_no_python(spark, sf_dir):
+    # The NB model must be built over the top-N vocabulary cut
+    # (TakeOrderedAndProject) — an uncapped vocab grows with the
+    # corpus (Heaps' law) and would make the model grid unbroadcastable;
+    # the whole train+score pipeline stays JVM-side.
+    from decision_tree_analytics_spark.operators import ml_inventory as M
+
+    plan = simple_plan(M.ml_naive_bayes(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert not has_python_eval(plan)
+
+
+def test_knn_broadcasts_fixed_probes_and_salts_topk(spark, sf_dir):
+    # The probe set is a fixed 16-row constant — its broadcast is the
+    # only explicit one; the per-probe top-k runs the salted two-phase
+    # strategy (a (probe, salt) exchange before the probe exchange) so
+    # no task ever sorts a corpus-sized probe partition.
+    from decision_tree_analytics_spark.operators import ml_inventory as M
+
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: M.ml_knn_classify(spark, sf_dir)
+    )
+    assert has_broadcast_join(plan)
+    assert "salt" in plan  # stage-1 rank within (probe_id, salt)
+    assert not has_python_eval(plan)
+
+
+def test_chunk_dedup_candidates_bounded_no_broadcast(spark, sf_dir):
+    # Near-dup candidates come from the block-hash equi-join (bounded
+    # per bucket by the stop-chunk cap); every join shuffles on its
+    # key — nothing corpus-derived is ever broadcast.
+    from decision_tree_analytics_spark.operators import multimodal as MM
+
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: MM.mm_chunk_dedup(spark, sf_dir)
+    )
+    assert not has_broadcast_join(plan)
+    assert not has_python_eval(plan)
+
+
+def test_winsorize_broadcasts_band_table_and_prunes_scan(spark, sf_dir):
+    # Pass 1 reduces to |event_type| band rows (explicitly broadcast);
+    # pass 2 is a map-side clamp — the events scan reads only the two
+    # needed columns.
+    from decision_tree_analytics_spark.operators import stats_ext as SE
+
+    plan = simple_plan(SE.rel_winsorize(spark, sf_dir))
+    assert has_broadcast_join(plan)
+    for schema in scan_read_schemas(plan):
+        assert set(schema) <= {"event_type", "value"}
+
+
+def test_pii_scrub_is_map_only_after_spread(spark, sf_dir):
+    # Scrub + counts are row-local regex work: the only exchange is
+    # the small-file spread repartition, and nothing leaves the JVM.
+    plan = simple_plan(T.ns_pii_scrub(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert not has_python_eval(plan)
