@@ -21,6 +21,7 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
     retrieval,
     similarity,
     skew,
+    source_io,
     stats_ext,
     streaming_inventory,
     text,
@@ -44,6 +45,7 @@ ALL_MODULES = (
     graph,
     stats_ext,
     retrieval,
+    source_io,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.

@@ -492,7 +492,57 @@ def rel_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average value (TWAP) — each observation
+    weighted by how long it was "current" (until the user's next
+    event), the metric finance/ops uses where a plain mean over-counts
+    bursts.  Piecewise-constant integral: Σ vᵢ·(tᵢ₊₁-tᵢ) / (t_N-t₁).
+
+    Scale: one shuffle on user_id; the lead() window and the
+    per-user aggregate share the same partitioning so Catalyst plans
+    a single exchange + sort.  ANSI: the duration denominator is
+    nullif-guarded — a user whose events all share one timestamp
+    yields NULL twap identically in both engines (CLAUDE.md ANSI
+    rule).  Time key: epoch-µs via ``ts div 1000`` ≡ epoch_us(ts);
+    segment weights are exact integer µs."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+    seg = ev.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    dur = F.max("t") - F.min("t")
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dur.cast("long").alias("duration_us"),
+        r6(
+            F.sum(F.col("value") * (F.col("t_next") - F.col("t")))
+            / F.nullif(dur.cast("double"), F.lit(0.0))
+        ).alias("twap"),
+        r6(F.avg("value")).alias("plain_avg"),
+    )
+
+
+_TWAP_SQL = """
+WITH seg AS (SELECT user_id, value, epoch_us(ts) AS t,
+    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS t_next
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(t) - min(t) AS BIGINT) AS duration_us,
+  floor(sum(value * (t_next - t))
+    / nullif(CAST(max(t) - min(t) AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6 AS twap,
+  floor(avg(value) * 1e6 + 0.5) / 1e6 AS plain_avg
+FROM seg GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "rel_twap": rel_twap,
     "rel_attribution_markov": rel_attribution_markov,
     "rel_ab_test": rel_ab_test,
     "rel_cohort_retention": rel_cohort_retention,
@@ -556,6 +606,7 @@ _SQL_MARKOV_ATTRIBUTION = (
 
 
 ORACLES = {
+    "rel_twap": _TWAP_SQL,
     "rel_attribution_markov": _SQL_MARKOV_ATTRIBUTION,
     "rel_ab_test": (
         "WITH u AS (SELECT user_id,"

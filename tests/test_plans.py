@@ -624,3 +624,24 @@ def test_pii_scrub_is_map_only_after_spread(spark, sf_dir):
     plan = simple_plan(T.ns_pii_scrub(spark, sf_dir))
     assert count_shuffles(plan) == 1
     assert not has_python_eval(plan)
+
+
+def test_twap_window_and_agg_share_one_exchange(spark, sf_dir):
+    # The lead() window and the per-user aggregate are both keyed on
+    # user_id — Catalyst must plan ONE exchange, not two.
+    from decision_tree_analytics_spark.operators import analytics as A
+
+    plan = simple_plan(A.rel_twap(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert not has_python_eval(plan)
+
+
+def test_source_io_reads_are_schema_pinned_single_agg(spark, sf_dir):
+    # The CSV/JSON read-backs carry an explicit schema (no inference
+    # job over the files) and reduce with one partial+final aggregate.
+    from decision_tree_analytics_spark.operators import source_io as SIO
+
+    for q in (SIO.src_csv_orders, SIO.src_json_events):
+        plan = simple_plan(q(spark, sf_dir))
+        assert count_shuffles(plan) == 1
+        assert "partial_" in plan  # map-side combine before the shuffle
