@@ -337,6 +337,12 @@ def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under ANSI."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return chunk_pairs(d)
+
+
+def chunk_pairs(d: DataFrame) -> DataFrame:
+    """Core of mm_chunk_dedup over any (doc_id, text) frame — split
+    out so behavior tests can feed synthetic near-dup payloads."""
     n_blocks = F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))).cast("int")
     chunks = d.select(
         "doc_id",

@@ -192,3 +192,32 @@ def test_rf_deterministic_and_bounded(spark, sf_dir):
         .first()
     )
     assert a["predicted_price"].between(lo, hi).all()
+
+
+def test_naive_bayes_confusion_matrix_structure(spark, sf_dir):
+    # Structural invariants robust to testdata regeneration: the
+    # confusion matrix partitions exactly the md5-bucket >= 8 test
+    # split, and predictions only come from langs seen in training.
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.operators.ml_inventory import ml_naive_bayes
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    rows = ml_naive_bayes(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 10
+        ).alias("bucket"),
+    )
+    n_test = d.filter(F.col("bucket") >= 8).count()
+    train_langs = {
+        r.lang for r in d.filter(F.col("bucket") < 8).select("lang").distinct().collect()
+    }
+    assert sum(r.n_docs for r in rows) == n_test
+    assert {r.lang_pred for r in rows} <= train_langs
+    assert all(r.n_docs > 0 for r in rows)
