@@ -871,6 +871,110 @@ FROM f CROSS JOIN beta
 """
 
 
+KCENTER_PICKS = 5  # seed + 4 greedy farthest-point additions
+
+
+def ml_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center data selection (farthest-point traversal) —
+    the coreset/diversity-selection primitive a training pipeline
+    uses to pick a maximally-spread representative subset: seed with
+    the lowest vec_id, then repeatedly add the vector FARTHEST from
+    the already-selected set (max over corpus of min squared
+    euclidean distance to members).  Steps are unrolled, so the whole
+    greedy trajectory is SQL-expressible and DuckDB replays every
+    selection exactly.
+
+    Scale: each step is one corpus pass — the selected set (≤ 5 rows,
+    carried as a 1-row wide table like ml_logreg_gd's weights) is
+    broadcast, per-row min-dist is map-only, and the argmax lowers to
+    TakeOrdered(1); no collect(), the driver only composes plans.
+    Per-member distances are rounded 1e-6 BEFORE the min/argmax
+    (vec_id ascending tie-break) so both engines pick identical
+    points.  Output: (step, vec_id, radius) — radius is the min-dist
+    at selection time, the k-center coverage guarantee."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    S = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("s_id1"),
+            F.col("v").alias("s_v1"),
+            F.lit(0.0).alias("s_d1"),
+        )
+    )
+    for k in range(2, KCENTER_PICKS + 1):
+        scored = emb.crossJoin(F.broadcast(S))
+        dists = [r6(sqdist(F.col("v"), F.col(f"s_v{j}"))) for j in range(1, k)]
+        mind = dists[0] if k == 2 else F.least(*dists)
+        nxt = (
+            scored.select("vec_id", "v", mind.alias("d"))
+            .orderBy(F.col("d").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        S = S.crossJoin(
+            F.broadcast(
+                nxt.select(
+                    F.col("vec_id").alias(f"s_id{k}"),
+                    F.col("v").alias(f"s_v{k}"),
+                    F.col("d").alias(f"s_d{k}"),
+                )
+            )
+        )
+    stack_args = ", ".join(
+        f"{k}, s_id{k}, s_d{k}" for k in range(1, KCENTER_PICKS + 1)
+    )
+    return S.selectExpr(
+        f"stack({KCENTER_PICKS}, {stack_args}) AS (step, vec_id, radius)"
+    ).select(
+        F.col("step").cast("long").alias("step"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "radius",
+    )
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
+        " unnest(embedding)::DOUBLE AS x FROM embeddings),",
+        "s1 AS (SELECT min(vec_id) AS id, 0.0 AS d FROM embeddings),",
+    ]
+    for k in range(2, KCENTER_PICKS + 1):
+        # dist of every vector to member k-1, rounded like Spark
+        parts.append(
+            f"dd{k - 1} AS (SELECT e.vec_id,"
+            f" floor(sum((e.x - b.x) * (e.x - b.x)) * 1e6 + 0.5) / 1e6 AS d"
+            f" FROM e JOIN e b ON b.vec_id = (SELECT id FROM s{k - 1})"
+            f" AND b.i = e.i GROUP BY e.vec_id),"
+        )
+        mins = " , ".join(f"dd{j}.d" for j in range(1, k))
+        joins = " ".join(
+            f"JOIN dd{j} ON dd{j}.vec_id = dd1.vec_id" for j in range(2, k)
+        )
+        least = f"least({mins})" if k > 2 else "dd1.d"
+        parts.append(
+            f"s{k} AS (SELECT dd1.vec_id AS id, {least} AS d"
+            f" FROM dd1 {joins}"
+            f" ORDER BY {least} DESC, dd1.vec_id ASC LIMIT 1),"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, CAST(id AS BIGINT) AS vec_id,"
+        f" d AS radius FROM s{k}"
+        for k in range(1, KCENTER_PICKS + 1)
+    )
+    return "\n".join(parts)[:-1] + "\n" + sel
+
+
 QUERIES = {
     "q25_feature_assembly": q25_feature_assembly,
     "q26_dt_train_predict": q26_dt_train_predict,
@@ -883,6 +987,7 @@ QUERIES = {
     "ml_naive_bayes": ml_naive_bayes,
     "ml_knn_classify": ml_knn_classify,
     "ml_ridge_normal_eq": ml_ridge_normal_eq,
+    "ml_kcenter_select": ml_kcenter_select,
 }
 
 ORACLES = {
@@ -901,6 +1006,7 @@ ORACLES = {
     "ml_naive_bayes": _NB_SQL,
     "ml_knn_classify": _knn_oracle(),
     "ml_ridge_normal_eq": _ridge_oracle(),
+    "ml_kcenter_select": _kcenter_oracle(),
     "ml_baseline_metrics": (
         "WITH li AS (SELECT l_orderkey, l_returnflag, l_extendedprice AS y,"
         "   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT"

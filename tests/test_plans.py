@@ -645,3 +645,17 @@ def test_source_io_reads_are_schema_pinned_single_agg(spark, sf_dir):
         plan = simple_plan(q(spark, sf_dir))
         assert count_shuffles(plan) == 1
         assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_kcenter_argmax_is_topk_no_python(spark, sf_dir):
+    # Every greedy step's farthest-point argmax lowers to
+    # TakeOrderedAndProject(1) over the corpus pass; the selected set
+    # rides as explicit broadcasts and nothing leaves the JVM.
+    from decision_tree_analytics_spark.operators import ml_inventory as M
+
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: M.ml_kcenter_select(spark, sf_dir)
+    )
+    assert uses_top_k_sort(plan)
+    assert has_broadcast_join(plan)
+    assert not has_python_eval(plan)
