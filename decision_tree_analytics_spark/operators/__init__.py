@@ -80,6 +80,8 @@ BENCH_EXTRAS = [
     "ml_naive_bayes",
     "mm_chunk_dedup",
     "ns_pii_scrub",
+    "ml_kcenter_select",
+    "rel_twap",
 ]
 
 
