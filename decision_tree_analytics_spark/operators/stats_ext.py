@@ -631,7 +631,94 @@ FROM counts
 """
 
 
+def rel_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and day-of-week — the
+    information-theoretic companion to rel_chi_square over the same
+    |types|×7 contingency table: MI = Σ p(x,y)·log2(p(x,y)/(p(x)p(y)))
+    plus both marginal entropies and normalized MI.
+
+    Scale: ONE aggregate pass builds the contingency cells; the cell
+    table (≤ 35 rows) is persisted so the joint/marginal/total
+    reductions replay a 35-row cache, not the events scan, and the
+    result is tether-released.  ANSI-safe by construction: groupBy
+    emits only observed>0 cells, so every log2 argument and marginal
+    denominator is positive; NMI's min-entropy denominator is
+    nullif-guarded for the degenerate one-class corpus."""
+    from decision_tree_analytics_spark.operators._cache import tether_cache
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        ((F.expr(f"(ts div 1000) div {US_PER_DAY}") + 4) % 7).alias("dow"),
+    )
+    cells = (
+        e.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .persist()
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    typ = cells.groupBy("event_type").agg(F.sum("o").alias("cx"))
+    dw = cells.groupBy("dow").agg(F.sum("o").alias("cy"))
+    mi = (
+        cells.join(typ, "event_type")
+        .join(dw, "dow")
+        .crossJoin(tot)
+        .agg(
+            F.sum(
+                (F.col("o") / F.col("n"))
+                * F.log2(F.col("o") * F.col("n") / (F.col("cx") * F.col("cy")))
+            ).alias("mi")
+        )
+    )
+    hx = typ.crossJoin(tot).agg(
+        F.sum(-(F.col("cx") / F.col("n")) * F.log2(F.col("cx") / F.col("n"))).alias(
+            "hx"
+        )
+    )
+    hy = dw.crossJoin(tot).agg(
+        F.sum(-(F.col("cy") / F.col("n")) * F.log2(F.col("cy") / F.col("n"))).alias(
+            "hy"
+        )
+    )
+    out = (
+        tot.crossJoin(mi)
+        .crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            _r6(F.col("mi")).alias("mi_bits"),
+            _r6(F.col("hx")).alias("h_type_bits"),
+            _r6(F.col("hy")).alias("h_dow_bits"),
+            _r6(
+                F.col("mi") / F.nullif(F.least("hx", "hy"), F.lit(0.0))
+            ).alias("nmi"),
+        )
+    )
+    return tether_cache(out, cells)
+
+
+_MI_SQL = f"""
+WITH e AS (SELECT event_type,
+    (epoch_us(ts) // {US_PER_DAY} + 4) % 7 AS dow FROM events),
+cells AS (SELECT event_type, dow, CAST(count(*) AS DOUBLE) AS o
+  FROM e GROUP BY 1, 2),
+tot AS (SELECT sum(o) AS n FROM cells),
+typ AS (SELECT event_type, sum(o) AS cx FROM cells GROUP BY 1),
+dw AS (SELECT dow, sum(o) AS cy FROM cells GROUP BY 1),
+mi AS (SELECT sum((o / n) * log2(o * n / (cx * cy))) AS mi
+  FROM cells JOIN typ USING (event_type) JOIN dw USING (dow) CROSS JOIN tot),
+hx AS (SELECT sum(-(cx / n) * log2(cx / n)) AS hx FROM typ CROSS JOIN tot),
+hy AS (SELECT sum(-(cy / n) * log2(cy / n)) AS hy FROM dw CROSS JOIN tot)
+SELECT CAST(n AS BIGINT) AS n,
+  floor(mi * 1e6 + 0.5) / 1e6 AS mi_bits,
+  floor(hx * 1e6 + 0.5) / 1e6 AS h_type_bits,
+  floor(hy * 1e6 + 0.5) / 1e6 AS h_dow_bits,
+  floor(mi / nullif(least(hx, hy), 0.0) * 1e6 + 0.5) / 1e6 AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
 QUERIES = {
+    "rel_mutual_info": rel_mutual_info,
     "rel_benford": rel_benford,
     "rel_winsorize": rel_winsorize,
     "ml_confusion_matrix": ml_confusion_matrix,
@@ -652,6 +739,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_mutual_info": _MI_SQL,
     "rel_benford": _BENFORD_SQL,
     "rel_winsorize": _WINSORIZE_SQL,
     "ml_confusion_matrix": (
