@@ -47,9 +47,9 @@ class DecisionTreePredictorStage:
         cfg = self.config
         feature_list = cfg.validate(df.schema)
 
-        if df.isEmpty():  # O13: empty in → empty out, schema still widened
-            pass
-
+        # O13: empty in → empty out, schema still widened — handled by
+        # model.transform itself (a zero-row scan scores zero rows); no
+        # isEmpty() pre-check, which would cost a Spark job per call.
         assembled = assemble_features(df, feature_list)
         scored = (
             self.model.setFeaturesCol(FEATURES_COL)

@@ -113,6 +113,25 @@ _DRIVER_SAMPLED = {
     "rel_stratified_sample", "rel_string_pad_fns", "rel_time_rollup",
     "rel_unpivot", "sim_ann_buckets", "sim_ann_topk",
     "sim_cosine_topk", "sim_embed_nn", "sim_ivf_topk",
+    # round 3 sample (CORRECTNESS_r03.json key set, all green — the
+    # rel_approx_quantile row is a clean no_oracle rows-only check).
+    "dedup_canonical", "dedup_canonical_snapshot", "dedup_components",
+    "dedup_containment", "dedup_incremental", "dedup_prefix_join",
+    "dedup_semantic_components", "ml_baseline_metrics", "ml_centroid_assign",
+    "ml_cv_select", "ml_feature_importance", "ml_kcenter_select",
+    "ml_knn_classify", "ml_logreg_gd", "ml_naive_bayes",
+    "ml_rf_train_predict", "ml_ridge_normal_eq", "ns_dataset_card",
+    "ns_decontaminate", "ns_domain_mix", "ns_gopher_filter",
+    "ns_lang_rebalance", "ns_perplexity_proxy", "ns_pii_scrub",
+    "ns_seq_pack", "ns_shard_interleave", "ns_train_manifest",
+    "rel_ab_test", "rel_approx_quantile", "rel_attribution",
+    "rel_attribution_markov", "rel_bitwise_fns", "rel_cohort_retention",
+    "rel_concurrency", "rel_data_quality", "rel_gap_fill",
+    "rel_kmv_setops", "rel_range_frame", "rel_running_distinct",
+    "rel_scd2_build", "rel_table_fingerprint", "rel_twap",
+    "rel_variant_fns", "rel_weighted_sample", "rel_zorder_key",
+    "sim_label_centroid_dist", "sim_pq_topk", "sim_rp_reduce",
+    "sim_sq_refined_topk", "sim_sq_topk",
 }
 
 

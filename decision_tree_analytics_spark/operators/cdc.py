@@ -156,14 +156,26 @@ def snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
     )
     table = SnapshotTable(spark, os.path.join(root, f"events_tt_{tag}"))
-    try:
-        table.latest_id()
-    except NoPublishedSnapshot:
+    # Fixture readiness = BOTH commits exist AND the pointer is on the
+    # last one (a crash between the two appends, or between a commit
+    # and its publish, must self-heal on the next run instead of
+    # freezing the table at v1 forever — ADVICE r03).  With exactly
+    # one snapshot present only the odd half is still missing.
+    snaps = table.snapshot_ids()
+    if len(snaps) < 2:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        table.append(ev.filter(F.col("event_id") % 2 == 0))
+        if not snaps:
+            table.append(ev.filter(F.col("event_id") % 2 == 0))
         table.append(ev.filter(F.col("event_id") % 2 == 1))
+    else:
+        try:
+            stale = table.latest_id() != snaps[-1]
+        except NoPublishedSnapshot:
+            stale = True
+        if stale:  # commit landed, publish didn't — finish it
+            table.publish(snaps[-1])
     v1 = table.snapshot_ids()[0]
     old = table.read(v1).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_v1"),

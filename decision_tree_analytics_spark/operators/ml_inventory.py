@@ -892,8 +892,14 @@ def ml_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id ascending tie-break) so both engines pick identical
     points.  Output: (step, vec_id, radius) — radius is the min-dist
     at selection time, the k-center coverage guarantee."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .persist()  # greedy steps re-scan the corpus k times — read cache,
+        # not parquet, for steps 2..k (tether-released below)
     )
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
 
@@ -934,13 +940,14 @@ def ml_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(
         f"{k}, s_id{k}, s_d{k}" for k in range(1, KCENTER_PICKS + 1)
     )
-    return S.selectExpr(
+    result = S.selectExpr(
         f"stack({KCENTER_PICKS}, {stack_args}) AS (step, vec_id, radius)"
     ).select(
         F.col("step").cast("long").alias("step"),
         F.col("vec_id").cast("long").alias("vec_id"),
         "radius",
     )
+    return tether_cache(result, emb)
 
 
 def _kcenter_oracle() -> str:

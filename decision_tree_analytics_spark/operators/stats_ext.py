@@ -550,7 +550,14 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
     j = ev.join(F.broadcast(bands), "event_type")
-    clamped = F.greatest("p05", F.least("p95", F.col("value")))
+    # least/greatest SKIP nulls in both engines, so a bare clamp would
+    # impute NULL values to p95 and include them in mean_wins while n
+    # and mean_raw exclude them (ADVICE r03).  Keep NULL rows NULL so
+    # avg() drops them consistently on both sides.
+    clamped = F.when(
+        F.col("value").isNotNull(),
+        F.greatest("p05", F.least("p95", F.col("value"))),
+    )
     return j.groupBy("event_type").agg(
         F.count("value").cast("long").alias("n"),
         F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
@@ -576,7 +583,8 @@ SELECT event_type, CAST(count(value) AS BIGINT) AS n,
   CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
   CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
   floor(avg(value) * 1e6 + 0.5) / 1e6 AS mean_raw,
-  floor(avg(greatest(p05, least(p95, value))) * 1e6 + 0.5) / 1e6 AS mean_wins,
+  floor(avg(CASE WHEN value IS NOT NULL
+      THEN greatest(p05, least(p95, value)) END) * 1e6 + 0.5) / 1e6 AS mean_wins,
   floor(min(p05) * 1e6 + 0.5) / 1e6 AS p05,
   floor(min(p95) * 1e6 + 0.5) / 1e6 AS p95
 FROM j GROUP BY event_type

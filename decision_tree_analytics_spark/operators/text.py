@@ -859,7 +859,12 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this runs at scan speed and composes into the curation
     chain (ns_corpus_curate) as another narrow gate.  Replacement
     order matters and is pinned: emails first (they contain digits),
-    then phones, then bare digit runs."""
+    then phones, then bare digit runs.  Each rule's count is taken on
+    the string AS IT STANDS at that stage of the pipeline (ids are
+    counted after the email/phone scrubs), so n_emails/n_phones/n_ids
+    reconcile exactly with what was redacted — a digit run inside an
+    email local part is consumed by <EMAIL>, not double-counted as an
+    id (ADVICE r03)."""
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     contact = F.concat(
@@ -871,23 +876,17 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" ref "),
         F.lpad(((F.col("doc_id") * 7919) % 100000).cast("string"), 6, "0"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(contact, _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_ID,
-        "<ID>",
-    )
-    n = lambda pat: F.size(  # noqa: E731
-        F.regexp_extract_all(contact, F.lit(pat), 0)
+    after_email = F.regexp_replace(contact, _PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, _PII_PHONE, "<PHONE>")
+    scrubbed = F.regexp_replace(after_phone, _PII_ID, "<ID>")
+    n = lambda src, pat: F.size(  # noqa: E731
+        F.regexp_extract_all(src, F.lit(pat), 0)
     ).cast("long")
     return d.select(
         "doc_id",
-        n(_PII_EMAIL).alias("n_emails"),
-        n(_PII_PHONE).alias("n_phones"),
-        n(_PII_ID).alias("n_ids"),
+        n(contact, _PII_EMAIL).alias("n_emails"),
+        n(after_email, _PII_PHONE).alias("n_phones"),
+        n(after_phone, _PII_ID).alias("n_ids"),
         (F.length(contact) - F.length(scrubbed)).cast("long").alias("chars_removed"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
@@ -902,18 +901,21 @@ WITH c AS (SELECT doc_id,
       AS contact
   FROM documents),
 s AS (SELECT doc_id, contact,
-    regexp_replace(regexp_replace(regexp_replace(contact,
-      '{_PII_EMAIL}', '<EMAIL>', 'g'),
-      '{_PII_PHONE}', '<PHONE>', 'g'),
-      '{_PII_ID}', '<ID>', 'g') AS scrubbed
-  FROM c)
+    regexp_replace(contact, '{_PII_EMAIL}', '<EMAIL>', 'g') AS after_email
+  FROM c),
+s2 AS (SELECT doc_id, contact, after_email,
+    regexp_replace(after_email, '{_PII_PHONE}', '<PHONE>', 'g') AS after_phone
+  FROM s),
+s3 AS (SELECT doc_id, contact, after_email, after_phone,
+    regexp_replace(after_phone, '{_PII_ID}', '<ID>', 'g') AS scrubbed
+  FROM s2)
 SELECT doc_id,
   CAST(len(regexp_extract_all(contact, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(contact, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
-  CAST(len(regexp_extract_all(contact, '{_PII_ID}')) AS BIGINT) AS n_ids,
+  CAST(len(regexp_extract_all(after_email, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(after_phone, '{_PII_ID}')) AS BIGINT) AS n_ids,
   CAST(length(contact) - length(scrubbed) AS BIGINT) AS chars_removed,
   md5(scrubbed) AS scrubbed_md5
-FROM s
+FROM s3
 """
 
 
