@@ -82,6 +82,7 @@ BENCH_EXTRAS = [
     "ns_pii_scrub",
     "ml_kcenter_select",
     "rel_twap",
+    "dedup_substring",
 ]
 
 

@@ -746,6 +746,93 @@ def dedup_canonical_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+SUBSTRING_K = 8  # token-gram length = minimum reportable span
+SUBSTRING_STOP_CAP = 16  # drop grams present in more docs (boilerplate)
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the suffix-array dedup of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    find maximal VERBATIM token runs of length ≥ K shared between two
+    otherwise-distinct documents — the dedup granularity the doc-level
+    families (exact/minhash/simhash) cannot see, and the
+    highest-value one for pretraining corpora, where boilerplate and
+    quoted passages recur inside unique documents.
+
+    Spark-first re-expression — no suffix automaton: a shared
+    substring of length L ≥ K is exactly a DIAGONAL RUN of L-K+1
+    matching K-gram hashes, so
+
+    1. hash every K-token gram per (doc, position) — one explode;
+    2. keep gram hashes seen in 2..STOP_CAP distinct docs (the
+       HAVING prunes the unique mass, the cap bounds join fan-out on
+       boilerplate grams exactly like mm_chunk_dedup's stop-chunk
+       cap — dropped grams can only split a span through a
+       super-common run, the standard recall trade);
+    3. equi-join positions on the 16-byte gram hash (doc_a < doc_b);
+    4. merge matches on the same alignment diagonal (ia − ib) into
+       maximal spans with one gaps-and-islands window.
+
+    Scale: cost is O(total grams) + O(shared grams × cap²) — never
+    all-pairs, never a cross product; the join and both windows key
+    on bounded-fan-out hashes; the gram table is persisted once
+    (three consumers: HAVING filter + both join sides) and
+    tether-released.  Output: (doc_a, doc_b, start_a, start_b,
+    span_tokens), 1-based token offsets, one row per maximal span."""
+    k = SUBSTRING_K
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toked = d.select("doc_id", _tokens().alias("toks"))
+    grams = (
+        toked.select(
+            "doc_id",
+            F.posexplode(_word_shingles(F.col("toks"), n=k)).alias("i0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),  # 1-based start position
+            F.md5("gram").alias("g"),
+        )
+        .persist()
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= SUBSTRING_STOP_CAP))
+        .select("g")
+    )
+    cand = grams.join(shared, "g")
+    a = cand.select(
+        "g", F.col("doc_id").alias("doc_a"), F.col("i").alias("ia")
+    )
+    b = cand.select(
+        "g", F.col("doc_id").alias("doc_b"), F.col("i").alias("ib")
+    )
+    pairs = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("ia") - F.col("ib")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", F.col("ia") - F.col("ib")).orderBy(
+        "ia"
+    )  # ia is unique within a diagonal, so row_number is deterministic
+    runs = pairs.select(
+        "doc_a", "doc_b", "ia", "ib", diag,
+        (F.col("ia") - F.row_number().over(w)).alias("isl"),
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        F.min("ia").alias("start_a"),
+        F.min("ib").alias("start_b"),
+        (F.max("ia") - F.min("ia") + k).alias("span_tokens"),
+    )
+    result = spans.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+    return tether_cache(result, grams)
+
+
 QUERIES = {
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_minhash_signature": dedup_minhash_signature,
@@ -760,6 +847,7 @@ QUERIES = {
     "dedup_canonical": dedup_canonical,
     "dedup_canonical_snapshot": dedup_canonical_snapshot,
     "dedup_semantic_components": dedup_semantic_components,
+    "dedup_substring": dedup_substring,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -1008,3 +1096,30 @@ def _semantic_components_oracle() -> str:
 
 
 ORACLES["dedup_semantic_components"] = _semantic_components_oracle()
+
+# Exact-substring dedup: the same diagonal-run construction, replayed
+# relationally.  t[i:i+K-1] is DuckDB's INCLUSIVE slice (K elements);
+# range(1, m) is exclusive of m, so i spans 1..len-K+1 exactly like
+# the Spark side's 1-based posexplode positions.
+ORACLES["dedup_substring"] = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i,
+    md5(array_to_string(t[i:i+{SUBSTRING_K - 1}], ' ')) AS g
+  FROM toks,
+    LATERAL unnest(range(1, greatest(len(t) - {SUBSTRING_K - 2}, 1))) AS s(i)
+),
+shared AS (SELECT g FROM grams GROUP BY g
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SUBSTRING_STOP_CAP}),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+  FROM grams a JOIN shared s ON a.g = s.g JOIN grams b ON b.g = a.g
+  WHERE a.doc_id < b.doc_id),
+r AS (SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
+    ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia)
+      AS isl
+  FROM p)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+  CAST(min(ia) AS BIGINT) AS start_a, CAST(min(ib) AS BIGINT) AS start_b,
+  CAST(max(ia) - min(ia) + {SUBSTRING_K} AS BIGINT) AS span_tokens
+FROM r GROUP BY doc_a, doc_b, diag, isl
+"""

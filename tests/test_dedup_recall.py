@@ -103,3 +103,32 @@ def test_canonical_snapshot_matches_inline_and_reuses(spark, sf_dir, tmp_path, m
     (label_dir,) = os.listdir(tmp_path / "snaps")
     t = SnapshotTable(spark, str(tmp_path / "snaps" / label_dir))
     assert t.snapshot_ids() == [1]  # second call reused, not re-published
+
+
+def test_substring_finds_planted_span_exactly(spark, tmp_path):
+    """dedup_substring must report the planted shared run with the
+    exact start offsets and token length, and no span for documents
+    with < K tokens of verbatim overlap."""
+    from decision_tree_analytics_spark.operators.dedup import dedup_substring
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12-token run
+    a = "alpha beta " + shared + " gamma delta"
+    b = "one two three four " + shared + " five"
+    c = "totally disjoint words nothing else matches anything here at all"
+    rows = [
+        (0, a, "en", "src0", len(a)),
+        (1, b, "en", "src1", len(b)),
+        (2, c, "en", "src2", len(c)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_tokens)
+        for r in dedup_substring(spark, d).collect()
+    }
+    # doc0 tokens: alpha beta tok0..tok11 gamma delta → run starts at 3
+    # doc1 tokens: one two three four tok0..tok11 five → run starts at 5
+    assert got == {(0, 1): (3, 5, 12)}

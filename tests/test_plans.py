@@ -659,3 +659,18 @@ def test_kcenter_argmax_is_topk_no_python(spark, sf_dir):
     assert uses_top_k_sort(plan)
     assert has_broadcast_join(plan)
     assert not has_python_eval(plan)
+
+
+def test_substring_dedup_equi_join_no_cross_product(spark, sf_dir):
+    # Candidate positions meet ONLY through the gram-hash equi-join
+    # (fan-out bounded by the stop-gram cap); the gram table is
+    # persisted once for its three consumers, and nothing
+    # corpus-derived is broadcast.
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: D.dedup_substring(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_broadcast_join(plan)
+    assert "InMemoryTableScan" in plan
+    assert not has_python_eval(plan)
