@@ -498,6 +498,123 @@ def sim_ivf_topk(
     return tether_cache(result, vecs)
 
 
+IVF_CELLS = 16  # fixed cell count — independent of corpus size
+IVF_SEED_STEP = 7  # vec_id % STEP == 0 picks the seed sample
+IVF_NPROBE = 4  # cells searched per probe
+
+
+def sim_ivf_oracled(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """IVF ANN with a fully DuckDB-replayable index build — the
+    hash-verified successor to ``sim_ivf_topk`` (whose engine-seeded
+    KMeans forces a rows-only check).  Same IVF shape, deterministic
+    construction:
+
+    * seed cells with a content-derived corpus sample (``vec_id %
+      IVF_SEED_STEP == 0``, capped at IVF_CELLS — the sampled-init
+      codebook pattern of sim_pq_topk);
+    * ONE Lloyd refinement step, unrolled: assign every vector to its
+      nearest seed, recompute cell means;
+    * re-assign against the refined centroids → the inverted lists;
+    * per probe, rank cells by centroid distance, search only the
+      IVF_NPROBE nearest cells, exact-cosine top-k inside them.
+
+    Distances are UNROLLED codegen arithmetic over the 64 dims (no
+    higher-order functions in the hot path — measured ~2× slower
+    interpreted), rounded 1e-6 before every argmin/rank with the cell
+    id as tie-break, so assignment and probing are identical
+    cross-engine.  Scale: each assignment pass is a broadcast of the
+    16-row centroid table + ONE shuffle whose map-side partial min
+    collapses the 16 candidates per vector before the exchange;
+    search touches n_probe/n_cells of the corpus.  At 100 TB the
+    build is a one-off job persisted as a (vec_id, cell) table (the
+    component_labels_snapshot pattern); here it runs inline."""
+    from pyspark.sql import Window
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _vecd("embedding").alias("v"))
+        .persist()  # 2 assignment passes + probes + exact re-rank
+    )
+    seeds = emb.filter(
+        (F.col("vec_id") % IVF_SEED_STEP == 0)
+        & (F.col("vec_id") < IVF_SEED_STEP * IVF_CELLS)
+    ).select(F.col("vec_id").alias("aid"), F.col("v").alias("cv"))
+
+    def l2(vec: str, cen: str) -> Column:
+        terms = [
+            (F.col(vec)[j] - F.col(cen)[j]) * (F.col(vec)[j] - F.col(cen)[j])
+            for j in range(DIM)
+        ]
+        return _round6(sum(terms[1:], terms[0]))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        # nearest-cell argmin: conditional min(struct(d, aid)) per
+        # vector — partial agg collapses the |cells| rows map-side.
+        return (
+            emb.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                F.struct(
+                    l2("v", "cv").alias("d"), F.col("aid").alias("aid")
+                ).alias("e"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min("e")["aid"].alias("cluster"),
+                F.first("v").alias("v"),  # single-valued per vec_id
+            )
+        )
+
+    a1 = assign(seeds)
+    cent2 = (
+        a1.select("cluster", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "cx"))),
+                lambda s: s.getField("cx"),
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("aid"), "cv")
+    )
+    a2 = assign(cent2)
+
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    pc = probes.crossJoin(F.broadcast(cent2)).select(
+        "probe_id", "pv", "aid", l2("pv", "cv").alias("d")
+    )
+    wc = Window.partitionBy("probe_id").orderBy("d", "aid")
+    chosen = (
+        pc.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= IVF_NPROBE)
+        .select("probe_id", "pv", F.col("aid").alias("cluster"))
+    )
+    cands = chosen.join(a2, "cluster").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _round6(
+            _dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    result = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+    return tether_cache(result, emb)
+
+
 def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space label-quality scoring: Euclidean distance of
     each vector to its label's centroid, flagging outliers (dist >
@@ -596,6 +713,7 @@ QUERIES = {
     "sim_sq_refined_topk": sim_sq_refined_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_oracled": sim_ivf_oracled,
     "sim_rp_reduce": sim_rp_reduce,
 }
 
@@ -783,3 +901,60 @@ ORACLES = {
     ),
     "sim_rp_reduce": _rp_oracle(),
 }
+
+
+def _ivf_oracle() -> str:
+    """Replays the deterministic IVF build relationally: seeds →
+    assignment 1 → cell means → assignment 2 → probe-cell ranking →
+    in-cell exact cosine top-k.  Every distance rounds 1e-6 before
+    its argmin/rank with the cell id as tie-break, mirroring the
+    Spark side exactly."""
+    return f"""
+WITH e AS ({_SQL_EXPLODED}),
+seeds AS (SELECT vec_id AS aid, i, x FROM e
+  WHERE vec_id % {IVF_SEED_STEP} = 0
+    AND vec_id < {IVF_SEED_STEP * IVF_CELLS}),
+d1 AS (SELECT e.vec_id, s.aid,
+    floor(sum((e.x - s.x) * (e.x - s.x)) * 1e6 + 0.5) / 1e6 AS d
+  FROM e JOIN seeds s ON s.i = e.i GROUP BY 1, 2),
+a1 AS (SELECT vec_id, aid FROM (SELECT vec_id, aid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, aid) AS rn FROM d1)
+  WHERE rn = 1),
+c2 AS (SELECT a1.aid, e.i, avg(e.x) AS cx
+  FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2),
+d2 AS (SELECT e.vec_id, c.aid,
+    floor(sum((e.x - c.cx) * (e.x - c.cx)) * 1e6 + 0.5) / 1e6 AS d
+  FROM e JOIN c2 c ON c.i = e.i GROUP BY 1, 2),
+a2 AS (SELECT vec_id, aid FROM (SELECT vec_id, aid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, aid) AS rn FROM d2)
+  WHERE rn = 1),
+pc AS (SELECT e.vec_id AS probe_id, c.aid,
+    floor(sum((e.x - c.cx) * (e.x - c.cx)) * 1e6 + 0.5) / 1e6 AS d
+  FROM e JOIN c2 c ON c.i = e.i WHERE e.vec_id < 10 GROUP BY 1, 2),
+cells AS (SELECT probe_id, aid FROM (SELECT probe_id, aid,
+    row_number() OVER (PARTITION BY probe_id ORDER BY d, aid) AS rn FROM pc)
+  WHERE rn <= {IVF_NPROBE}),
+cand AS (SELECT c.probe_id, a2.vec_id AS neighbor_id
+  FROM cells c JOIN a2 ON a2.aid = c.aid
+  WHERE a2.vec_id <> c.probe_id),
+dots AS (SELECT cd.probe_id, cd.neighbor_id, sum(pe.x * ne.x) AS dot
+  FROM cand cd
+  JOIN e pe ON pe.vec_id = cd.probe_id
+  JOIN e ne ON ne.vec_id = cd.neighbor_id AND ne.i = pe.i
+  GROUP BY 1, 2),
+norms AS ({_SQL_NORMS}),
+scored AS (SELECT d.probe_id, d.neighbor_id,
+    floor(d.dot / (np.nrm * nn.nrm) * 1e6 + 0.5) / 1e6 AS cos_sim
+  FROM dots d
+  JOIN norms np ON np.vec_id = d.probe_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id)
+SELECT CAST(probe_id AS BIGINT) AS probe_id,
+  CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_sim,
+  CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+ORACLES["sim_ivf_oracled"] = _ivf_oracle()

@@ -392,6 +392,18 @@ def ns_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism is |sources| for the window and full for everything
     else — at 100 TB you'd sub-shard giant sources by a doc_id prefix
     exactly like the salted grouped top-k does."""
+    return _packed_corpus(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"(end_tok - n_tokens) div {PACK_CAPACITY}").alias("seq_index"),
+        ((F.col("end_tok") - F.col("n_tokens")) % PACK_CAPACITY).alias("offset"),
+    )
+
+
+def _packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concat-and-cut running total behind ns_seq_pack /
+    ns_seq_spans: (doc_id, source, n_tokens, end_tok)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -400,14 +412,75 @@ def ns_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("source").orderBy("doc_id")
-    x = d.withColumn("end_tok", F.sum("n_tokens").over(w))
-    return x.select(
+    return d.withColumn("end_tok", F.sum("n_tokens").over(w))
+
+
+def _pack_spans(x: DataFrame) -> DataFrame:
+    """Document-span manifest over a packed frame (doc_id, source,
+    n_tokens, end_tok): one exploded row per (sequence, document
+    fragment) with the fragment's 0-based start and length WITHIN the
+    sequence — exactly the per-sequence span list a training loader
+    needs to build intra-sequence attention masks (tokens must not
+    attend across the document boundaries inside a packed sequence).
+    A document straddling sequence cuts contributes one span per
+    sequence it touches.
+
+    Spans are emitted as exploded scalar rows, not arrays — array
+    cells are unhashable in the driver canonicalizer (r02 lesson).
+    Scale: the straddle explode is a per-row sequence() over the
+    handful of sequences a doc touches (≥1, usually 1), and span_ord
+    is a window over (source, seq_index) — bounded partitions of ≤
+    PACK_CAPACITY spans."""
+    from pyspark.sql import Window
+
+    cap = PACK_CAPACITY
+    g = x.select(
         "doc_id",
         "source",
         "n_tokens",
-        F.expr(f"(end_tok - n_tokens) div {PACK_CAPACITY}").alias("seq_index"),
-        ((F.col("end_tok") - F.col("n_tokens")) % PACK_CAPACITY).alias("offset"),
+        (F.col("end_tok") - F.col("n_tokens")).alias("g"),
     )
+    e = g.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "g",
+        F.explode(
+            F.sequence(
+                F.expr(f"g div {cap}"),
+                F.expr(f"(g + n_tokens - 1) div {cap}"),
+            )
+        ).alias("seq_index"),
+    )
+    cut = F.col("seq_index") * cap
+    start_in_seq = F.greatest(F.col("g"), cut) - cut
+    end_in_seq = F.least(F.col("g") + F.col("n_tokens"), cut + cap) - cut
+    spans = e.select(
+        "source",
+        F.col("seq_index").cast("long").alias("seq_index"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        start_in_seq.cast("long").alias("span_start"),
+        (end_in_seq - start_in_seq).cast("long").alias("span_len"),
+    )
+    w = Window.partitionBy("source", "seq_index").orderBy("span_start")
+    return spans.select(
+        "source",
+        "seq_index",
+        F.row_number().over(w).cast("long").alias("span_ord"),
+        "doc_id",
+        "span_start",
+        "span_len",
+    )
+
+
+def ns_seq_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-mask span manifest for the ns_seq_pack packing: per
+    (source, seq_index), the ordered list of document fragments
+    (span_ord, doc_id, span_start, span_len) that make up the packed
+    sequence — the loader-side companion to the per-document
+    (seq_index, offset) view.  Within every sequence the spans tile
+    it exactly: span k+1 starts where span k ends."""
+    return _pack_spans(_packed_corpus(spark, sf_dir))
 
 
 def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +644,19 @@ def ns_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minhash→LSH→connected-components labeling is derived state
     computed once per corpus generation and shared by every consumer,
     not recomputed inside each query plan."""
+    return _manifest_packed(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"(end_tok - n_tokens) div {PACK_CAPACITY}").alias("seq_index"),
+        ((F.col("end_tok") - F.col("n_tokens")) % PACK_CAPACITY).alias("offset"),
+    )
+
+
+def _manifest_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-manifest survivor set with the running pack total —
+    shared by ns_train_manifest (per-doc view) and ns_manifest_spans
+    (per-sequence span view)."""
     from pyspark.sql import Window
 
     from decision_tree_analytics_spark.operators.dedup import (
@@ -607,14 +693,17 @@ def ns_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("source").orderBy("doc_id")
-    x = survivors.withColumn("end_tok", F.sum("n_tokens").over(w))
-    return x.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.expr(f"(end_tok - n_tokens) div {PACK_CAPACITY}").alias("seq_index"),
-        ((F.col("end_tok") - F.col("n_tokens")) % PACK_CAPACITY).alias("offset"),
-    )
+    return survivors.withColumn("end_tok", F.sum("n_tokens").over(w))
+
+
+def ns_manifest_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attention-mask span manifest for the CAPSTONE train
+    manifest: the same curated survivor packing as ns_train_manifest,
+    re-read as per-sequence document spans — what the training loader
+    actually consumes (VERDICT r3 item 7: packed sequences carried
+    (seq_index, offset) but not the span list intra-sequence masking
+    needs)."""
+    return _pack_spans(_manifest_packed(spark, sf_dir))
 
 
 def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,6 +1015,8 @@ QUERIES = {
     "ns_gopher_filter": ns_gopher_filter,
     "ns_domain_mix": ns_domain_mix,
     "ns_seq_pack": ns_seq_pack,
+    "ns_seq_spans": ns_seq_spans,
+    "ns_manifest_spans": ns_manifest_spans,
     "ns_decontaminate": ns_decontaminate,
     "ns_lang_rebalance": ns_lang_rebalance,
     "ns_perplexity_proxy": ns_perplexity_proxy,
@@ -965,7 +1056,39 @@ def _sql_decontaminate() -> str:
     )
 
 
-def _sql_train_manifest() -> str:
+def _sql_spans_tail() -> str:
+    """Span-explode tail over an ``x`` CTE (doc_id, source, n_tokens,
+    end_tok) — shared by the ns_seq_spans and ns_manifest_spans
+    oracles.  range() excludes its stop, so +1 includes the last
+    sequence a straddling document touches."""
+    cap = PACK_CAPACITY
+    return (
+        # sum() over a window is HUGEINT in DuckDB — pin g back to
+        # BIGINT so range()/arithmetic below bind.
+        ", gg AS (SELECT doc_id, source, n_tokens,"
+        "   CAST(end_tok - n_tokens AS BIGINT) AS g FROM x),"
+        " ee AS (SELECT doc_id, source, n_tokens, g,"
+        f"   unnest(range(g // {cap}, (g + n_tokens - 1) // {cap} + 1))"
+        "     AS seq_index FROM gg),"
+        " sp AS (SELECT source, seq_index, doc_id,"
+        f"   greatest(g, seq_index * {cap}) - seq_index * {cap} AS span_start,"
+        f"   least(g + n_tokens, seq_index * {cap} + {cap})"
+        f"     - greatest(g, seq_index * {cap}) AS span_len"
+        "   FROM ee)"
+        " SELECT source, CAST(seq_index AS BIGINT) AS seq_index,"
+        " CAST(row_number() OVER (PARTITION BY source, seq_index"
+        "   ORDER BY span_start) AS BIGINT) AS span_ord,"
+        " CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(span_start AS BIGINT) AS span_start,"
+        " CAST(span_len AS BIGINT) AS span_len"
+        " FROM sp"
+    )
+
+
+def _sql_manifest_x() -> str:
+    """The train-manifest survivor CTE chain through the running-pack
+    window ``x`` — shared by the ns_train_manifest and
+    ns_manifest_spans oracles."""
     from decision_tree_analytics_spark.operators.dedup import (
         _SQL_COMP_CTES,
         _SQL_SHINGLES,
@@ -1000,10 +1123,16 @@ def _sql_train_manifest() -> str:
         " x AS (SELECT doc_id, source, n_tokens,"
         "   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)"
         "     AS end_tok FROM survivors)"
-        " SELECT doc_id, source, n_tokens,"
-        f" CAST((end_tok - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS seq_index,"
-        f" CAST((end_tok - n_tokens) % {PACK_CAPACITY} AS BIGINT) AS offset"
-        " FROM x"
+    )
+
+
+def _sql_train_manifest() -> str:
+    return (
+        _sql_manifest_x()
+        + " SELECT doc_id, source, n_tokens,"
+        + f" CAST((end_tok - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS seq_index,"
+        + f" CAST((end_tok - n_tokens) % {PACK_CAPACITY} AS BIGINT) AS offset"
+        + " FROM x"
     )
 
 
@@ -1234,3 +1363,16 @@ ORACLES = {
         " WHERE rnk <= 3"
     ),
 }
+
+# Full-corpus packing prefix (the ns_seq_pack `x` CTE) for the span
+# manifests.
+_SQL_PACK_X = (
+    "WITH d AS (SELECT doc_id, source,"
+    "   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+    "   FROM documents),"
+    " x AS (SELECT doc_id, source, n_tokens,"
+    "   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)"
+    "     AS end_tok FROM d)"
+)
+ORACLES["ns_seq_spans"] = _SQL_PACK_X + _sql_spans_tail()
+ORACLES["ns_manifest_spans"] = _sql_manifest_x() + _sql_spans_tail()

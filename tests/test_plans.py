@@ -674,3 +674,18 @@ def test_substring_dedup_equi_join_no_cross_product(spark, sf_dir):
     assert not has_broadcast_join(plan)
     assert "InMemoryTableScan" in plan
     assert not has_python_eval(plan)
+
+
+def test_ivf_oracled_broadcasts_only_cell_tables(spark, sf_dir):
+    # Every cross join in the build attaches a FIXED 16-row centroid
+    # table (or the 10-row probe set) — with auto-broadcast off those
+    # explicit hints are the only BroadcastExchanges, the corpus scan
+    # is persisted once, and the whole pipeline stays JVM-side.
+    from decision_tree_analytics_spark.operators import similarity as S
+
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: S.sim_ivf_oracled(spark, sf_dir)
+    )
+    assert "InMemoryTableScan" in plan
+    assert not has_python_eval(plan)
+    assert "CartesianProduct" not in plan  # all cross joins are broadcast-nested-loop over ≤16 rows

@@ -124,3 +124,18 @@ def test_pq_encoding_plan_shape(spark, sf_dir):
     assert "partial_min" in plan  # argmin combines map-side
     hashes = {h.strip() for h in re.findall(r"hashpartitioning\(([^,)#]+)", plan)}
     assert hashes <= {"vec_id", "probe_id"}, hashes
+
+
+def test_ivf_oracled_recall_against_brute_force(spark, sf_dir):
+    """The deterministic IVF build (sampled seeds + one Lloyd step)
+    must reach the same recall bar as the engine-seeded KMeans
+    variant — nprobe=4/16 cells, conservative threshold."""
+    from decision_tree_analytics_spark.operators.similarity import sim_ivf_oracled
+
+    exact = _neighbor_sets(sim_cosine_topk(spark, sf_dir))
+    approx = _neighbor_sets(sim_ivf_oracled(spark, sf_dir))
+    assert set(exact) == set(approx)
+    recalls = [
+        len(approx.get(p, set()) & want) / len(want) for p, want in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4

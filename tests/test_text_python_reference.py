@@ -136,3 +136,28 @@ def test_subword_invariants_hypothesis():
             i += len(t)
 
     check()
+
+
+def test_seq_spans_tile_sequences_and_split_straddlers(spark, sf_dir):
+    """ns_seq_spans: within every (source, seq_index), spans tile the
+    sequence exactly (span k+1 starts where span k ends, from 0), no
+    span exceeds the capacity, and a document's total span length
+    across sequences equals its token count."""
+    from decision_tree_analytics_spark.operators.text import (
+        PACK_CAPACITY,
+        ns_seq_pack,
+        ns_seq_spans,
+    )
+
+    sp = ns_seq_spans(spark, sf_dir).toPandas()
+    for _, grp in sp.groupby(["source", "seq_index"]):
+        grp = grp.sort_values("span_ord")
+        pos = 0
+        for _, r in grp.iterrows():
+            assert r.span_start == pos
+            assert 1 <= r.span_len <= PACK_CAPACITY
+            pos = r.span_start + r.span_len
+        assert pos <= PACK_CAPACITY
+    per_doc = sp.groupby("doc_id")["span_len"].sum()
+    toks = ns_seq_pack(spark, sf_dir).toPandas().set_index("doc_id")["n_tokens"]
+    assert (per_doc == toks.loc[per_doc.index]).all()
