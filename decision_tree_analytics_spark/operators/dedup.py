@@ -780,6 +780,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (three consumers: HAVING filter + both join sides) and
     tether-released.  Output: (doc_a, doc_b, start_a, start_b,
     span_tokens), 1-based token offsets, one row per maximal span."""
+    result, grams = _substring_spans(spark, sf_dir)
+    return tether_cache(result, grams)
+
+
+def _substring_spans(spark: SparkSession, sf_dir: str):
+    """(spans, grams) — the diagonal-run span table plus the persisted
+    gram table backing it; callers tether grams to THEIR result."""
     k = SUBSTRING_K
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -830,6 +837,79 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_b").cast("long").alias("start_b"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
     )
+    return result, grams
+
+
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLICY readout over the substring spans — per document, how
+    much of it is verbatim-duplicated elsewhere (Lee et al. drop or
+    trim documents whose duplicated fraction crosses a threshold).
+    Both sides of every pair-span become intervals on their own
+    document; overlapping intervals merge (a passage quoted by many
+    partners must count once), and the merged coverage over the doc's
+    token count is the duplicated fraction.
+
+    Interval union is one gaps-and-islands pass: running max(end)
+    over earlier intervals marks where a new disjoint region starts.
+    (doc_id, start, end) triples are DISTINCT before the window, so
+    the (start, end) ordering is unique per doc and the running
+    aggregates are deterministic.  Scale: O(intervals) with one
+    window shuffle keyed by doc_id — the spans themselves are already
+    bounded by the stop-gram cap."""
+    from pyspark.sql import Window
+
+    spans, grams = _substring_spans(spark, sf_dir)
+    iv = (
+        spans.select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("start_a").alias("s"),
+            (F.col("start_a") + F.col("span_tokens")).alias("e"),
+        )
+        .unionByName(
+            spans.select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_tokens")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w_pme = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pme = F.max("e").over(w_pme)
+    marked = iv.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(pme.isNull() | (F.col("s") > pme), 1).otherwise(0).alias("new_r"),
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("s", "e")
+    regions = marked.select(
+        "doc_id", "s", "e", F.sum("new_r").over(w_isl).alias("region")
+    )
+    cov = regions.groupBy("doc_id", "region").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regions"),
+        F.sum("covered").cast("long").alias("dup_tokens"),
+    )
+    nt = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    )
+    result = per_doc.join(nt, "doc_id").select(
+        "doc_id",
+        "n_regions",
+        "dup_tokens",
+        "n_tokens",
+        (
+            F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1e6 + 0.5) / 1e6
+        ).alias("dup_frac"),  # n_tokens ≥ K for any doc with a span
+    )
     return tether_cache(result, grams)
 
 
@@ -848,6 +928,7 @@ QUERIES = {
     "dedup_canonical_snapshot": dedup_canonical_snapshot,
     "dedup_semantic_components": dedup_semantic_components,
     "dedup_substring": dedup_substring,
+    "dedup_substring_stats": dedup_substring_stats,
 }
 
 _SQL_TOKS = "string_split(lower(trim(text)), ' ')"
@@ -1100,8 +1181,10 @@ ORACLES["dedup_semantic_components"] = _semantic_components_oracle()
 # Exact-substring dedup: the same diagonal-run construction, replayed
 # relationally.  t[i:i+K-1] is DuckDB's INCLUSIVE slice (K elements);
 # range(1, m) is exclusive of m, so i spans 1..len-K+1 exactly like
-# the Spark side's 1-based posexplode positions.
-ORACLES["dedup_substring"] = f"""
+# the Spark side's 1-based posexplode positions.  Shared CTE chain
+# through the maximal spans; the pair view and the per-doc stats view
+# both read `spans`.
+_SQL_SUBSTRING_CTES = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 grams AS (
   SELECT doc_id, i,
@@ -1117,9 +1200,44 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
 r AS (SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
     ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia)
       AS isl
-  FROM p)
+  FROM p),
+spans AS (SELECT doc_a, doc_b, diag, isl,
+    min(ia) AS start_a, min(ib) AS start_b,
+    max(ia) - min(ia) + {SUBSTRING_K} AS span_tokens
+  FROM r GROUP BY doc_a, doc_b, diag, isl)
+"""
+
+ORACLES["dedup_substring"] = _SQL_SUBSTRING_CTES + """
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-  CAST(min(ia) AS BIGINT) AS start_a, CAST(min(ib) AS BIGINT) AS start_b,
-  CAST(max(ia) - min(ia) + {SUBSTRING_K} AS BIGINT) AS span_tokens
-FROM r GROUP BY doc_a, doc_b, diag, isl
+  CAST(start_a AS BIGINT) AS start_a, CAST(start_b AS BIGINT) AS start_b,
+  CAST(span_tokens AS BIGINT) AS span_tokens
+FROM spans
+"""
+
+ORACLES["dedup_substring_stats"] = _SQL_SUBSTRING_CTES + f"""
+, iv AS (
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens AS e
+      FROM spans
+    UNION ALL
+    SELECT doc_b, start_b, start_b + span_tokens FROM spans)),
+m AS (SELECT doc_id, s, e,
+    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv),
+isl2 AS (SELECT doc_id, s, e,
+    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY s, e) AS region
+  FROM m),
+cov AS (SELECT doc_id, region, max(e) - min(s) AS covered
+  FROM isl2 GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, count(*) AS n_regions,
+    sum(covered) AS dup_tokens FROM cov GROUP BY 1),
+nt AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents)
+SELECT CAST(p2.doc_id AS BIGINT) AS doc_id,
+  CAST(n_regions AS BIGINT) AS n_regions,
+  CAST(dup_tokens AS BIGINT) AS dup_tokens,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  floor(CAST(dup_tokens AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS dup_frac
+FROM per_doc p2 JOIN nt ON p2.doc_id = nt.doc_id
 """

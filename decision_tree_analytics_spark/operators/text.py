@@ -473,6 +473,43 @@ def _pack_spans(x: DataFrame) -> DataFrame:
     )
 
 
+def ns_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing audit for the ns_seq_pack layout — per source: doc and
+    token inventory, sequence count, fill rate (tokens over sequence
+    capacity actually allocated), tail waste (unused slots in the
+    final partial sequence), and how many documents straddle a
+    sequence cut (each straddler costs the loader a span split —
+    ns_seq_spans carries the splits; this reports the rate).
+
+    One |sources|-row aggregate over the same running-total window the
+    packer uses — the audit can never disagree with the manifest it
+    audits.  ANSI-safe: every source in the output has ≥ 1 doc, so
+    n_seqs ≥ 1."""
+    cap = PACK_CAPACITY
+    x = _packed_corpus(spark, sf_dir)
+    straddles = F.expr(
+        f"(end_tok - n_tokens) div {cap} != (end_tok - 1) div {cap}"
+    ).cast("long")
+    # per-source total tokens == max(end_tok): the running sum's last
+    # value — one aggregate serves inventory and waste alike.
+    per_src = x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("end_tok").cast("long").alias("n_tokens"),
+        F.sum(straddles).cast("long").alias("n_straddlers"),
+    )
+    n_seqs = F.expr(f"(n_tokens + {cap} - 1) div {cap}")
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        n_seqs.cast("long").alias("n_seqs"),
+        (n_seqs * cap - F.col("n_tokens")).cast("long").alias("tail_waste"),
+        r6(F.col("n_tokens") / (n_seqs * cap)).alias("fill_rate"),
+        "n_straddlers",
+    )
+
+
 def ns_seq_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attention-mask span manifest for the ns_seq_pack packing: per
     (source, seq_index), the ordered list of document fragments
@@ -1017,6 +1054,7 @@ QUERIES = {
     "ns_seq_pack": ns_seq_pack,
     "ns_seq_spans": ns_seq_spans,
     "ns_manifest_spans": ns_manifest_spans,
+    "ns_pack_efficiency": ns_pack_efficiency,
     "ns_decontaminate": ns_decontaminate,
     "ns_lang_rebalance": ns_lang_rebalance,
     "ns_perplexity_proxy": ns_perplexity_proxy,
@@ -1376,3 +1414,21 @@ _SQL_PACK_X = (
 )
 ORACLES["ns_seq_spans"] = _SQL_PACK_X + _sql_spans_tail()
 ORACLES["ns_manifest_spans"] = _sql_manifest_x() + _sql_spans_tail()
+ORACLES["ns_pack_efficiency"] = _SQL_PACK_X + f"""
+, per_src AS (SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(max(end_tok) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN CAST(end_tok - n_tokens AS BIGINT) // {PACK_CAPACITY}
+        <> CAST(end_tok - 1 AS BIGINT) // {PACK_CAPACITY}
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+  FROM x GROUP BY 1)
+SELECT source, n_docs, n_tokens,
+  CAST((n_tokens + {PACK_CAPACITY} - 1) // {PACK_CAPACITY} AS BIGINT) AS n_seqs,
+  CAST((n_tokens + {PACK_CAPACITY} - 1) // {PACK_CAPACITY} * {PACK_CAPACITY}
+    - n_tokens AS BIGINT) AS tail_waste,
+  floor(CAST(n_tokens AS DOUBLE)
+    / ((n_tokens + {PACK_CAPACITY} - 1) // {PACK_CAPACITY} * {PACK_CAPACITY})
+    * 1e6 + 0.5) / 1e6 AS fill_rate,
+  n_straddlers
+FROM per_src
+"""

@@ -132,3 +132,33 @@ def test_substring_finds_planted_span_exactly(spark, tmp_path):
     # doc0 tokens: alpha beta tok0..tok11 gamma delta → run starts at 3
     # doc1 tokens: one two three four tok0..tok11 five → run starts at 5
     assert got == {(0, 1): (3, 5, 12)}
+
+
+def test_substring_stats_merges_overlaps_and_fracs(spark, tmp_path):
+    """Per-doc coverage: the planted 12-token run covers 12 of doc0's
+    16 tokens (0.75) and 12 of doc1's 17 (span start differs); the
+    disjoint doc reports nothing."""
+    from decision_tree_analytics_spark.operators.dedup import (
+        dedup_substring_stats,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    a = "alpha beta " + shared + " gamma delta"          # 16 tokens
+    b = "one two three four " + shared + " five"          # 17 tokens
+    c = "totally disjoint words nothing else matches anything here at all"
+    rows = [
+        (0, a, "en", "src0", len(a)),
+        (1, b, "en", "src1", len(b)),
+        (2, c, "en", "src2", len(c)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r.asDict() for r in dedup_substring_stats(spark, d).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["dup_tokens"] == 12 and got[0]["n_tokens"] == 16
+    assert got[0]["dup_frac"] == 0.75
+    assert got[1]["dup_tokens"] == 12 and got[1]["n_tokens"] == 17
+    assert got[0]["n_regions"] == 1 and got[1]["n_regions"] == 1

@@ -221,3 +221,18 @@ def test_naive_bayes_confusion_matrix_structure(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == n_test
     assert {r.lang_pred for r in rows} <= train_langs
     assert all(r.n_docs > 0 for r in rows)
+
+
+def test_pca_power_unit_loadings_and_positive_eigenvalue(spark, sf_dir):
+    """The power-iteration output must be a unit vector (loadings
+    norm 1 within rounding) with a positive covariance eigenvalue."""
+    from decision_tree_analytics_spark.operators.ml_inventory import (
+        PCA_DIMS,
+        ml_pca_power,
+    )
+
+    row = ml_pca_power(spark, sf_dir).collect()[0]
+    norm2 = sum(row[f"l{j}"] ** 2 for j in range(PCA_DIMS))
+    assert abs(norm2 - 1.0) < 1e-4
+    assert row["eigenvalue"] > 0
+    assert row["n"] > 0

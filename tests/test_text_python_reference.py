@@ -161,3 +161,21 @@ def test_seq_spans_tile_sequences_and_split_straddlers(spark, sf_dir):
     per_doc = sp.groupby("doc_id")["span_len"].sum()
     toks = ns_seq_pack(spark, sf_dir).toPandas().set_index("doc_id")["n_tokens"]
     assert (per_doc == toks.loc[per_doc.index]).all()
+
+
+def test_pack_efficiency_consistent_with_spans(spark, sf_dir):
+    """ns_pack_efficiency must agree with the span manifest it
+    audits: per source, n_seqs covers the max seq_index and
+    n_straddlers equals the docs appearing in >1 sequence."""
+    from decision_tree_analytics_spark.operators.text import (
+        ns_pack_efficiency,
+        ns_seq_spans,
+    )
+
+    eff = {r.source: r.asDict() for r in ns_pack_efficiency(spark, sf_dir).collect()}
+    sp = ns_seq_spans(spark, sf_dir).toPandas()
+    for src, grp in sp.groupby("source"):
+        assert eff[src]["n_seqs"] == grp.seq_index.max() + 1
+        multi = (grp.groupby("doc_id").seq_index.nunique() > 1).sum()
+        assert eff[src]["n_straddlers"] == multi
+        assert 0 < eff[src]["fill_rate"] <= 1.0
