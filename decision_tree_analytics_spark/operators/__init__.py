@@ -83,6 +83,7 @@ BENCH_EXTRAS = [
     "ml_kcenter_select",
     "rel_twap",
     "dedup_substring",
+    "ml_gbt_stumps",
 ]
 
 

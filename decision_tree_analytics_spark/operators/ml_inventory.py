@@ -1159,3 +1159,182 @@ def _pca_oracle() -> str:
 
 QUERIES["ml_pca_power"] = ml_pca_power
 ORACLES["ml_pca_power"] = _pca_oracle()
+
+
+GBT_ROUNDS = 3  # unrolled boosting rounds
+GBT_LR = 0.5  # shrinkage
+GBT_CANDS = (5, 10, 15, 20, 25, 30, 35, 40, 45)  # fixed split grid
+
+
+def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled gradient boosting: GBT_ROUNDS unrolled rounds of
+    depth-1 regression stumps (price ~ quantity) with shrinkage — the
+    canonical tabular-ML trainer, hash-verified end to end like
+    ml_logreg_gd (MLlib's GBT is engine-internal and would force a
+    rows-only check).
+
+    Split search uses a FIXED candidate grid, the same bounded-bins
+    move MLlib's maxBins makes: each round is ONE corpus pass
+    computing 4 conditional partials per candidate (mergeable sums —
+    map-side combine collapses them, the shuffle carries one row),
+    then a 1-row argmax picks the split maximizing between-group sum
+    of squares.  Cross-engine: scores and the stored stump
+    parameters round 1e-6 before every decision (candidate ascending
+    tie-break via coalesce order); an empty split side yields a NULL
+    score via nullif and both engines' greatest() skip NULLs
+    identically.  Output: one row — n, the 3 stumps (threshold,
+    left/right leaf values), and the training RMSE."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+        )
+        .persist()
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    state = li.agg(r6(F.avg("y")).alias("f0"))
+
+    def fhat(m: int) -> Column:
+        e = F.col("f0")
+        for i in range(1, m + 1):
+            e = e + GBT_LR * F.when(
+                F.col("x") <= F.col(f"t{i}"), F.col(f"l{i}")
+            ).otherwise(F.col(f"r{i}"))
+        return e
+
+    def score(t: int) -> Column:
+        return r6(
+            F.col(f"sl_{t}") * F.col(f"sl_{t}")
+            / F.nullif(F.col(f"cl_{t}"), F.lit(0)).cast("double")
+            + F.col(f"sr_{t}") * F.col(f"sr_{t}")
+            / F.nullif(F.col(f"cr_{t}"), F.lit(0)).cast("double")
+        )
+
+    for m in range(1, GBT_ROUNDS + 1):
+        carry_cols = list(state.columns)
+        j = li.crossJoin(F.broadcast(state)).withColumn(
+            "res", F.col("y") - fhat(m - 1)
+        )
+        aggs = [F.max(c).alias(c) for c in carry_cols]
+        for t in GBT_CANDS:
+            left = F.when(F.col("x") <= t, F.col("res"))
+            right = F.when(F.col("x") > t, F.col("res"))
+            aggs += [
+                F.sum(left).alias(f"sl_{t}"),
+                F.count(left).alias(f"cl_{t}"),
+                F.sum(right).alias(f"sr_{t}"),
+                F.count(right).alias(f"cr_{t}"),
+            ]
+        g = j.agg(*aggs).withColumn(
+            "best", F.greatest(*[score(t) for t in GBT_CANDS])
+        )
+        pick = lambda val: F.coalesce(  # noqa: E731
+            *[
+                F.when(score(t) == F.col("best"), val(t))
+                for t in GBT_CANDS
+            ]
+        )
+        state = g.select(
+            *carry_cols,
+            pick(lambda t: F.lit(float(t))).alias(f"t{m}"),
+            pick(
+                lambda t: r6(
+                    F.col(f"sl_{t}")
+                    / F.nullif(F.col(f"cl_{t}"), F.lit(0)).cast("double")
+                )
+            ).alias(f"l{m}"),
+            pick(
+                lambda t: r6(
+                    F.col(f"sr_{t}")
+                    / F.nullif(F.col(f"cr_{t}"), F.lit(0)).cast("double")
+                )
+            ).alias(f"r{m}"),
+        )
+    final = li.crossJoin(F.broadcast(state))
+    out_cols = [c for c in state.columns if c != "f0"]
+    result = final.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("f0").alias("f0"),
+        *[F.max(c).alias(c) for c in out_cols],
+        r6(
+            F.sqrt(
+                F.avg(
+                    (F.col("y") - fhat(GBT_ROUNDS))
+                    * (F.col("y") - fhat(GBT_ROUNDS))
+                )
+            )
+        ).alias("train_rmse"),
+    )
+    return tether_cache(result, li)
+
+
+def _gbt_oracle() -> str:
+    r6 = lambda s: f"floor(({s}) * 1e6 + 0.5) / 1e6"  # noqa: E731
+
+    def fhat(m: int) -> str:
+        e = "f0"
+        for i in range(1, m + 1):
+            e += (
+                f" + {GBT_LR} * (CASE WHEN x <= t{i} THEN l{i}"
+                f" ELSE r{i} END)"
+            )
+        return e
+
+    def score(t: int) -> str:
+        return r6(
+            f"sl_{t} * sl_{t} / CAST(nullif(cl_{t}, 0) AS DOUBLE)"
+            f" + sr_{t} * sr_{t} / CAST(nullif(cr_{t}, 0) AS DOUBLE)"
+        )
+
+    parts = [
+        "WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,"
+        " l_extendedprice AS y FROM lineitem),",
+        f"s0 AS (SELECT {r6('avg(y)')} AS f0 FROM d),",
+    ]
+    carry = ["f0"]
+    for m in range(1, GBT_ROUNDS + 1):
+        res = f"y - ({fhat(m - 1)})"
+        conds = []
+        for t in GBT_CANDS:
+            conds += [
+                f"sum(CASE WHEN x <= {t} THEN {res} END) AS sl_{t}",
+                f"count(CASE WHEN x <= {t} THEN {res} END) AS cl_{t}",
+                f"sum(CASE WHEN x > {t} THEN {res} END) AS sr_{t}",
+                f"count(CASE WHEN x > {t} THEN {res} END) AS cr_{t}",
+            ]
+        cc = ", ".join(f"max({c}) AS {c}" for c in carry)
+        parts.append(
+            f"a{m} AS (SELECT {cc}, {', '.join(conds)}"
+            f" FROM d CROSS JOIN s{m - 1}),"
+        )
+        best = "greatest(" + ", ".join(score(t) for t in GBT_CANDS) + ")"
+        parts.append(f"b{m} AS (SELECT *, {best} AS best FROM a{m}),")
+        pick = lambda val: "COALESCE(" + ", ".join(  # noqa: E731
+            f"CASE WHEN {score(t)} = best THEN {val(t)} END"
+            for t in GBT_CANDS
+        ) + ")"
+        tm = pick(lambda t: f"{t}.0")
+        lm = pick(
+            lambda t: r6(f"sl_{t} / CAST(nullif(cl_{t}, 0) AS DOUBLE)")
+        )
+        rm = pick(
+            lambda t: r6(f"sr_{t} / CAST(nullif(cr_{t}, 0) AS DOUBLE)")
+        )
+        parts.append(
+            f"s{m} AS (SELECT {', '.join(carry)}, {tm} AS t{m},"
+            f" {lm} AS l{m}, {rm} AS r{m} FROM b{m}),"
+        )
+        carry = carry + [f"t{m}", f"l{m}", f"r{m}"]
+    cc = ", ".join(f"max({c}) AS {c}" for c in carry)
+    parts.append(
+        f"fin AS (SELECT CAST(count(*) AS BIGINT) AS n, {cc},"
+        f" {r6(f'sqrt(avg((y - ({fhat(GBT_ROUNDS)})) * (y - ({fhat(GBT_ROUNDS)}))))')}"
+        f" AS train_rmse FROM d CROSS JOIN s{GBT_ROUNDS})"
+    )
+    parts.append(f" SELECT n, {', '.join(carry)}, train_rmse FROM fin")
+    return "".join(parts)
+
+
+QUERIES["ml_gbt_stumps"] = ml_gbt_stumps
+ORACLES["ml_gbt_stumps"] = _gbt_oracle()

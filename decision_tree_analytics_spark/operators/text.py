@@ -743,6 +743,74 @@ def ns_manifest_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_spans(_manifest_packed(spark, sf_dir))
 
 
+def ns_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL readout — how many documents survive each
+    gate of the train-manifest chain (raw → train split → exact-dedup
+    keepers → near-dup canonicals → decontamination) and the token
+    mass that reaches packing.  This one-row attrition table is the
+    first thing a pipeline owner checks after every corpus rebuild:
+    a gate suddenly eating 40% of the corpus is a data bug long
+    before any model metric moves.
+
+    One corpus scan carries per-doc gate flags (three left joins
+    against the keeper/flag tables — each keyed on doc_id, the same
+    derived state the manifest itself consumes, including the
+    PERSISTED component labels); the funnel is then a single
+    mergeable aggregate of flag products."""
+    from decision_tree_analytics_spark.operators.dedup import (
+        dedup_canonical_snapshot,
+        fingerprint_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    ke = (
+        d.select(fingerprint_col().alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("ke"))
+    )
+    kc = (
+        dedup_canonical_snapshot(spark, sf_dir)
+        .filter(F.col("is_kept") == 1)
+        .select("doc_id", F.lit(1).alias("kc"))
+    )
+    ct = ns_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("ct")
+    )
+    flags = (
+        d.select(
+            "doc_id",
+            (bucket < 8).cast("long").alias("in_train"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+        )
+        .join(ke, "doc_id", "left")
+        .join(kc, "doc_id", "left")
+        .join(ct, "doc_id", "left")
+        .select(
+            "in_train",
+            "nt",
+            F.coalesce("ke", F.lit(0)).alias("ke"),
+            F.coalesce("kc", F.lit(0)).alias("kc"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    surv = F.col("in_train") * F.col("ke") * F.col("kc") * (1 - F.col("ct"))
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("in_train").cast("long").alias("n_train"),
+        F.sum(F.col("in_train") * F.col("ke")).cast("long").alias("n_after_exact"),
+        F.sum(F.col("in_train") * F.col("ke") * F.col("kc"))
+        .cast("long")
+        .alias("n_after_canon"),
+        F.sum(surv).cast("long").alias("n_final"),
+        F.sum(surv * F.col("nt")).cast("long").alias("tokens_final"),
+    )
+
+
 def ns_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix planner: per-source document/token inventory plus
     temperature-smoothed sampling weights — the domain-mixture table a
@@ -1055,6 +1123,7 @@ QUERIES = {
     "ns_seq_spans": ns_seq_spans,
     "ns_manifest_spans": ns_manifest_spans,
     "ns_pack_efficiency": ns_pack_efficiency,
+    "ns_curation_report": ns_curation_report,
     "ns_decontaminate": ns_decontaminate,
     "ns_lang_rebalance": ns_lang_rebalance,
     "ns_perplexity_proxy": ns_perplexity_proxy,
@@ -1414,6 +1483,27 @@ _SQL_PACK_X = (
 )
 ORACLES["ns_seq_spans"] = _SQL_PACK_X + _sql_spans_tail()
 ORACLES["ns_manifest_spans"] = _sql_manifest_x() + _sql_spans_tail()
+# Funnel readout: the manifest CTE chain already defines bt / keepx /
+# canonk / contaminated — the report is one flag aggregate over them
+# (unreferenced trailing CTEs like x are legal and unevaluated).
+ORACLES["ns_curation_report"] = _sql_manifest_x() + """
+, flags AS (SELECT bt.doc_id,
+    CASE WHEN bucket < 8 THEN 1 ELSE 0 END AS in_train,
+    CASE WHEN bt.doc_id IN (SELECT doc_id FROM keepx) THEN 1 ELSE 0 END AS ke,
+    CASE WHEN bt.doc_id IN (SELECT doc_id FROM canonk) THEN 1 ELSE 0 END AS kc,
+    CASE WHEN bt.doc_id IN (SELECT doc_id FROM contaminated)
+      THEN 1 ELSE 0 END AS ct,
+    len(string_split(bt.text, ' ')) AS nt
+  FROM bt)
+SELECT CAST(count(*) AS BIGINT) AS n_raw,
+  CAST(sum(in_train) AS BIGINT) AS n_train,
+  CAST(sum(in_train * ke) AS BIGINT) AS n_after_exact,
+  CAST(sum(in_train * ke * kc) AS BIGINT) AS n_after_canon,
+  CAST(sum(in_train * ke * kc * (1 - ct)) AS BIGINT) AS n_final,
+  CAST(sum(in_train * ke * kc * (1 - ct) * nt) AS BIGINT) AS tokens_final
+FROM flags
+"""
+
 ORACLES["ns_pack_efficiency"] = _SQL_PACK_X + f"""
 , per_src AS (SELECT source,
     CAST(count(*) AS BIGINT) AS n_docs,

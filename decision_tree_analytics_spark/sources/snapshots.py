@@ -191,6 +191,23 @@ class SnapshotTable:
         )
 
     # -- maintenance ------------------------------------------------
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """OPTIMIZE: rewrite the published file set into ~target-sized
+        files as a new overwrite snapshot, atomically published.  The
+        rewrite is a shuffle-free coalesce (compaction is IO-bound);
+        prior snapshots keep their original files, so time travel
+        across the compaction boundary still works until expire()
+        reclaims them."""
+        self.latest_id()  # must have a published snapshot
+        total = sum(
+            os.path.getsize(os.path.join(self.path, f))
+            for f in self.manifest(self.latest_id())["files"]
+        )
+        n_files = max(1, round(total / target_file_bytes))
+        sid = self.overwrite(self.read().coalesce(n_files), publish=False)
+        self.publish(sid)
+        return sid
+
     def expire(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots (never the
         published one) and delete data files no kept snapshot

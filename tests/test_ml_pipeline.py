@@ -236,3 +236,29 @@ def test_pca_power_unit_loadings_and_positive_eigenvalue(spark, sf_dir):
     assert abs(norm2 - 1.0) < 1e-4
     assert row["eigenvalue"] > 0
     assert row["n"] > 0
+
+
+def test_gbt_stumps_reduce_training_error(spark, sf_dir):
+    """Boosted stumps must beat the constant-mean model on training
+    RMSE, and each stump must split both sides non-trivially (leaf
+    values present, threshold from the candidate grid)."""
+    import math
+
+    from decision_tree_analytics_spark.operators.ml_inventory import (
+        GBT_CANDS,
+        GBT_ROUNDS,
+        ml_gbt_stumps,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    row = ml_gbt_stumps(spark, sf_dir).collect()[0]
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.stddev_pop("l_extendedprice").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert row["train_rmse"] < base
+    for m in range(1, GBT_ROUNDS + 1):
+        assert row[f"t{m}"] in [float(t) for t in GBT_CANDS]
+        assert math.isfinite(row[f"l{m}"]) and math.isfinite(row[f"r{m}"])

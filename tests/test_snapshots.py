@@ -114,3 +114,33 @@ def test_incremental_read_returns_only_the_delta(spark, docs, tmp_path):
     # an overwrite rewrites the file set → the whole new set is the delta
     s3 = t.overwrite(docs.filter(F.col("doc_id") < 5))
     assert t.read_incremental(s2, s3).count() == 5
+
+
+def test_compact_reduces_files_preserves_content_and_history(spark, sf_dir, tmp_path):
+    """compact() must collapse a fragmented published file set into
+    few files in a NEW snapshot, keep the table content identical,
+    and leave the pre-compaction snapshot time-travel-readable."""
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.sources.snapshots import SnapshotTable
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    t = SnapshotTable(spark, str(tmp_path / "cmp"))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    t.append(ev.filter(F.col("event_id") % 2 == 0).repartition(8))
+    v2 = t.append(ev.filter(F.col("event_id") % 2 == 1).repartition(8))
+    before = t.manifest(t.latest_id())["files"]
+    assert len(before) == 16
+    want = t.read().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    v3 = t.compact()
+    after = t.manifest(v3)["files"]
+    assert len(after) < len(before)
+    got = t.read().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    assert (got.n, got.s) == (want.n, want.s)
+    # the pre-compaction snapshot still reads its original files
+    assert t.read(v2).count() == want.n
+    assert t.latest_id() == v3
