@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from decision_tree_analytics_spark.sources.formats import read_csv, read_json
+from decision_tree_analytics_spark.sources.formats import read_csv, read_json, read_orc
 from decision_tree_analytics_spark.sources.tables import load_table
 
 _IO_ROOT_ENV = "SPARK_GRAFT_IO_CACHE_DIR"
@@ -103,12 +103,40 @@ def src_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def src_orc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem through the ORC reader — the third interchange format
+    under the oracle gate (parquet is the native path, Avro is absent
+    from this container; see CLAUDE.md).  ORC carries real types in
+    the file footer, so the read needs no pinned schema — drift would
+    surface as a hash mismatch on the aggregate."""
+    path = _fixture_dir(sf_dir, "lineitem", "orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+        ).write.mode("overwrite").orc(path)
+    df = read_orc(spark, path)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        (F.floor(F.sum("l_extendedprice") * 1e4 + 0.5) / 1e4).alias("sum_price"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+    )
+
+
 QUERIES = {
     "src_csv_orders": src_csv_orders,
     "src_json_events": src_json_events,
+    "src_orc_lineitem": src_orc_lineitem,
 }
 
 ORACLES = {
+    "src_orc_lineitem": (
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,"
+        " floor(sum(l_extendedprice) * 1e4 + 0.5) / 1e4 AS sum_price,"
+        " CAST(min(l_orderkey) AS BIGINT) AS min_key"
+        " FROM lineitem GROUP BY l_returnflag"
+    ),
     "src_csv_orders": (
         "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,"
         " floor(sum(o_totalprice) * 1e4 + 0.5) / 1e4 AS sum_price,"
