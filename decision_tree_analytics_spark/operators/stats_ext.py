@@ -973,3 +973,61 @@ ORACLES = {
         " FROM x"
     ),
 }
+
+
+ROLL_WIN = 5  # odd ROWS frame → the median is an exact element
+
+
+def rel_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of the per-type daily mean series over a
+    5-observation ROWS frame — the robust smoother ops dashboards run
+    next to the EWMA family (udf_holt_smooth).
+
+    Cross-engine exactness: an ODD frame makes the median a concrete
+    element, never an interpolation (engines interpolate even-sized
+    medians differently) — both sides sort the frame's list and take
+    the middle element; rows before the frame fills are dropped.
+    Scale: the corpus reduces to the |types|×|days| grid first; the
+    window state is a bounded 5-element list per row."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {US_PER_DAY}").alias("day"),
+            "value",
+        )
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        _r6(F.avg("value")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    w5 = w.rowsBetween(-(ROLL_WIN - 1), 0)
+    out = daily.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "x",
+        F.sort_array(F.collect_list("x").over(w5))
+        .getItem(ROLL_WIN // 2)
+        .alias("med5"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return out.filter(F.col("rn") >= ROLL_WIN).drop("rn")
+
+
+QUERIES["rel_rolling_median"] = rel_rolling_median
+ORACLES["rel_rolling_median"] = f"""
+WITH d0 AS (SELECT event_type, epoch_us(ts) // {US_PER_DAY} AS day,
+    floor(avg(value) * 1e6 + 0.5) / 1e6 AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+win AS (SELECT event_type, day, x,
+    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN {ROLL_WIN - 1} PRECEDING AND CURRENT ROW))
+      [{ROLL_WIN // 2 + 1}] AS med5,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d0)
+SELECT event_type, CAST(day AS BIGINT) AS day, x, med5
+FROM win WHERE rn >= {ROLL_WIN}
+"""

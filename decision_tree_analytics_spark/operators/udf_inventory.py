@@ -512,3 +512,98 @@ ORACLES = {
         " FROM s"
     ),
 }
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+_US_PER_DAY = 86_400_000_000
+
+_HOLT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day", LongType()),
+        StructField("x", DoubleType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+
+def _holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Holt double-exponential recurrence, executed strictly
+    left-to-right — the same IEEE sequence the recursive-CTE oracle
+    replays (stream_cusum pattern): inputs are the 1e-6-rounded daily
+    means, constants are written as the SAME expressions
+    (``1 - HOLT_BETA`` etc.) on both sides, outputs round 1e-6."""
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    xs = [float(v) for v in pdf["x"]]
+    level, trend = xs[0], 0.0
+    levels, trends = [level], [trend]
+    for x in xs[1:]:
+        new_level = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
+        level = new_level
+        levels.append(level)
+        trends.append(trend)
+    r6 = lambda a: np.floor(np.asarray(a) * 1e6 + 0.5) / 1e6  # noqa: E731
+    return pd.DataFrame(
+        {
+            "event_type": pdf["event_type"],
+            "day": pdf["day"],
+            "x": pdf["x"],
+            "level": r6(levels),
+            "trend": r6(trends),
+        }
+    )
+
+
+def udf_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Holt double-exponential smoothing over the daily mean
+    series — the batch forecasting recurrence (level + trend) that no
+    window function expresses, run through the Arrow grouped-map lane
+    and hash-verified against a recursive-CTE replay.
+
+    Scale: the corpus reduces to |types|×|days| rows in one mergeable
+    aggregate BEFORE any Python; the recurrence then touches only the
+    bounded daily grid (a year is 365 rows per group at any corpus
+    size), one Arrow group per event type.  Days with no events are
+    skipped (the recurrence indexes the observed series, standard for
+    irregular telemetry; compose rel_gap_fill upstream to densify)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr(f"(ts div 1000) div {_US_PER_DAY}").alias("day"),
+            "value",
+        )
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        (F.floor(F.avg("value") * 1e6 + 0.5) / 1e6).alias("x")
+    )
+    return daily.groupBy("event_type").applyInPandas(_holt_group, _HOLT_SCHEMA)
+
+
+QUERIES["udf_holt_smooth"] = udf_holt_smooth
+ORACLES["udf_holt_smooth"] = f"""
+WITH RECURSIVE d0 AS (SELECT event_type,
+    epoch_us(ts) // {_US_PER_DAY} AS day,
+    floor(avg(value) * 1e6 + 0.5) / 1e6 AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+seq AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day)
+    AS rn FROM d0),
+rec(event_type, rn, day, x, level, trend) AS (
+  SELECT event_type, rn, day, x, x, CAST(0.0 AS DOUBLE) FROM seq
+    WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.day, s.x,
+    {HOLT_ALPHA} * s.x + (1 - {HOLT_ALPHA}) * (r.level + r.trend),
+    {HOLT_BETA} * (({HOLT_ALPHA} * s.x + (1 - {HOLT_ALPHA})
+        * (r.level + r.trend)) - r.level)
+      + (1 - {HOLT_BETA}) * r.trend
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+SELECT event_type, CAST(day AS BIGINT) AS day, x,
+  floor(level * 1e6 + 0.5) / 1e6 AS level,
+  floor(trend * 1e6 + 0.5) / 1e6 AS trend
+FROM rec
+"""
