@@ -780,13 +780,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (three consumers: HAVING filter + both join sides) and
     tether-released.  Output: (doc_a, doc_b, start_a, start_b,
     span_tokens), 1-based token offsets, one row per maximal span."""
-    result, grams = _substring_spans(spark, sf_dir)
-    return tether_cache(result, grams)
+    result, caches = _substring_spans(spark, sf_dir)
+    return tether_cache(result, *caches)
 
 
 def _substring_spans(spark: SparkSession, sf_dir: str):
-    """(spans, grams) — the diagonal-run span table plus the persisted
-    gram table backing it; callers tether grams to THEIR result."""
+    """(spans, caches) — the diagonal-run span table plus the
+    persisted tables backing it; callers tether them to THEIR
+    result."""
     k = SUBSTRING_K
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -809,7 +810,10 @@ def _substring_spans(spark: SparkSession, sf_dir: str):
         .filter((F.col("nd") >= 2) & (F.col("nd") <= SUBSTRING_STOP_CAP))
         .select("g")
     )
-    cand = grams.join(shared, "g")
+    # Persisted: the self-join consumes cand on BOTH sides — without
+    # the persist Catalyst re-derives the shared-gram aggregate (two
+    # exchanges) once per side.
+    cand = grams.join(shared, "g").persist()
     a = cand.select(
         "g", F.col("doc_id").alias("doc_a"), F.col("i").alias("ia")
     )
@@ -837,7 +841,7 @@ def _substring_spans(spark: SparkSession, sf_dir: str):
         F.col("start_b").cast("long").alias("start_b"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
     )
-    return result, grams
+    return result, (grams, cand)
 
 
 def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,7 +862,7 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the stop-gram cap."""
     from pyspark.sql import Window
 
-    spans, grams = _substring_spans(spark, sf_dir)
+    spans, caches = _substring_spans(spark, sf_dir)
     iv = (
         spans.select(
             F.col("doc_a").alias("doc_id"),
@@ -910,7 +914,7 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1e6 + 0.5) / 1e6
         ).alias("dup_frac"),  # n_tokens ≥ K for any doc with a span
     )
-    return tether_cache(result, grams)
+    return tether_cache(result, *caches)
 
 
 QUERIES = {

@@ -1338,3 +1338,68 @@ def _gbt_oracle() -> str:
 
 QUERIES["ml_gbt_stumps"] = ml_gbt_stumps
 ORACLES["ml_gbt_stumps"] = _gbt_oracle()
+
+
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank identity — the
+    classifier-evaluation staple next to ml_confusion_matrix /
+    ml_calibration_bins, on the same deterministic score (scaled
+    discount) against the returned-line outcome.
+
+    AUC = P(score_pos > score_neg) + ½·P(tie), computed from the
+    per-distinct-score class counts: one corpus aggregate collapses
+    N rows to the |distinct scores| grid (11 here — bounded by the
+    score's codomain, not the corpus), a cumulative window orders it,
+    and the numerator stays INTEGER (doubled to absorb the ½-tie
+    term) until the single final division — no float rank sums to
+    drift between engines.  Output: n_pos, n_neg, auc, gini."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") * 100).cast("long").alias("s"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    g = li.groupBy("s").agg(
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    x = g.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("nn_below"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    agg = x.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("nn_below") + F.col("nn")))
+        .cast("long")
+        .alias("num2"),
+    )
+    auc = F.col("num2") / (2.0 * F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        r6(auc).alias("auc"),
+        r6(2 * auc - 1).alias("gini"),
+    )
+
+
+QUERIES["ml_auc_roc"] = ml_auc_roc
+ORACLES["ml_auc_roc"] = """
+WITH d AS (SELECT CAST(l_discount * 100 AS BIGINT) AS s,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
+g AS (SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM d GROUP BY s),
+x AS (SELECT np, nn,
+    coalesce(sum(nn) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+  FROM g),
+a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+    CAST(sum(nn) AS BIGINT) AS n_neg,
+    CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS num2 FROM x)
+SELECT n_pos, n_neg,
+  floor(num2 / (2.0 * n_pos * n_neg) * 1e6 + 0.5) / 1e6 AS auc,
+  floor((2 * (num2 / (2.0 * n_pos * n_neg)) - 1) * 1e6 + 0.5) / 1e6 AS gini
+FROM a
+"""
