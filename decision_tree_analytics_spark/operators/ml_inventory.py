@@ -1403,3 +1403,148 @@ SELECT n_pos, n_neg,
   floor((2 * (num2 / (2.0 * n_pos * n_neg)) - 1) * 1e6 + 0.5) / 1e6 AS gini
 FROM a
 """
+
+
+PSI_BINS = 10
+
+
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE production drift monitor: bin
+    a model score into fixed bands and compare the reference (train
+    split) distribution against the live (test split) one;
+    PSI = Σ (p−q)·ln(p/q), with > 0.2 conventionally alarming.
+
+    Same deterministic score and hash-split as the other eval
+    harnesses (scaled discount, md5 buckets).  One corpus pass
+    reduces to the 10-bin × 2-split grid — bins are fixed-width (a
+    quantile-based binning would need a corpus sort; at 100 TB you
+    bin against the REFERENCE quantiles computed once).  Empty bins
+    contribute NULL terms via nullif (skipped by sum) identically in
+    both engines.  Per-bin rows plus the running total so the
+    readout carries both the diagnosis and the drill-down."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        # discount spans [0, 0.1] — ×100 spreads it over the 10 bands
+        F.least(F.floor(F.col("l_discount") * 100), F.lit(PSI_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 10
+        ).alias("bucket"),
+    )
+    g = li.filter((F.col("bucket") < 8) | (F.col("bucket") == 9)).groupBy(
+        "bin"
+    ).agg(
+        F.sum(F.when(F.col("bucket") < 8, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("bucket") == 9, 1).otherwise(0)).alias("n_live"),
+    )
+    wt = Window.partitionBy()
+    p = F.col("n_ref") / F.sum("n_ref").over(wt)
+    q = F.col("n_live") / F.sum("n_live").over(wt)
+    term = (p - q) * F.log(p / F.nullif(q, F.lit(0.0)))
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    x = g.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_live").cast("long").alias("n_live"),
+        r6(p).alias("p_ref"),
+        r6(q).alias("q_live"),
+        r6(term).alias("psi_term"),
+    )
+    # total = sum of the ROUNDED per-bin terms: summing the raw terms
+    # in engine-dependent order rounds differently at the boundary.
+    return x.withColumn(
+        "psi_total", r6(F.sum(F.col("psi_term")).over(Window.partitionBy()))
+    )
+
+
+ORACLES["ml_psi_drift"] = f"""
+WITH li AS (SELECT
+    least(CAST(floor(l_discount * 100) AS BIGINT), {PSI_BINS - 1}) AS bin,
+    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10
+      AS bucket
+  FROM lineitem),
+g AS (SELECT bin,
+    sum(CASE WHEN bucket < 8 THEN 1 ELSE 0 END) AS n_ref,
+    sum(CASE WHEN bucket = 9 THEN 1 ELSE 0 END) AS n_live
+  FROM li WHERE bucket < 8 OR bucket = 9 GROUP BY bin),
+x AS (SELECT bin, n_ref, n_live,
+    n_ref / sum(n_ref) OVER () AS p,
+    n_live / sum(n_live) OVER () AS q
+  FROM g)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_live AS BIGINT) AS n_live,
+  floor(p * 1e6 + 0.5) / 1e6 AS p_ref,
+  floor(q * 1e6 + 0.5) / 1e6 AS q_live,
+  floor((p - q) * ln(p / nullif(q, 0.0)) * 1e6 + 0.5) / 1e6 AS psi_term,
+  floor(sum(floor((p - q) * ln(p / nullif(q, 0.0)) * 1e6 + 0.5) / 1e6)
+      OVER () * 1e6 + 0.5) / 1e6
+    AS psi_total
+FROM x
+"""
+QUERIES["ml_psi_drift"] = ml_psi_drift
+
+
+def ml_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table over fixed score bands — the
+    targeting readout next to ml_auc_roc: walking the score bands
+    from best down, what share of all positives has been captured,
+    and how that compares to random selection (lift).
+
+    Fixed-width bands keep the binning map-only (a population-decile
+    ntile would global-sort the corpus; at 100 TB you'd cut on
+    sketch quantiles instead — same 10-row result shape).  The
+    cumulative window runs over the 10-row band grid."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.least(F.floor(F.col("l_discount") * 100), F.lit(9))
+        .cast("long")
+        .alias("band"),  # discount spans [0, 0.1] — ×100 → 10 bands
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    g = li.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    cum_n = F.sum("n").over(w)
+    cum_pos = F.sum("n_pos").over(w)
+    gain = cum_pos / F.sum("n_pos").over(wt)
+    pop = cum_n / F.sum("n").over(wt)
+    return g.select(
+        "band",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        cum_n.cast("long").alias("cum_n"),
+        cum_pos.cast("long").alias("cum_pos"),
+        r6(gain).alias("gain"),
+        r6(gain / pop).alias("lift"),  # pop > 0: every emitted band has rows
+    )
+
+
+ORACLES["ml_lift_curve"] = """
+WITH li AS (SELECT least(CAST(floor(l_discount * 100) AS BIGINT), 9) AS band,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
+g AS (SELECT band, count(*) AS n, sum(y) AS n_pos FROM li GROUP BY band),
+x AS (SELECT band, n, n_pos,
+    sum(n) OVER (ORDER BY band DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+    sum(n_pos) OVER (ORDER BY band DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+    sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos
+  FROM g)
+SELECT band, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+  floor(CAST(cum_pos AS DOUBLE) / tot_pos * 1e6 + 0.5) / 1e6 AS gain,
+  floor((CAST(cum_pos AS DOUBLE) / tot_pos)
+    / (CAST(cum_n AS DOUBLE) / tot_n) * 1e6 + 0.5) / 1e6 AS lift
+FROM x
+"""
+QUERIES["ml_lift_curve"] = ml_lift_curve

@@ -958,3 +958,72 @@ WHERE rank <= 5
 
 
 ORACLES["sim_ivf_oracled"] = _ivf_oracle()
+
+
+SWEEP_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)
+
+
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup threshold tuning readout: over the SRP-bucket
+    candidate pairs, how many survive each cosine cutoff — the sweep
+    a pipeline owner runs BEFORE committing to the 0.9 the near-dup
+    pass (dedup_embedding_neardup) uses, in one candidate pass
+    instead of one pass per threshold.
+
+    Candidates remain LSH-bounded (never all-pairs), so the counts
+    are recall-bounded-by-bucketing at low thresholds by design —
+    the same bound the production near-dup path lives with.  One
+    conditional aggregate over the scored pairs; shares guard the
+    zero-candidate corpus with nullif."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    both = emb.join(sim_ann_buckets(spark, sf_dir), "vec_id").persist()
+    a = both.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = both.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    cos = _round6(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    )
+    scored = pairs.select(cos.alias("c"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_candidates")]
+    for t in SWEEP_THRESHOLDS:
+        tag = str(t).replace("0.", "")
+        aggs.append(
+            F.sum((F.col("c") >= t).cast("long")).cast("long").alias(f"n_{tag}")
+        )
+    result = scored.agg(*aggs)
+    return tether_cache(result, both)
+
+
+def _threshold_sweep_oracle() -> str:
+    conds = ", ".join(
+        "CAST(sum(CASE WHEN c >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_{tag}".format(t=t, tag=str(t).replace("0.", ""))
+        for t in SWEEP_THRESHOLDS
+    )
+    return (
+        f"WITH planes(p, i, s) AS (VALUES {_sql_planes_values()}),"
+        f" e AS ({_SQL_EXPLODED}),"
+        " pdots AS (SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS dot"
+        "   FROM e JOIN planes pl ON e.i = pl.i + 1 GROUP BY 1, 2),"
+        " buckets AS (SELECT vec_id,"
+        "   sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)"
+        "     AS bucket FROM pdots GROUP BY vec_id),"
+        f" norms AS ({_SQL_NORMS}),"
+        " dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        "     sum(a.x * b.x) AS dot"
+        "   FROM e a JOIN buckets ba ON a.vec_id = ba.vec_id"
+        "   JOIN buckets bb ON ba.bucket = bb.bucket"
+        "   JOIN e b ON b.vec_id = bb.vec_id AND a.i = b.i"
+        "   WHERE a.vec_id < b.vec_id GROUP BY 1, 2),"
+        " scored AS (SELECT floor(dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6"
+        "     AS c"
+        "   FROM dots JOIN norms na ON id_a = na.vec_id"
+        "   JOIN norms nb ON id_b = nb.vec_id)"
+        f" SELECT CAST(count(*) AS BIGINT) AS n_candidates, {conds} FROM scored"
+    )
+
+
+QUERIES["sim_threshold_sweep"] = sim_threshold_sweep
+ORACLES["sim_threshold_sweep"] = _threshold_sweep_oracle()

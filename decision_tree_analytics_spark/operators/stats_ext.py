@@ -1031,3 +1031,54 @@ win AS (SELECT event_type, day, x,
 SELECT event_type, CAST(day AS BIGINT) AS day, x, med5
 FROM win WHERE rn >= {ROLL_WIN}
 """
+
+
+def rel_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLO audit — per event type: latest event time,
+    lag behind the table's global high-water mark, and volume in the
+    trailing day before that mark.  The first page of every pipeline
+    ops dashboard; a type whose lag suddenly grows has a stuck
+    producer.
+
+    One mergeable aggregate to the |types| grid; the global high-water
+    mark joins back as a 1-row broadcast.  Times are integer epoch-µs
+    (rule 2: never emit timestamp-typed columns)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000").alias("t_us")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("t_us").cast("long").alias("latest_us"),
+    )
+    hwm = ev.agg(F.max("t_us").alias("hwm_us"))
+    last_day = ev.crossJoin(F.broadcast(hwm)).filter(
+        F.col("t_us") > F.col("hwm_us") - US_PER_DAY
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_last_day")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(hwm))
+        .join(last_day, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "latest_us",
+            (F.col("hwm_us") - F.col("latest_us")).cast("long").alias("lag_us"),
+            F.coalesce("n_last_day", F.lit(0)).cast("long").alias("n_last_day"),
+        )
+    )
+
+
+QUERIES["rel_freshness_audit"] = rel_freshness_audit
+ORACLES["rel_freshness_audit"] = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
+hwm AS (SELECT max(t_us) AS hwm_us FROM e),
+pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(max(t_us) AS BIGINT) AS latest_us FROM e GROUP BY 1),
+ld AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_last_day
+  FROM e CROSS JOIN hwm WHERE t_us > hwm_us - {US_PER_DAY} GROUP BY 1)
+SELECT pt.event_type, n_events, latest_us,
+  CAST(hwm_us - latest_us AS BIGINT) AS lag_us,
+  CAST(coalesce(n_last_day, 0) AS BIGINT) AS n_last_day
+FROM pt CROSS JOIN hwm LEFT JOIN ld ON pt.event_type = ld.event_type
+"""
