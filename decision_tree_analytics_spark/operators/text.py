@@ -1522,3 +1522,153 @@ SELECT source, n_docs, n_tokens,
   n_straddlers
 FROM per_src
 """
+
+
+def ns_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL corpus-refresh loop — what actually runs in
+    production after the first full build (ns_train_manifest): a new
+    document batch arrives, and only it is processed:
+
+    1. exact-dedup the batch against the persisted fingerprint store
+       (keep-first within the batch, anti-join the store — the
+       dedup_incremental shape; document bodies never move);
+    2. decontaminate the batch survivors against the benchmark split
+       on LONG verbatim 8-token grams (the GPT-3/PaLM "13-gram"
+       decontamination style at this corpus's document scale — the
+       3-word shingles ns_decontaminate/ns_train_manifest use are
+       saturated by the synthetic shared vocabulary at sf0.1, where
+       every batch doc trivially overlaps; long grams catch only
+       genuine verbatim leakage);
+    3. pack ONLY the survivors, CONTINUING each source's running
+       token total from the existing corpus — new sequences append
+       after the shipped ones instead of repacking the world.
+
+    Fixture: existing corpus = doc_id < DELTA_SPLIT, arriving batch =
+    the rest (train buckets only).  Cost scales with the BATCH, not
+    the corpus: the store/base-total sides reduce to fingerprints and
+    |sources| totals (at 100 TB both are persisted state — the store
+    a bucketed table, the totals a |sources|-row readout of the last
+    manifest)."""
+    from pyspark.sql import Window
+
+    from decision_tree_analytics_spark.operators.dedup import (
+        DELTA_SPLIT,
+        SUBSTRING_K,
+        _tokens,
+        _word_shingles,
+        fingerprint_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    existing = d.filter(F.col("doc_id") < DELTA_SPLIT)
+    batch = d.filter((F.col("doc_id") >= DELTA_SPLIT) & (bucket < 8))
+    store = existing.select(fingerprint_col().alias("fingerprint")).distinct()
+    keep = (
+        batch.select(fingerprint_col().alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(store, "fingerprint", "left_anti")
+        .select("doc_id")
+    )
+    toked = d.select("doc_id", bucket.alias("bkt"), _tokens().alias("toks"))
+    grams = toked.select(
+        "doc_id",
+        "bkt",
+        F.explode(
+            F.array_distinct(_word_shingles(F.col("toks"), n=SUBSTRING_K))
+        ).alias("gram"),
+    ).select("doc_id", "bkt", F.md5("gram").alias("gh"))
+    bench_g = grams.filter(F.col("bkt") == 9).select("gh")
+    contaminated = (
+        grams.filter((F.col("bkt") < 8) & (F.col("doc_id") >= DELTA_SPLIT))
+        .join(bench_g, "gh", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    surv = (
+        batch.join(keep, "doc_id", "semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", n_tok.alias("n_tokens"))
+    )
+    base = existing.groupBy("source").agg(F.sum(n_tok).alias("base_tok"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    x = surv.join(base, "source", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            F.coalesce("base_tok", F.lit(0)) + F.sum("n_tokens").over(w)
+        ).alias("end_tok"),
+    )
+    return x.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_tokens",
+        F.expr(f"(end_tok - n_tokens) div {PACK_CAPACITY}")
+        .cast("long")
+        .alias("seq_index"),
+        ((F.col("end_tok") - F.col("n_tokens")) % PACK_CAPACITY)
+        .cast("long")
+        .alias("offset"),
+    )
+
+
+QUERIES["ns_incremental_manifest"] = ns_incremental_manifest
+
+
+def _sql_incremental_manifest() -> str:
+    from decision_tree_analytics_spark.operators.dedup import (
+        DELTA_SPLIT,
+        SUBSTRING_K,
+    )
+
+    c = PACK_CAPACITY
+    return f"""
+WITH fpx AS (SELECT md5(lower(trim(text))) AS fingerprint, doc_id
+  FROM documents),
+store AS (SELECT DISTINCT fingerprint FROM fpx WHERE doc_id < {DELTA_SPLIT}),
+bt AS (SELECT doc_id, source, text,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+      AS bucket
+  FROM documents),
+batch AS (SELECT f.fingerprint, f.doc_id FROM fpx f JOIN bt USING (doc_id)
+  WHERE f.doc_id >= {DELTA_SPLIT} AND bt.bucket < 8),
+keep2 AS (SELECT k.doc_id FROM (SELECT fingerprint, min(doc_id) AS doc_id
+    FROM batch GROUP BY 1) k
+  WHERE k.fingerprint NOT IN (SELECT fingerprint FROM store)),
+tk AS (SELECT doc_id, bucket, string_split(lower(trim(text)), ' ') AS t
+  FROM bt),
+gx AS (SELECT doc_id, bucket,
+    md5(array_to_string(t[i:i+{SUBSTRING_K - 1}], ' ')) AS gh
+  FROM tk,
+    LATERAL unnest(range(1, greatest(len(t) - {SUBSTRING_K - 2}, 1))) AS s(i)),
+contaminated AS (SELECT DISTINCT tr.doc_id
+  FROM (SELECT doc_id, gh FROM gx
+    WHERE bucket < 8 AND doc_id >= {DELTA_SPLIT}) tr
+  JOIN (SELECT gh FROM gx WHERE bucket = 9) b USING (gh)),
+surv AS (SELECT bt.doc_id, bt.source,
+    CAST(len(string_split(bt.text, ' ')) AS BIGINT) AS n_tokens
+  FROM bt
+  WHERE bt.doc_id IN (SELECT doc_id FROM keep2)
+    AND bt.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+base AS (SELECT source,
+    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS base_tok
+  FROM bt WHERE doc_id < {DELTA_SPLIT} GROUP BY 1),
+x AS (SELECT s.doc_id, s.source, s.n_tokens,
+    CAST(coalesce(b.base_tok, 0)
+      + sum(s.n_tokens) OVER (PARTITION BY s.source ORDER BY s.doc_id)
+      AS BIGINT) AS end_tok
+  FROM surv s LEFT JOIN base b USING (source))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
+  CAST((end_tok - n_tokens) // {c} AS BIGINT) AS seq_index,
+  CAST((end_tok - n_tokens) % {c} AS BIGINT) AS offset
+FROM x
+"""
+
+
+ORACLES["ns_incremental_manifest"] = _sql_incremental_manifest()

@@ -179,3 +179,35 @@ def test_pack_efficiency_consistent_with_spans(spark, sf_dir):
         multi = (grp.groupby("doc_id").seq_index.nunique() > 1).sum()
         assert eff[src]["n_straddlers"] == multi
         assert 0 < eff[src]["fill_rate"] <= 1.0
+
+
+def test_incremental_manifest_appends_after_existing_corpus(spark, sf_dir):
+    """New sequences must CONTINUE each source's packing: the first
+    arriving doc per source lands exactly at the existing corpus's
+    running token total (seq_index/offset derived from it), never
+    inside already-shipped sequences."""
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.operators.dedup import DELTA_SPLIT
+    from decision_tree_analytics_spark.operators.text import (
+        PACK_CAPACITY,
+        ns_incremental_manifest,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    inc = ns_incremental_manifest(spark, sf_dir).toPandas()
+    base = {
+        r.source: r.base_tok
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DELTA_SPLIT)
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("base_tok")
+        )
+        .collect()
+    }
+    for src, grp in inc.groupby("source"):
+        first = grp.sort_values("doc_id").iloc[0]
+        start = base.get(src, 0)
+        assert first.seq_index == start // PACK_CAPACITY
+        assert first.offset == start % PACK_CAPACITY
