@@ -1082,3 +1082,150 @@ SELECT pt.event_type, n_events, latest_us,
   CAST(coalesce(n_last_day, 0) AS BIGINT) AS n_last_day
 FROM pt CROSS JOIN hwm LEFT JOIN ld ON pt.event_type = ld.event_type
 """
+
+
+def rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimizing both dimensions) —
+    the multi-objective "best tradeoffs" query classic SQL engines
+    lack as a primitive: a (price, quantity) point survives iff no
+    other point is ≤ in both dimensions and < in at least one.
+
+    The naive formulation is an O(n²) self-join; the 2-D skyline
+    instead lowers to ONE running-min window: collapse to min price
+    per quantity, sort by quantity ascending, keep rows strictly
+    below every predecessor's price.  That is a |distinct quantities|
+    grid (bounded: 50 here), so the deliberately-global window is a
+    constant-size stage — the d>2 generalization partitions on a
+    grid prefix.  Integer cents avoid float equality on the
+    dominance boundary."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias(
+            "price_c"
+        ),
+    )
+    per_q = li.groupBy("qty").agg(F.min("price_c").alias("best_price_c"))
+    w = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
+    x = per_q.select(
+        "qty",
+        "best_price_c",
+        F.min("best_price_c").over(w).alias("prev_best"),
+    )
+    return x.filter(
+        F.col("prev_best").isNull() | (F.col("best_price_c") < F.col("prev_best"))
+    ).select(
+        "qty", F.col("best_price_c").alias("price_cents")
+    )
+
+
+QUERIES["rel_skyline"] = rel_skyline
+ORACLES["rel_skyline"] = """
+WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem),
+per_q AS (SELECT qty, min(price_c) AS best_price_c FROM li GROUP BY qty),
+x AS (SELECT qty, best_price_c,
+    min(best_price_c) OVER (ORDER BY qty
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+  FROM per_q)
+SELECT qty, best_price_c AS price_cents
+FROM x WHERE prev_best IS NULL OR best_price_c < prev_best
+"""
+
+
+KS_BINS = 128
+
+
+def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the reference
+    and live value distributions (hash-split on event_id) — the
+    distribution-drift companion to ml_psi_drift, sensitive to shape
+    shifts PSI's coarse bins miss.
+
+    Production KS at scale runs on BINNED empirical CDFs, not a
+    global sort of raw values: one pass finds the global [min, max]
+    (1-row broadcast), one pass bins both splits onto the fixed
+    KS_BINS grid, and the D statistic is a max over the bounded
+    grid's cumulative sums.  Bin width uses a nullif guard for the
+    degenerate all-equal-values corpus (D = 0 via the single-bin
+    path on both engines)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "value",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("split"),
+    )
+    rng = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "split",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / F.nullif((F.col("hi") - F.col("lo")) / KS_BINS, F.lit(0.0))
+            ),
+            F.lit(KS_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    ).select("split", F.coalesce("bin", F.lit(0)).alias("bin"))
+    g = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cdf_a = F.sum("n_a").over(w) / F.sum("n_a").over(wt)
+    cdf_b = F.sum("n_b").over(w) / F.sum("n_b").over(wt)
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    x = g.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        r6(F.abs(cdf_a - cdf_b)).alias("gap"),
+    )
+    return x.agg(
+        F.sum("n_a").cast("long").alias("n_ref"),
+        F.sum("n_b").cast("long").alias("n_live"),
+        F.max("gap").alias("ks_d"),
+    )
+
+
+QUERIES["ml_ks_test"] = ml_ks_test
+ORACLES["ml_ks_test"] = f"""
+WITH ev AS (SELECT value,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 2
+      AS split
+  FROM events WHERE value IS NOT NULL),
+rng AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+b AS (SELECT split,
+    coalesce(least(CAST(floor((value - lo)
+        / nullif((hi - lo) / {KS_BINS}, 0.0)) AS BIGINT),
+      {KS_BINS - 1}), 0) AS bin
+  FROM ev CROSS JOIN rng),
+g AS (SELECT bin,
+    sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS n_a,
+    sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM b GROUP BY bin),
+x AS (SELECT n_a, n_b,
+    floor(abs(
+      CAST(sum(n_a) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / sum(n_a) OVER ()
+      - CAST(sum(n_b) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / sum(n_b) OVER ()) * 1e6 + 0.5) / 1e6 AS gap
+  FROM g)
+SELECT CAST(sum(n_a) AS BIGINT) AS n_ref, CAST(sum(n_b) AS BIGINT) AS n_live,
+  max(gap) AS ks_d
+FROM x
+"""
