@@ -1245,3 +1245,73 @@ SELECT CAST(p2.doc_id AS BIGINT) AS doc_id,
   floor(CAST(dup_tokens AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS dup_frac
 FROM per_doc p2 JOIN nt ON p2.doc_id = nt.doc_id
 """
+
+
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified recall of the MinHash-LSH candidate generator
+    against EXACT ground truth — the measurement behind every "LSH
+    trades recall for cost" claim: dedup_prefix_join is lossless at
+    J ≥ 0.7 (its oracle is the brute-force proof), so a full outer
+    join of the two pair sets yields true hits, misses, and the extra
+    candidates LSH forwards to verification.
+
+    This is the meta-evaluation a pipeline owner runs when tuning
+    MINHASH_K / band geometry: recall tells you what the near-dup
+    pass silently loses, candidate precision what the verify stage
+    pays.  One |pairs|-scale full outer join on (doc_a, doc_b) —
+    pair sets, not the corpus."""
+    truth = dedup_prefix_join(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("c")
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    r6 = lambda col: F.floor(col * 1e6 + 0.5) / 1e6  # noqa: E731
+    agg = j.agg(
+        F.count("t").cast("long").alias("n_truth"),
+        F.count("c").cast("long").alias("n_candidates"),
+        F.sum(F.col("t") * F.col("c")).cast("long").alias("n_hit"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missed"),
+        F.sum(F.when(F.col("t").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_extra"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        "n_missed",
+        "n_extra",
+        r6(F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0))).alias(
+            "recall"
+        ),
+        r6(
+            F.col("n_hit") / F.nullif(F.col("n_candidates"), F.lit(0))
+        ).alias("cand_precision"),
+    )
+
+
+QUERIES["dedup_lsh_recall_eval"] = dedup_lsh_recall_eval
+ORACLES["dedup_lsh_recall_eval"] = f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({ORACLES["dedup_prefix_join"]})),
+cand AS (SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh_pairs"]})),
+j AS (SELECT t.doc_a AS ta, c.doc_a AS ca
+  FROM truth t FULL JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+a AS (SELECT CAST(count(ta) AS BIGINT) AS n_truth,
+    CAST(count(ca) AS BIGINT) AS n_candidates,
+    CAST(sum(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+    CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+    CAST(sum(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+  FROM j)
+SELECT n_truth, n_candidates, n_hit, n_missed, n_extra,
+  floor(CAST(n_hit AS DOUBLE) / nullif(n_truth, 0) * 1e6 + 0.5) / 1e6
+    AS recall,
+  floor(CAST(n_hit AS DOUBLE) / nullif(n_candidates, 0) * 1e6 + 0.5) / 1e6
+    AS cand_precision
+FROM a
+"""
