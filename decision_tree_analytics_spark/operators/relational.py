@@ -1847,3 +1847,31 @@ ORACLES = {
         " FROM lineitem"
     ),
 }
+
+
+_SQL_TEXT_REVENUE = """
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+  floor(sum(o_totalprice) * 1e4 + 0.5) / 1e4 AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def sql_text_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL TEXT surface under the oracle gate: the exact same
+    ANSI string runs through ``sql.run_sql`` (temp views → Catalyst)
+    on the Spark side and verbatim through DuckDB as its own oracle —
+    proving a user can reach the engine with a query string, not just
+    the DataFrame API, and get hash-identical results.  Catalyst
+    compiles this to the same broadcast-star plan as
+    q07_broadcast_dim_join; the string is dialect-portable by
+    construction (shared rounding idiom, explicit casts)."""
+    from decision_tree_analytics_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_TEXT_REVENUE)
+
+
+QUERIES["sql_text_revenue"] = sql_text_revenue
+ORACLES["sql_text_revenue"] = _SQL_TEXT_REVENUE

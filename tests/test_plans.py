@@ -689,3 +689,29 @@ def test_ivf_oracled_broadcasts_only_cell_tables(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert not has_python_eval(plan)
     assert "CartesianProduct" not in plan  # all cross joins are broadcast-nested-loop over ≤16 rows
+
+
+def test_incremental_manifest_no_corpus_broadcast(spark, sf_dir):
+    # Store, gram, and base-total sides are all corpus-derived — with
+    # auto-broadcast off nothing may be hinted broadcast; the whole
+    # refresh stays JVM-side equi-joins keyed on ids/hashes.
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: T.ns_incremental_manifest(spark, sf_dir)
+    )
+    assert not has_broadcast_join(plan)
+    assert "CartesianProduct" not in plan
+    assert not has_python_eval(plan)
+
+
+def test_gbt_stumps_single_row_reductions_only(spark, sf_dir):
+    # Each boosting round is a map-side-combined global aggregate over
+    # the persisted projection — the plan must contain NO keyed
+    # shuffle (only SinglePartition reductions) and no Python.
+    from decision_tree_analytics_spark.operators import ml_inventory as M
+
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: M.ml_gbt_stumps(spark, sf_dir)
+    )
+    assert "InMemoryTableScan" in plan
+    assert "hashpartitioning" not in plan
+    assert not has_python_eval(plan)
