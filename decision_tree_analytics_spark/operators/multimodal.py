@@ -505,3 +505,87 @@ ORACLES = {
         " FROM documents"
     ),
 }
+
+
+def mm_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard content checksums for dataset DISTRIBUTION — the
+    integrity manifest shipped next to the shards themselves
+    (WebDataset/HF-style releases publish one checksum per shard so a
+    consumer can verify a transfer without re-reading the source corpus):
+    the same size-bounded shard assignment as mm_shard_assign, plus
+    an order-independent (count, sum, xor) row-hash fingerprint per
+    shard — rel_table_fingerprint's recipe applied per shard, so
+    per-shard fingerprints also COMBINE associatively into the
+    release-level checksum.
+
+    One window for the assignment (bounded per-bucket rows), one
+    mergeable aggregate per shard; content hashes derive from the
+    payload string via md5 — engine-portable, byte-change-sensitive."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bucket = F.expr(f"doc_id div {SHARD_BUCKET_DOCS}")
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_bytes").over(w) - F.col("n_bytes")
+    assigned = d.select(
+        "doc_id",
+        "n_bytes",
+        "h",
+        bucket.alias("bucket"),
+        start.alias("start_off"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "h",
+        (
+            F.col("bucket") * 100000
+            + F.expr(f"start_off div {SHARD_TARGET_BYTES}")
+        ).alias("shard_id"),
+    )
+    g = assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        F.sum("h").cast("long").alias("sum_hash"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+    )
+    return g.select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "n_docs",
+        "shard_bytes",
+        F.md5(
+            F.concat_ws("|", "n_docs", "sum_hash", "xor_hash")
+        ).alias("checksum"),
+    )
+
+
+QUERIES["mm_shard_checksums"] = mm_shard_checksums
+ORACLES["mm_shard_checksums"] = f"""
+WITH d AS (SELECT doc_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+    doc_id // {SHARD_BUCKET_DOCS} AS bucket FROM documents),
+a AS (SELECT doc_id, n_bytes, h,
+    bucket * 100000 +
+    (sum(n_bytes) OVER (PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)
+    // {SHARD_TARGET_BYTES} AS shard_id
+  FROM d),
+g AS (SELECT CAST(shard_id AS BIGINT) AS shard_id,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+    CAST(sum(h) AS BIGINT) AS sum_hash,
+    CAST(bit_xor(h) AS BIGINT) AS xor_hash
+  FROM a GROUP BY 1)
+SELECT shard_id, n_docs, shard_bytes,
+  md5(CAST(n_docs AS VARCHAR) || '|' || CAST(sum_hash AS VARCHAR)
+    || '|' || CAST(xor_hash AS VARCHAR)) AS checksum
+FROM g
+"""
