@@ -1229,3 +1229,97 @@ SELECT CAST(sum(n_a) AS BIGINT) AS n_ref, CAST(sum(n_b) AS BIGINT) AS n_live,
   max(gap) AS ks_d
 FROM x
 """
+
+
+def rel_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-event curve with RIGHT-CENSORING — the
+    survival-analysis staple SQL engines lack as a primitive, here
+    estimating time-to-RETURN for order lines: a returned line
+    (l_returnflag = 'R') is an observed event at its ship delay
+    (days from order to ship); a non-returned line says only "no
+    return for at least that long" — the censored observation KM
+    uses correctly where a naive mean-of-returns would bias low.
+
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) evaluated in the log domain as
+    one ordered cumulative window over the bounded distinct-duration
+    grid (n_i = at-risk = survivors of all earlier durations; the
+    cumulative ln-sum runs in the SAME ascending order in both
+    engines, so the IEEE sequence matches).  A terminal row where
+    every remaining at-risk subject dies is pinned to S = 0
+    explicitly — ln(0) is engine-hostile, so a cumulative
+    full-death flag replaces the term.  The fact join reduces to the
+    |durations| grid in one aggregate pass; all windows run on that
+    bounded grid.  (The synthetic fixture draws ship and order dates
+    independently, so durations include negative values — KM only
+    needs an ordered time index, and the curve is well-defined over
+    it.)"""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_orderdate"
+    )
+    u = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("dur"),
+        (F.col("l_returnflag") != "R").cast("long").alias("censored"),
+    )
+    g = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("n_censored"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    n_risk = F.sum("n_all").over(wt) - F.coalesce(
+        F.sum("n_all").over(w_prev), F.lit(0)
+    )
+    x = g.select(
+        "dur",
+        "d",
+        "n_censored",
+        n_risk.alias("n_risk"),
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d") / F.col("n_risk")),
+    )
+    dead = F.max((F.col("d") >= F.col("n_risk")).cast("long")).over(w_cum)
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return x.select(
+        F.col("dur").cast("long").alias("dur"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(r6(F.exp(F.sum(term).over(w_cum))))
+        .alias("survival"),
+    )
+
+
+QUERIES["rel_survival_km"] = rel_survival_km
+ORACLES["rel_survival_km"] = """
+WITH u AS (SELECT
+    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      AS dur,
+    CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END AS censored
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+g AS (SELECT dur, count(*) AS n_all, sum(1 - censored) AS d,
+    sum(censored) AS n_censored FROM u GROUP BY 1),
+x AS (SELECT dur, d, n_censored,
+    sum(n_all) OVER () - coalesce(sum(n_all) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM g)
+SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
+  CAST(d AS BIGINT) AS d, CAST(n_censored AS BIGINT) AS n_censored,
+  CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+    THEN 0.0
+    ELSE floor(exp(sum(CASE WHEN d < n_risk
+        THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END) OVER (ORDER BY dur
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6
+  END AS survival
+FROM x
+"""
