@@ -84,6 +84,8 @@ BENCH_EXTRAS = [
     "rel_twap",
     "dedup_substring",
     "ml_gbt_stumps",
+    "ns_incremental_manifest",
+    "rel_survival_km",
 ]
 
 
