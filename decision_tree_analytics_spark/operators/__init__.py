@@ -136,6 +136,24 @@ _DRIVER_SAMPLED = {
     "rel_variant_fns", "rel_weighted_sample", "rel_zorder_key",
     "sim_label_centroid_dist", "sim_pq_topk", "sim_rp_reduce",
     "sim_sq_refined_topk", "sim_sq_topk",
+    # round 4 sample (CORRECTNESS_r04.json key set, 50/50 hash-green).
+    "dedup_lsh_recall_eval", "dedup_substring", "dedup_substring_stats",
+    "ml_auc_roc", "ml_gbt_stumps", "ml_lift_curve",
+    "ml_pca_power", "ml_psi_drift", "mm_binary_meta",
+    "mm_byte_stats", "mm_chunk_dedup", "mm_header_parse",
+    "mm_patch_manifest", "mm_shard_assign", "mm_shard_checksums",
+    "ns_corpus_curate", "ns_curation_report", "ns_incremental_manifest",
+    "ns_manifest_spans", "ns_pack_efficiency", "ns_seq_spans",
+    "ns_text_bigrams", "ns_text_chunk", "ns_text_fingerprint",
+    "ns_text_langid", "ns_text_levenshtein", "ns_text_quality",
+    "ns_text_repetition", "ns_text_subword", "ns_text_tfidf_top",
+    "ns_text_tokens", "ns_text_winnow", "sim_ivf_oracled",
+    "sim_threshold_sweep", "sql_text_revenue", "stream_cusum",
+    "stream_enrich_segments", "stream_rate_monitor", "stream_recent_pairs",
+    "stream_sessionize", "stream_snapshot_ingest", "stream_topk",
+    "stream_window_dedup", "stream_windowed_counts", "udf_batch_inference",
+    "udf_frame_sample", "udf_grouped_zscore", "udf_heavy_hitters",
+    "udf_secondary_sort", "udf_user_gap_stats",
 }
 
 

@@ -1356,7 +1356,11 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        (F.col("l_discount") * 100).cast("long").alias("s"),
+        # rule-3 idiom: floor on BOTH sides — cast("long") truncates in
+        # Spark while DuckDB CAST(.. AS BIGINT) rounds-to-nearest, and a
+        # regenerated fixture with a value scaling to x.9999... would
+        # silently diverge (ADVICE r4).
+        F.floor(F.col("l_discount") * 100).cast("long").alias("s"),
         (F.col("l_returnflag") == "R").cast("long").alias("y"),
     )
     g = li.groupBy("s").agg(
@@ -1388,7 +1392,7 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ml_auc_roc"] = ml_auc_roc
 ORACLES["ml_auc_roc"] = """
-WITH d AS (SELECT CAST(l_discount * 100 AS BIGINT) AS s,
+WITH d AS (SELECT CAST(floor(l_discount * 100) AS BIGINT) AS s,
     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
 g AS (SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM d GROUP BY s),
 x AS (SELECT np, nn,
@@ -1445,7 +1449,10 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy()
     p = F.col("n_ref") / F.sum("n_ref").over(wt)
     q = F.col("n_live") / F.sum("n_live").over(wt)
-    term = (p - q) * F.log(p / F.nullif(q, F.lit(0.0)))
+    # guard BOTH sides of the ratio: q=0 → ln(inf) and p=0 → ln(0),
+    # where Spark's F.log(0) returns NULL but DuckDB's ln(0) RAISES
+    # Out of Range — an engine-divergent failure mode (ADVICE r4).
+    term = (p - q) * F.log(F.nullif(p, F.lit(0.0)) / F.nullif(q, F.lit(0.0)))
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
     x = g.select(
         "bin",
@@ -1479,8 +1486,10 @@ x AS (SELECT bin, n_ref, n_live,
 SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_live AS BIGINT) AS n_live,
   floor(p * 1e6 + 0.5) / 1e6 AS p_ref,
   floor(q * 1e6 + 0.5) / 1e6 AS q_live,
-  floor((p - q) * ln(p / nullif(q, 0.0)) * 1e6 + 0.5) / 1e6 AS psi_term,
-  floor(sum(floor((p - q) * ln(p / nullif(q, 0.0)) * 1e6 + 0.5) / 1e6)
+  floor((p - q) * ln(nullif(p, 0.0) / nullif(q, 0.0)) * 1e6 + 0.5) / 1e6
+    AS psi_term,
+  floor(sum(floor((p - q) * ln(nullif(p, 0.0) / nullif(q, 0.0)) * 1e6 + 0.5)
+        / 1e6)
       OVER () * 1e6 + 0.5) / 1e6
     AS psi_total
 FROM x

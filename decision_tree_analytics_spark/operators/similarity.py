@@ -973,8 +973,8 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates remain LSH-bounded (never all-pairs), so the counts
     are recall-bounded-by-bucketing at low thresholds by design —
     the same bound the production near-dup path lives with.  One
-    conditional aggregate over the scored pairs; shares guard the
-    zero-candidate corpus with nullif."""
+    conditional aggregate over the scored pairs; the output is pure
+    counts, so a zero-candidate corpus just yields an all-zero row."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _vecd("embedding").alias("v")
     )

@@ -1185,8 +1185,13 @@ def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     wt = Window.partitionBy()
-    cdf_a = F.sum("n_a").over(w) / F.sum("n_a").over(wt)
-    cdf_b = F.sum("n_b").over(w) / F.sum("n_b").over(wt)
+    # nullif-guard the split totals: an entirely-empty split would be
+    # double/0 — an ERROR under Spark ANSI but inf in DuckDB (ADVICE
+    # r4).  NULL CDFs make gap/ks_d NULL identically in both engines.
+    tot_a = F.nullif(F.sum("n_a").over(wt).cast("double"), F.lit(0.0))
+    tot_b = F.nullif(F.sum("n_b").over(wt).cast("double"), F.lit(0.0))
+    cdf_a = F.sum("n_a").over(w) / tot_a
+    cdf_b = F.sum("n_b").over(w) / tot_b
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
     x = g.select(
         F.col("n_a"),
@@ -1220,10 +1225,11 @@ x AS (SELECT n_a, n_b,
     floor(abs(
       CAST(sum(n_a) OVER (ORDER BY bin
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        / sum(n_a) OVER ()
+        / nullif(CAST(sum(n_a) OVER () AS DOUBLE), 0.0)
       - CAST(sum(n_b) OVER (ORDER BY bin
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        / sum(n_b) OVER ()) * 1e6 + 0.5) / 1e6 AS gap
+        / nullif(CAST(sum(n_b) OVER () AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6
+      AS gap
   FROM g)
 SELECT CAST(sum(n_a) AS BIGINT) AS n_ref, CAST(sum(n_b) AS BIGINT) AS n_live,
   max(gap) AS ks_d
