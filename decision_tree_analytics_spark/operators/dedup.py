@@ -133,7 +133,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs sharing any band bucket are candidates (doc_a < doc_b).
     Band keys are derived from the wide signature row — no second
     aggregation; the only joins are on 32-byte band keys."""
-    d = load_table(spark, sf_dir, "documents")
+    return _lsh_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+def _lsh_pairs_from(d: DataFrame) -> DataFrame:
+    """LSH candidate pairs over an arbitrary documents frame.
+
+    Signatures are per-document and a pair's candidacy depends only on
+    its two members, so pair generation COMMUTES with any row filter
+    on the corpus — dedup_lsh_recall_eval exploits this to evaluate on
+    a deterministic slice."""
     wide = _minhash_wide(d)
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
     band_cols = []
@@ -532,9 +541,19 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) → prefix-bucket self-join (Σ bucket², buckets capped by
     rarity) → intersection count only over surviving candidates.  No
     stage is quadratic in the corpus."""
+    return _prefix_join_from(load_table(spark, sf_dir, "documents"))
+
+
+def _prefix_join_from(d: DataFrame) -> DataFrame:
+    """Exact J ≥ 0.7 self-join over an arbitrary documents frame.
+
+    The prefix ordering uses corpus-local shingle frequencies, but the
+    OUTPUT (all pairs with true Jaccard ≥ t) is corpus-independent —
+    prefix filtering is lossless for any corpus — so the result over a
+    filtered corpus equals the full-corpus result restricted to pairs
+    with both endpoints in the filter."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
     toked = d.select("doc_id", _tokens().alias("toks"))
     toks = toked.select(
@@ -941,14 +960,59 @@ _SQL_SHINGLES = (
     " i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2]))"
 ).format(t=_SQL_TOKS)
 
-_SQL_SIGS = (
-    "SELECT doc_id, h, min((h1 + h * h2) % {p}) AS sig FROM ("
-    "  SELECT doc_id,"
-    "    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,"
-    "    ('0x' || substr(md5(shingle), 9, 8))::BIGINT * 2 + 1 AS h2"
-    "  FROM (SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM documents)"
-    f" ), range({MINHASH_K}) r(h) GROUP BY doc_id, h"
-).format(sh=_SQL_SHINGLES, p=MINHASH_PRIME)
+def _sql_sigs_from(src: str) -> str:
+    """MinHash signature SQL over an arbitrary documents source
+    expression (signatures are per-document, so this commutes with
+    any corpus filter — see dedup_lsh_recall_eval)."""
+    return (
+        "SELECT doc_id, h, min((h1 + h * h2) % {p}) AS sig FROM ("
+        "  SELECT doc_id,"
+        "    ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,"
+        "    ('0x' || substr(md5(shingle), 9, 8))::BIGINT * 2 + 1 AS h2"
+        "  FROM (SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM {src})"
+        f" ), range({MINHASH_K}) r(h) GROUP BY doc_id, h"
+    ).format(sh=_SQL_SHINGLES, p=MINHASH_PRIME, src=src)
+
+
+_SQL_SIGS = _sql_sigs_from("documents")
+
+
+def _sql_lsh_pairs_from(src: str) -> str:
+    """LSH candidate-pair SQL over an arbitrary documents source."""
+    return (
+        "WITH sigs AS (" + _sql_sigs_from(src) + "),"
+        f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
+        "   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY h)) AS band_key"
+        "   FROM sigs GROUP BY 1, 2)"
+        " SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,"
+        " CAST(b.doc_id AS BIGINT) AS doc_b"
+        " FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    )
+
+
+def _sql_prefix_join_from(src: str) -> str:
+    """Brute-force all-pairs J ≥ 0.7 SQL over an arbitrary documents
+    source — the lossless ground truth the prefix-filtered Spark plan
+    must reproduce exactly (recall proof)."""
+    return (
+        f"WITH toks AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s"
+        f"   FROM {src})"
+        " SELECT CAST(a.doc_id AS BIGINT) AS doc_a,"
+        " CAST(b.doc_id AS BIGINT) AS doc_b,"
+        " CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,"
+        " CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b,"
+        " floor(len(list_intersect(a.s, b.s))"
+        "   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+        "   * 1e6 + 0.5) / 1e6 AS jaccard"
+        " FROM toks a JOIN toks b ON a.doc_id < b.doc_id"
+        # shingle-less (<3-token) docs never reach the Spark explode;
+        # guard the brute force against the 0/0 both-empty pair
+        " WHERE len(a.s) > 0 AND len(b.s) > 0"
+        f" AND len(list_intersect(a.s, b.s)) * {PREFIX_T_DEN}"
+        f"   >= {PREFIX_T_NUM}"
+        "   * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
 
 # Shared CTE chain: signatures → LSH bands → candidate pairs →
 # undirected edges → transitive closure → min-label components.
@@ -980,16 +1044,7 @@ ORACLES = {
         " FROM documents GROUP BY 1"
     ),
     "dedup_minhash_signature": f"SELECT doc_id, CAST(h AS BIGINT) AS h, sig FROM ({_SQL_SIGS})",
-    "dedup_minhash_lsh_pairs": (
-        "WITH sigs AS (" + _SQL_SIGS + "),"
-        f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
-        "   md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY h)) AS band_key"
-        "   FROM sigs GROUP BY 1, 2)"
-        " SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,"
-        " CAST(b.doc_id AS BIGINT) AS doc_b"
-        " FROM bands a JOIN bands b"
-        " ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
-    ),
+    "dedup_minhash_lsh_pairs": _sql_lsh_pairs_from("documents"),
     "dedup_containment": (
         "WITH sigs AS (" + _SQL_SIGS + "),"
         f" bands AS (SELECT doc_id, CAST(h // {MINHASH_BAND_ROWS} AS INT) AS band,"
@@ -1020,24 +1075,7 @@ ORACLES = {
     ),
     # Brute-force all-pairs: prefix filtering is lossless, so the
     # scalable plan must reproduce this exactly (recall proof).
-    "dedup_prefix_join": (
-        f"WITH toks AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s"
-        "   FROM documents)"
-        " SELECT CAST(a.doc_id AS BIGINT) AS doc_a,"
-        " CAST(b.doc_id AS BIGINT) AS doc_b,"
-        " CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,"
-        " CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b,"
-        " floor(len(list_intersect(a.s, b.s))"
-        "   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
-        "   * 1e6 + 0.5) / 1e6 AS jaccard"
-        " FROM toks a JOIN toks b ON a.doc_id < b.doc_id"
-        # shingle-less (<3-token) docs never reach the Spark explode;
-        # guard the brute force against the 0/0 both-empty pair
-        " WHERE len(a.s) > 0 AND len(b.s) > 0"
-        f" AND len(list_intersect(a.s, b.s)) * {PREFIX_T_DEN}"
-        f"   >= {PREFIX_T_NUM}"
-        "   * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
-    ),
+    "dedup_prefix_join": _sql_prefix_join_from("documents"),
     "dedup_simhash": (
         "WITH toks AS (SELECT doc_id, md5(unnest(list_distinct("
         + _SQL_TOKS
@@ -1247,6 +1285,11 @@ FROM per_doc p2 JOIN nt ON p2.doc_id = nt.doc_id
 """
 
 
+# Deterministic evaluation slice for the recall meta-eval: 1/4 of the
+# corpus → 1/16 of the brute-force ground-truth pair work.
+RECALL_EVAL_MOD = 4
+
+
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified recall of the MinHash-LSH candidate generator
     against EXACT ground truth — the measurement behind every "LSH
@@ -1259,11 +1302,23 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     MINHASH_K / band geometry: recall tells you what the near-dup
     pass silently loses, candidate precision what the verify stage
     pays.  One |pairs|-scale full outer join on (doc_a, doc_b) —
-    pair sets, not the corpus."""
-    truth = dedup_prefix_join(spark, sf_dir).select(
+    pair sets, not the corpus.
+
+    Evaluated over the deterministic doc_id % RECALL_EVAL_MOD = 0
+    slice on BOTH sides: a pair's truth membership (its two docs'
+    Jaccard) and its candidate membership (its two docs' signatures)
+    each depend only on the pair, so restriction commutes with both
+    generators and the sliced recall IS the full-corpus recall
+    restricted to sampled pairs — while the brute-force ground-truth
+    oracle drops from O(n²) to O((n/mod)²) (~11 min → ~40 s at
+    sf0.1)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % RECALL_EVAL_MOD == 0
+    )
+    truth = _prefix_join_from(d).select(
         "doc_a", "doc_b", F.lit(1).alias("t")
     )
-    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+    cand = _lsh_pairs_from(d).select(
         "doc_a", "doc_b", F.lit(1).alias("c")
     )
     j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
@@ -1295,9 +1350,10 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_lsh_recall_eval"] = dedup_lsh_recall_eval
+_RECALL_SRC = f"(SELECT * FROM documents WHERE doc_id % {RECALL_EVAL_MOD} = 0)"
 ORACLES["dedup_lsh_recall_eval"] = f"""
-WITH truth AS (SELECT doc_a, doc_b FROM ({ORACLES["dedup_prefix_join"]})),
-cand AS (SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh_pairs"]})),
+WITH truth AS (SELECT doc_a, doc_b FROM ({_sql_prefix_join_from(_RECALL_SRC)})),
+cand AS (SELECT doc_a, doc_b FROM ({_sql_lsh_pairs_from(_RECALL_SRC)})),
 j AS (SELECT t.doc_a AS ta, c.doc_a AS ca
   FROM truth t FULL JOIN cand c
     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
