@@ -79,46 +79,172 @@ def q26_dt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         assembled.unpersist()
 
 
-def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini/variance-gain feature importances of the Q26 tree — the
-    explainability companion to train+predict (which split variables
-    actually drive the price model).
+# Fixed per-feature split-candidate grids (the bounded-bins move
+# MLlib's maxBins makes), interior to each feature's data range.
+FI_GRIDS = {
+    "l_quantity": tuple(float(t) for t in range(5, 50, 5)),
+    "l_discount": tuple(t / 100.0 for t in range(1, 10)),
+    "l_tax": tuple(t / 100.0 for t in range(1, 8)),
+}
 
-    The importance vector is a property of the fitted model object on
-    the driver (MLlib normalizes per-node impurity gains), so the
-    3-row result is built driver-side by design — no data-plane
-    collect.  Rows-only under the driver (tree structure is
-    engine-specific); determinism under the fixed seed is pinned in
-    tests/test_ml_pipeline.py."""
+
+def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-gain feature importances of the Q26 price model,
+    fully DuckDB-oracled — the explainability readout (which split
+    variables actually drive extendedprice), computed as deterministic
+    depth-1 split gains instead of introspecting an engine-internal
+    MLlib tree (which forced a rows-only check until round 5).
+
+    For each declared feature the best single split over a FIXED
+    candidate grid is found in ONE corpus pass: every candidate
+    contributes 4 mergeable conditional partials (sum/count of the
+    label left and right), the gain is the between-group sum of
+    squares over the root SS — the same variance-impurity improvement
+    MLlib's regression tree maximizes at its root — and importances
+    normalize the per-feature gains.  Cross-engine: per-candidate
+    scores round 1e-6 BEFORE greatest()/argmax (ascending-candidate
+    tie-break via coalesce order), empty split sides go NULL via
+    nullif (greatest skips NULLs identically in both engines), and
+    the normalizing sum is written as the same 3-term expression tree
+    on both sides.  Map-side combine collapses the shuffle to one
+    row; the 3-row readout is a stack of that row — no driver-side
+    model object."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_extendedprice", *_FEATURES
+        *[F.col(f).cast("double").alias(f) for f in FI_GRIDS],
+        F.col("l_extendedprice").alias("y"),
     )
-    assembled = (
-        assemble_features(li, _FEATURES)
-        .select(FEATURES_COL, F.col("l_extendedprice").alias("label"))
-        .cache()
-    )
-    try:
-        training = assembled
-        model = DecisionTreeRegressor(
-            featuresCol=FEATURES_COL,
-            labelCol="label",
-            impurity="variance",
-            maxDepth=5,
-            maxBins=64,
-            seed=12345,
-        ).fit(training)
-    finally:
-        assembled.unpersist()
-    fi = model.featureImportances
-    rows = [
-        (name, idx, float(fi[idx]), int(model.depth), int(model.numNodes))
-        for name, idx in sorted(_FEATURES.items(), key=lambda kv: kv[1])
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
     ]
-    return spark.createDataFrame(
-        rows,
-        "feature string, feature_idx long, importance double,"
-        " tree_depth long, num_nodes long",
+    for f, grid in FI_GRIDS.items():
+        for i, t in enumerate(grid):
+            left = F.when(F.col(f) <= t, F.col("y"))
+            right = F.when(F.col(f) > t, F.col("y"))
+            aggs += [
+                F.sum(left).alias(f"sl_{f}_{i}"),
+                F.count(left).alias(f"cl_{f}_{i}"),
+                F.sum(right).alias(f"sr_{f}_{i}"),
+                F.count(right).alias(f"cr_{f}_{i}"),
+            ]
+    g = li.agg(*aggs)
+
+    # Scores at PER-ROW (variance) scale — dividing the between-group
+    # SS by n keeps magnitudes ~var(y) so floor(x*1e6+0.5) stays far
+    # from BIGINT overflow (raw SS ~1e13 would push the 1e-6 round
+    # past 2^63); the 1/n factor cancels in the importance ratio.
+    def score(f: str, i: int) -> Column:
+        return r6(
+            (
+                F.col(f"sl_{f}_{i}") * F.col(f"sl_{f}_{i}")
+                / F.nullif(F.col(f"cl_{f}_{i}"), F.lit(0)).cast("double")
+                + F.col(f"sr_{f}_{i}") * F.col(f"sr_{f}_{i}")
+                / F.nullif(F.col(f"cr_{f}_{i}"), F.lit(0)).cast("double")
+            )
+            / F.col("n").cast("double")
+        )
+
+    root = r6(
+        F.col("s") * F.col("s")
+        / F.col("n").cast("double")
+        / F.col("n").cast("double")
+    )
+    per_feature = {}
+    for f, grid in FI_GRIDS.items():
+        best = F.greatest(*[score(f, i) for i in range(len(grid))])
+        thr = F.coalesce(
+            *[
+                F.when(score(f, i) == best, F.lit(t))
+                for i, t in enumerate(grid)
+            ]
+        )
+        per_feature[f] = (thr, r6(best - root))
+    wide = g.select(
+        *[v[0].alias(f"bt_{f}") for f, v in per_feature.items()],
+        *[v[1].alias(f"gain_{f}") for f, v in per_feature.items()],
+    )
+    total = F.nullif(
+        F.col("gain_l_quantity")
+        + F.col("gain_l_discount")
+        + F.col("gain_l_tax"),
+        F.lit(0.0),
+    )
+    wide = wide.select(
+        "*",
+        *[
+            r6(F.col(f"gain_{f}") / total).alias(f"imp_{f}")
+            for f in FI_GRIDS
+        ],
+    )
+    stack = ", ".join(
+        f"'{f}', CAST({_FEATURES[f]} AS BIGINT), bt_{f}, gain_{f}, imp_{f}"
+        for f in FI_GRIDS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(FI_GRIDS)}, {stack})"
+            " AS (feature, feature_idx, best_threshold, gain, importance)"
+        )
+    )
+
+
+def _fi_oracle() -> str:
+    r6 = lambda s: f"floor(({s}) * 1e6 + 0.5) / 1e6"  # noqa: E731
+    partials = []
+    for f, grid in FI_GRIDS.items():
+        for i, t in enumerate(grid):
+            partials += [
+                f"sum(CASE WHEN {f} <= {t!r} THEN y END) AS sl_{f}_{i}",
+                f"count(CASE WHEN {f} <= {t!r} THEN y END) AS cl_{f}_{i}",
+                f"sum(CASE WHEN {f} > {t!r} THEN y END) AS sr_{f}_{i}",
+                f"count(CASE WHEN {f} > {t!r} THEN y END) AS cr_{f}_{i}",
+            ]
+
+    def score(f: str, i: int) -> str:
+        return r6(
+            f"(sl_{f}_{i} * sl_{f}_{i}"
+            f" / CAST(nullif(cl_{f}_{i}, 0) AS DOUBLE)"
+            f" + sr_{f}_{i} * sr_{f}_{i}"
+            f" / CAST(nullif(cr_{f}_{i}, 0) AS DOUBLE))"
+            " / CAST(n AS DOUBLE)"
+        )
+
+    root = r6("s * s / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)")
+    feats = list(FI_GRIDS)
+    b_cols = ", ".join(
+        "greatest("
+        + ", ".join(score(f, i) for i in range(len(FI_GRIDS[f])))
+        + f") AS best_{f}"
+        for f in feats
+    )
+    w_parts = []
+    for f in feats:
+        thr = "COALESCE(" + ", ".join(
+            f"CASE WHEN {score(f, i)} = best_{f} THEN {t!r} END"
+            for i, t in enumerate(FI_GRIDS[f])
+        ) + ")"
+        w_parts.append(f"{thr} AS bt_{f}")
+        w_parts.append(f"{r6(f'best_{f} - ({root})')} AS gain_{f}")
+    w_cols = ", ".join(w_parts)
+    total = "nullif(" + " + ".join(f"gain_{f}" for f in feats) + ", 0.0)"
+    rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, CAST({_FEATURES[f]} AS BIGINT)"
+        f" AS feature_idx, bt_{f} AS best_threshold, gain_{f} AS gain,"
+        f" {r6(f'gain_{f} / {total}')} AS importance FROM w"
+        for f in feats
+    )
+    return (
+        "WITH d AS (SELECT"
+        " CAST(l_quantity AS DOUBLE) AS l_quantity,"
+        " CAST(l_discount AS DOUBLE) AS l_discount,"
+        " CAST(l_tax AS DOUBLE) AS l_tax,"
+        " l_extendedprice AS y FROM lineitem),"
+        f" a AS (SELECT count(*) AS n, sum(y) AS s, {', '.join(partials)}"
+        " FROM d),"
+        f" b AS (SELECT *, {b_cols} FROM a),"
+        f" w AS (SELECT *, {w_cols} FROM b)"
+        f" {rows}"
     )
 
 
@@ -1008,6 +1134,7 @@ ORACLES = {
         " FROM lineitem"
     ),
     # q26 / ml_rf: non-SQL-expressible (iterative ML) → rows-only.
+    "ml_feature_importance": _fi_oracle(),
     "ml_logreg_gd": _logreg_oracle(),
     "ml_cv_select": _CV_SQL,
     "ml_centroid_assign": _CENTROID_SQL,

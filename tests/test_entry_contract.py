@@ -34,7 +34,6 @@ def test_rows_only_queries_are_the_documented_exceptions():
         "q14_approx_distinct",
         "rel_approx_quantile",
         "q26_dt_train_predict",
-        "ml_feature_importance",
         "ml_rf_train_predict",
         "sim_ivf_topk",
     }

@@ -144,10 +144,13 @@ def test_understated_cardinality_fails(spark, model_dir):
 
 
 def test_feature_importance_properties(spark, sf_dir):
-    """ml_feature_importance: a normalized importance distribution
-    over the three declared features, deterministic under the fixed
-    seed (two runs byte-identical)."""
+    """ml_feature_importance: a normalized split-gain importance
+    distribution over the three declared features — gains are
+    non-negative (between-group SS ≥ root SS is Cauchy-Schwarz),
+    thresholds come from each feature's declared grid, and two runs
+    are byte-identical (pure deterministic aggregation)."""
     from decision_tree_analytics_spark.operators.ml_inventory import (
+        FI_GRIDS,
         ml_feature_importance,
     )
 
@@ -155,9 +158,12 @@ def test_feature_importance_properties(spark, sf_dir):
     assert set(rows) == {"l_quantity", "l_discount", "l_tax"}
     imps = [r.importance for r in rows.values()]
     assert all(0.0 <= v <= 1.0 for v in imps)
-    assert abs(sum(imps) - 1.0) < 1e-9
-    # quantity dominates extendedprice = qty * unit price
-    assert rows["l_quantity"].importance == max(imps)
+    # importances are individually rounded 1e-6 → sum within 3 ulps
+    assert abs(sum(imps) - 1.0) < 3e-6
+    assert all(r.gain >= 0.0 for r in rows.values())
+    assert all(
+        r.best_threshold in FI_GRIDS[f] for f, r in rows.items()
+    )
     again = {r.feature: r for r in ml_feature_importance(spark, sf_dir).collect()}
     assert {k: v.importance for k, v in rows.items()} == {
         k: v.importance for k, v in again.items()

@@ -144,3 +144,39 @@ def test_compact_reduces_files_preserves_content_and_history(spark, sf_dir, tmp_
     # the pre-compaction snapshot still reads its original files
     assert t.read(v2).count() == want.n
     assert t.latest_id() == v3
+
+
+def test_parquet_footer_tag_identity(sf_dir, tmp_path):
+    """Snapshot cache identity is CONTENT-derived (parquet footer
+    md5): a byte-identical rewrite at a new path and mtime keeps the
+    tag (no stale-miss on object-storage-style copies/replicas), a
+    regenerated corpus with different data changes it (can never
+    serve stale labels)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from decision_tree_analytics_spark.operators.dedup import (
+        parquet_footer_tag,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    orig = parquet_footer_tag(src)
+    # rewritten-identical: new path, new mtime, same bytes → same tag
+    copy = tmp_path / "copy.parquet"
+    shutil.copyfile(src, copy)
+    os.utime(copy, (1, 1))
+    assert parquet_footer_tag(str(copy)) == orig
+    # regenerated-different: same schema, one row fewer → new tag
+    t = pq.read_table(src)
+    regen = tmp_path / "regen.parquet"
+    pq.write_table(t.slice(0, t.num_rows - 1), regen)
+    assert parquet_footer_tag(str(regen)) != orig
+    # non-parquet input is rejected, not silently tagged
+    bogus = tmp_path / "bogus.parquet"
+    bogus.write_bytes(b"0" * 64)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parquet_footer_tag(str(bogus))
