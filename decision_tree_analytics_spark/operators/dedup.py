@@ -29,7 +29,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from decision_tree_analytics_spark.operators._cache import tether_cache
-from decision_tree_analytics_spark.sources.tables import load_table
+from decision_tree_analytics_spark.sources.tables import (
+    load_table,
+    parquet_footer_tag,
+)
 
 MINHASH_K = 16  # signature length
 # rows-per-band sets the LSH similarity threshold ≈ (1/b)^(1/r):
@@ -701,29 +704,6 @@ def dedup_semantic_components(
         F.col("doc_id").alias("vec_id"),
         F.col("component_id").alias("cluster_id"),
     )
-
-
-def parquet_footer_tag(path: str) -> str:
-    """Content-derived cache identity for a parquet file: md5 of the
-    FOOTER thrift blob (the serialized schema, row-group manifest,
-    offsets and column statistics).  Equal bytes → equal tag at any
-    path or mtime; any data change perturbs row-group stats/offsets →
-    new tag.  Reading it costs one tail ranged-read (8-byte length
-    trailer + footer) — exactly the manifest fetch every parquet
-    reader already performs, so this works unchanged on object
-    storage where os.stat identity does not exist."""
-    import hashlib
-    import os
-
-    with open(path, "rb") as f:
-        f.seek(-8, os.SEEK_END)
-        tail = f.read(8)
-        if tail[4:] != b"PAR1":
-            raise ValueError(f"not a parquet file (bad magic): {path}")
-        flen = int.from_bytes(tail[:4], "little")
-        f.seek(-(8 + flen), os.SEEK_END)
-        footer = f.read(flen)
-    return hashlib.md5(footer).hexdigest()[:12]
 
 
 def component_labels_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

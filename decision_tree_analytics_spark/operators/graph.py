@@ -233,3 +233,96 @@ ORACLES = {
         + f" SELECT node, CAST(hop AS BIGINT) AS hop FROM r{KHOP_ROUNDS}"
     ),
 }
+
+
+LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted synchronous label propagation (community detection)
+    over the SPARSIFIED undirected trade graph, LPA_ROUNDS unrolled
+    rounds — the lightweight community algorithm next to PageRank
+    (influence) and connected components (reachability): each node
+    adopts the label carrying the highest incident edge weight among
+    its neighbors, ties broken by smallest label, so the whole run is
+    deterministic and fully DuckDB-oracled.
+
+    Sparsification (edges above the mean weight, as graph_khop) is
+    what makes communities exist at all — the raw nation graph is
+    near-complete.  Round shape at scale: one edges ⋈ labels shuffle
+    keyed on src, a (dst, label) weight aggregate with map-side
+    combine, and a per-dst argmax window over the bounded per-node
+    label candidates — the Pregel superstep; weights stay BIGINT end
+    to end, so no float order anywhere.  Nodes keep every round's
+    labels only transiently (state = one label per node)."""
+    from pyspark.sql import Window
+
+    edges = _trade_edges(spark, sf_dir)
+    mean_w = edges.agg(F.avg("weight").alias("mw"))
+    und = (
+        edges.crossJoin(F.broadcast(mean_w))
+        .filter((F.col("weight") > F.col("mw")) & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    bd = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    labels = bd.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    argmax = Window.partitionBy("dst").orderBy(
+        F.col("wsum").desc(), F.col("label").asc()
+    )
+    for _ in range(LPA_ROUNDS):
+        cand = (
+            bd.join(labels, bd.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.sum("w").cast("long").alias("wsum"))
+        )
+        labels = (
+            cand.withColumn("rn", F.row_number().over(argmax))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    wlab = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("nation"),
+        F.col("label").alias("community"),
+        F.count(F.lit(1)).over(wlab).cast("long").alias("community_size"),
+    )
+
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return (
+        f" {cur} AS (SELECT node, label FROM ("
+        f"   SELECT bd.dst AS node, {prev}.label,"
+        "     row_number() OVER (PARTITION BY bd.dst"
+        f"       ORDER BY sum(bd.w) DESC, {prev}.label ASC) AS rn"
+        f"   FROM bd JOIN {prev} ON bd.src = {prev}.node"
+        f"   GROUP BY bd.dst, {prev}.label) WHERE rn = 1)"
+    )
+
+
+ORACLES["graph_label_propagation"] = (
+    f"WITH edges AS ({_SQL_EDGES}),"
+    " und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,"
+    "   CAST(sum(weight) AS BIGINT) AS w FROM edges"
+    "   WHERE weight > (SELECT avg(weight) FROM edges) AND src <> dst"
+    "   GROUP BY 1, 2),"
+    " bd AS (SELECT a AS src, b AS dst, w FROM und"
+    "   UNION ALL SELECT b, a, w FROM und),"
+    " l0 AS (SELECT DISTINCT src AS node, src AS label FROM bd),"
+    + ",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(LPA_ROUNDS))
+    + " SELECT node AS nation, label AS community,"
+    " CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size"
+    f" FROM l{LPA_ROUNDS}"
+)

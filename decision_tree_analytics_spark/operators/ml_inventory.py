@@ -1684,3 +1684,89 @@ SELECT band, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
 FROM x
 """
 QUERIES["ml_lift_curve"] = ml_lift_curve
+
+
+TE_FOLDS = 5  # out-of-fold encoding folds (md5 content-hash)
+TE_SMOOTH = 10  # additive-smoothing pseudo-count toward the global mean
+
+
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold mean target encoding with additive
+    smoothing — the workhorse categorical encoder for tabular models
+    at scale (replace a high-cardinality category with the mean label
+    of OTHER folds' rows, so a row never sees its own label: no
+    leakage, and rare categories shrink toward the global mean).
+
+    One corpus pass reduces to the |categories| × K grid of integer
+    (count, cents-sum) partials — map-side combine collapses the
+    shuffle; the per-category and global totals are windows over that
+    bounded grid.  Cross-engine exactness: the label is integer CENTS
+    (floor(price*100+0.5)), so every aggregate and window is BIGINT
+    arithmetic — no float summation order anywhere; the only floats
+    are the two final divisions, rounded 1e-6.  enc_raw is NULL (via
+    nullif) when a category lives entirely inside one fold; the
+    smoothed encoding is always defined."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % TE_FOLDS
+        ).alias("fold"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    g = o.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    wcat = Window.partitionBy("category")
+    wall = Window.partitionBy()
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    s_cat = F.sum("s").over(wcat)
+    n_cat = F.sum("n").over(wcat)
+    mu = F.sum("s").over(wall) / F.sum("n").over(wall).cast("double")
+    s_oof = s_cat - F.col("s")
+    n_oof = n_cat - F.col("n")
+    return g.select(
+        "category",
+        "fold",
+        F.col("n").alias("n_fold"),
+        n_oof.cast("long").alias("n_oof"),
+        r6(s_oof / F.nullif(n_oof, F.lit(0)).cast("double") / 100).alias(
+            "enc_raw"
+        ),
+        r6(
+            (s_oof + TE_SMOOTH * mu) / (n_oof + TE_SMOOTH).cast("double") / 100
+        ).alias("enc_smooth"),
+    )
+
+
+QUERIES["ml_target_encoding"] = ml_target_encoding
+ORACLES["ml_target_encoding"] = f"""
+WITH o AS (SELECT o_orderpriority AS category,
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+      % {TE_FOLDS} AS fold,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+g AS (SELECT category, fold, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS BIGINT) AS s
+  FROM o GROUP BY 1, 2),
+x AS (SELECT category, fold, n, s,
+    CAST(sum(s) OVER (PARTITION BY category) AS BIGINT) AS s_cat,
+    CAST(sum(n) OVER (PARTITION BY category) AS BIGINT) AS n_cat,
+    CAST(sum(s) OVER () AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS mu
+  FROM g)
+SELECT category, fold, n AS n_fold, CAST(n_cat - n AS BIGINT) AS n_oof,
+  floor((s_cat - s) / CAST(nullif(n_cat - n, 0) AS DOUBLE) / 100
+      * 1e6 + 0.5) / 1e6
+    AS enc_raw,
+  floor(((s_cat - s) + {TE_SMOOTH} * mu)
+      / CAST((n_cat - n) + {TE_SMOOTH} AS DOUBLE) / 100 * 1e6 + 0.5) / 1e6
+    AS enc_smooth
+FROM x
+"""

@@ -1027,3 +1027,166 @@ def _threshold_sweep_oracle() -> str:
 
 QUERIES["sim_threshold_sweep"] = sim_threshold_sweep
 ORACLES["sim_threshold_sweep"] = _threshold_sweep_oracle()
+
+
+# Fixed probe set for the ANN recall meta-eval: a CONSTANT count, so
+# the exact ground truth stays a bounded broadcast join at any corpus
+# size (the same "fixed probes" move ml_knn_classify makes).
+ANN_EVAL_PROBE_MAX = 32
+ANN_EVAL_K = 3
+# The eval searches a COARSER code than the 16-plane production
+# bucket: the low-8-plane prefix (bucket % 256) — at the tested
+# corpus sizes the full 2^16 code makes nearly every bucket a
+# singleton and the instrument would measure an empty candidate set.
+# Prefix-coarsening an SRP code is the standard multi-resolution
+# move (dropping planes only MERGES buckets, never splits them).
+ANN_EVAL_COARSE = 256
+
+
+def sim_srp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the SRP-bucketed ANN path against EXACT
+    brute-force ground truth — the vector-space twin of
+    dedup_lsh_recall_eval, and the number a pipeline owner tunes
+    N_PLANES against: per fixed probe, the exact cosine top-k over
+    the whole corpus vs the top-k the bucket-restricted search
+    (sim_ann_topk's shape) returns.
+
+    Ground truth is probes × corpus with the PROBES broadcast — the
+    probe set is a fixed 32-id list, so the broadcast is constant-size
+    and the scan stays one corpus pass at any scale; the ANN side is
+    the production bucket equi-join restricted to the same probes.
+    Both rankings round cosine 1e-6 BEFORE the rank window and
+    tie-break on neighbor_id, so the two engines produce identical
+    top-k SETS.  Output: one row — probe/pair counts, recall@k and
+    candidate precision.  A probe whose bucket holds fewer than k
+    other members contributes fewer ANN rows (the recall cost LSH
+    pays by design — this query is the instrument that prices it)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd("embedding").alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < ANN_EVAL_PROBE_MAX).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    cos = lambda a, b: _round6(  # noqa: E731
+        _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+    scored_t = emb.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos("pv", "v").alias("c"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        scored_t.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_EVAL_K)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("t"))
+    )
+    both = (
+        emb.join(sim_ann_buckets(spark, sf_dir), "vec_id")
+        .withColumn("cbucket", F.col("bucket") % ANN_EVAL_COARSE)
+        .persist()
+    )
+    pa = both.filter(F.col("vec_id") < ANN_EVAL_PROBE_MAX).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "cbucket"
+    )
+    pb = both.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cbucket"
+    )
+    scored_a = (
+        pa.join(pb, ["cbucket"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cos("pv", "nv").alias("c"))
+    )
+    ann = (
+        scored_a.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_EVAL_K)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("a"))
+    )
+    j = truth.join(ann, ["probe_id", "neighbor_id"], "full_outer")
+    agg = j.agg(
+        F.countDistinct("probe_id").cast("long").alias("n_probes"),
+        F.count("t").cast("long").alias("n_truth"),
+        F.count("a").cast("long").alias("n_ann"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0)) * F.coalesce(F.col("a"), F.lit(0)))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    result = agg.select(
+        "n_probes",
+        "n_truth",
+        "n_ann",
+        "n_hit",
+        _round6(F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0))).alias(
+            "recall"
+        ),
+        _round6(F.col("n_hit") / F.nullif(F.col("n_ann"), F.lit(0))).alias(
+            "ann_precision"
+        ),
+    )
+    return tether_cache(result, both)
+
+
+def _srp_recall_oracle() -> str:
+    return (
+        f"WITH planes(p, i, s) AS (VALUES {_sql_planes_values()}),"
+        f" e AS ({_SQL_EXPLODED}),"
+        " pdots AS (SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS dot"
+        "   FROM e JOIN planes pl ON e.i = pl.i + 1 GROUP BY 1, 2),"
+        " buckets AS (SELECT vec_id,"
+        "   sum(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)"
+        "     AS bucket FROM pdots GROUP BY vec_id),"
+        f" norms AS ({_SQL_NORMS}),"
+        " tdots AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,"
+        "   sum(p.x * c.x) AS dot FROM e p JOIN e c ON p.i = c.i"
+        f"   AND p.vec_id < {ANN_EVAL_PROBE_MAX}"
+        "   AND c.vec_id <> p.vec_id GROUP BY 1, 2),"
+        " tscored AS (SELECT probe_id, neighbor_id,"
+        "   floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS c"
+        "   FROM tdots JOIN norms np ON probe_id = np.vec_id"
+        "   JOIN norms nc ON neighbor_id = nc.vec_id),"
+        " truth AS (SELECT probe_id, neighbor_id FROM ("
+        "   SELECT *, row_number() OVER (PARTITION BY probe_id"
+        "     ORDER BY c DESC, neighbor_id ASC) AS rk FROM tscored)"
+        f"  WHERE rk <= {ANN_EVAL_K}),"
+        " adots AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,"
+        "   sum(a.x * b.x) AS dot"
+        "   FROM e a JOIN buckets ba ON a.vec_id = ba.vec_id"
+        f"   AND a.vec_id < {ANN_EVAL_PROBE_MAX}"
+        f"   JOIN buckets bb ON ba.bucket % {ANN_EVAL_COARSE}"
+        f"     = bb.bucket % {ANN_EVAL_COARSE}"
+        "   JOIN e b ON b.vec_id = bb.vec_id AND a.i = b.i"
+        "   WHERE a.vec_id <> b.vec_id GROUP BY 1, 2),"
+        " ascored AS (SELECT probe_id, neighbor_id,"
+        "   floor(dot / (np.nrm * nc.nrm) * 1e6 + 0.5) / 1e6 AS c"
+        "   FROM adots JOIN norms np ON probe_id = np.vec_id"
+        "   JOIN norms nc ON neighbor_id = nc.vec_id),"
+        " ann AS (SELECT probe_id, neighbor_id FROM ("
+        "   SELECT *, row_number() OVER (PARTITION BY probe_id"
+        "     ORDER BY c DESC, neighbor_id ASC) AS rk FROM ascored)"
+        f"  WHERE rk <= {ANN_EVAL_K}),"
+        " j AS (SELECT coalesce(t.probe_id, a.probe_id) AS probe_id,"
+        "   t.probe_id AS tp, a.probe_id AS ap"
+        "   FROM truth t FULL JOIN ann a"
+        "   ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id),"
+        " g AS (SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,"
+        "   CAST(count(tp) AS BIGINT) AS n_truth,"
+        "   CAST(count(ap) AS BIGINT) AS n_ann,"
+        "   CAST(sum(CASE WHEN tp IS NOT NULL AND ap IS NOT NULL"
+        "     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit FROM j)"
+        " SELECT n_probes, n_truth, n_ann, n_hit,"
+        "   floor(CAST(n_hit AS DOUBLE) / nullif(n_truth, 0) * 1e6 + 0.5)"
+        "     / 1e6 AS recall,"
+        "   floor(CAST(n_hit AS DOUBLE) / nullif(n_ann, 0) * 1e6 + 0.5)"
+        "     / 1e6 AS ann_precision"
+        " FROM g"
+    )
+
+
+QUERIES["sim_srp_recall_eval"] = sim_srp_recall_eval
+ORACLES["sim_srp_recall_eval"] = _srp_recall_oracle()

@@ -22,7 +22,6 @@ distributed file scan with an explicit schema (no inference pass over
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import pyspark.sql.functions as F
@@ -36,18 +35,21 @@ from pyspark.sql.types import (
 )
 
 from decision_tree_analytics_spark.sources.formats import read_csv, read_json, read_orc
-from decision_tree_analytics_spark.sources.tables import load_table
+from decision_tree_analytics_spark.sources.tables import (
+    load_table,
+    parquet_footer_tag,
+)
 
 _IO_ROOT_ENV = "SPARK_GRAFT_IO_CACHE_DIR"
 _IO_ROOT_DEFAULT = "/root/repo/spark-warehouse/io_cache"
 
 
 def _fixture_dir(sf_dir: str, table: str, fmt: str) -> str:
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
+    # Content-derived identity (parquet footer md5) — the same
+    # object-storage-safe key component_labels_snapshot uses; a
+    # regenerated corpus always misses, a byte-identical rewrite at a
+    # new path/mtime keeps its fixture.
+    tag = parquet_footer_tag(os.path.join(sf_dir, f"{table}.parquet"))
     root = os.environ.get(_IO_ROOT_ENV, _IO_ROOT_DEFAULT)
     return os.path.join(root, f"{table}_{fmt}_{tag}")
 
@@ -123,10 +125,103 @@ def src_orc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETS = 8
+
+
+def _bucketed_fixture(
+    spark: SparkSession, sf_dir: str, table: str, key: str, cols: list[str]
+) -> tuple[str, str]:
+    """Write a bucketed-parquet slice of ``table`` once per corpus
+    generation; return (location, catalog-safe tag).
+
+    The write goes through ``bucketBy(...).sortBy(...)`` after a
+    single-partition repartition so each bucket lands in exactly one
+    sorted file — the layout that lets a later sorted-bucket
+    sort-merge join skip both the exchange AND the sort.  (At 100 TB
+    you keep many files per bucket and pay the sort but still never
+    the shuffle.)  The temporary catalog entry used by the writer is
+    dropped immediately; the FILES carry the bucket ids in their
+    names, so any later session can re-attach them with a
+    CLUSTERED BY DDL."""
+    tag = parquet_footer_tag(os.path.join(sf_dir, f"{table}.parquet"))
+    root = os.environ.get(_IO_ROOT_ENV, _IO_ROOT_DEFAULT)
+    path = os.path.join(root, f"{table}_bucketed_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"tmp_bucket_writer_{table}_{tag}"
+        (
+            load_table(spark, sf_dir, table)
+            .select(*cols)
+            .repartition(1)
+            .write.bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # keep the files
+    return path, tag
+
+
+def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer bucket-to-bucket: ensure both bucketed
+    fixtures exist, re-attach them to THIS session's catalog via
+    CLUSTERED BY DDL (metadata-only — the bucket ids live in the file
+    names), and return the shuffle-free join (plan-locked in
+    tests/test_plans.py)."""
+    o_path, o_tag = _bucketed_fixture(
+        spark, sf_dir, "orders", "o_custkey", ["o_custkey", "o_totalprice"]
+    )
+    c_path, c_tag = _bucketed_fixture(
+        spark, sf_dir, "customer", "c_custkey", ["c_custkey", "c_mktsegment"]
+    )
+    o_name = f"bkt_orders_{o_tag}"
+    c_name = f"bkt_customer_{c_tag}"
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {o_name}"
+        " (o_custkey BIGINT, o_totalprice DOUBLE) USING PARQUET"
+        f" CLUSTERED BY (o_custkey) SORTED BY (o_custkey)"
+        f" INTO {_BUCKETS} BUCKETS LOCATION '{o_path}'"
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {c_name}"
+        " (c_custkey BIGINT, c_mktsegment STRING) USING PARQUET"
+        f" CLUSTERED BY (c_custkey) SORTED BY (c_custkey)"
+        f" INTO {_BUCKETS} BUCKETS LOCATION '{c_path}'"
+    )
+    return spark.table(o_name).join(
+        spark.table(c_name),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+
+
+def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over BUCKETED tables — the layout move that
+    deletes the shuffle from a 100 TB fact-dim join: both sides are
+    written bucketed on the join key (fixture, once per corpus
+    generation), re-attached to any session's catalog with a
+    CLUSTERED BY DDL, and joined bucket-to-bucket.  The physical plan
+    has ZERO Exchange nodes on the join (locked in tests/
+    test_plans.py with auto-broadcast disabled); a plain parquet join
+    of the same tables shuffles both sides.
+
+    This is how a production pipeline co-locates repeatedly-joined
+    tables: pay one bucketed write, then every subsequent join of any
+    two tables bucketed on the same key count is map-side.  The
+    readout aggregates orders per market segment so the driver's
+    oracle checks the join's CONTENT, not just its shape."""
+    j = bucketed_join_frame(spark, sf_dir)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        (F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("revenue"),
+    )
+
+
 QUERIES = {
     "src_csv_orders": src_csv_orders,
     "src_json_events": src_json_events,
     "src_orc_lineitem": src_orc_lineitem,
+    "src_bucketed_join": src_bucketed_join,
 }
 
 ORACLES = {
@@ -149,5 +244,12 @@ ORACLES = {
         " CAST(count(value) AS BIGINT) AS n_valued,"
         " floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value"
         " FROM events GROUP BY event_type"
+    ),
+    "src_bucketed_join": (
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,"
+        " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,"
+        " floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " GROUP BY c_mktsegment"
     ),
 }

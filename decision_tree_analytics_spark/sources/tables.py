@@ -87,6 +87,28 @@ def events_ts_scale(sf_dir: str) -> int:
     return _NS_PER_UNIT[ts_type.unit]
 
 
+def parquet_footer_tag(path: str) -> str:
+    """Content-derived cache identity for a parquet file: md5 of the
+    FOOTER thrift blob (the serialized schema, row-group manifest,
+    offsets and column statistics).  Equal bytes → equal tag at any
+    path or mtime; any data change perturbs row-group stats/offsets →
+    new tag.  Reading it costs one tail ranged-read (8-byte length
+    trailer + footer) — exactly the manifest fetch every parquet
+    reader already performs, so this works unchanged on object
+    storage where os.stat identity does not exist."""
+    import hashlib
+
+    with open(path, "rb") as f:
+        f.seek(-8, os.SEEK_END)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"not a parquet file (bad magic): {path}")
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(-(8 + flen), os.SEEK_END)
+        footer = f.read(flen)
+    return hashlib.md5(footer).hexdigest()[:12]
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.schema(EVENTS_SCHEMA).parquet(
         os.path.join(sf_dir, "events.parquet")

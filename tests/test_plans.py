@@ -715,3 +715,32 @@ def test_gbt_stumps_single_row_reductions_only(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "hashpartitioning" not in plan
     assert not has_python_eval(plan)
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
+    # The bucketed-layout payoff: orders ⋈ customer bucket-to-bucket
+    # must plan with NO exchange on either side even with broadcast
+    # disabled — the co-location replaces the shuffle.  The same join
+    # over plain parquet shuffles both sides (asserted as the
+    # counterfactual so the lock can't pass vacuously).
+    from decision_tree_analytics_spark.operators import source_io as SIO
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: SIO.bucketed_join_frame(spark, sf_dir)
+    )
+    assert count_shuffles(plan) == 0
+    assert "SortMergeJoin" in plan
+
+    def plain():
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        import pyspark.sql.functions as F
+
+        return o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+
+    assert count_shuffles(_plan_with_no_auto_broadcast(spark, plain)) == 2

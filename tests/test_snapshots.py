@@ -157,7 +157,7 @@ def test_parquet_footer_tag_identity(sf_dir, tmp_path):
 
     import pyarrow.parquet as pq
 
-    from decision_tree_analytics_spark.operators.dedup import (
+    from decision_tree_analytics_spark.sources.tables import (
         parquet_footer_tag,
     )
 
