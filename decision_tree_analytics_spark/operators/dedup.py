@@ -1374,3 +1374,127 @@ SELECT n_truth, n_candidates, n_hit, n_missed, n_extra,
     AS cand_precision
 FROM a
 """
+
+
+BLOOM_BITS = 65536  # m — sized so the sf0.1 store fills ~25%, not saturated
+BLOOM_K = 4  # k — hash functions (carved from the fingerprint md5)
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-check for incremental exact dedup —
+    the cheap gate a 100 TB ingest runs BEFORE the exact fingerprint
+    anti-join: an incoming document whose k bloom positions are not
+    all set in the store's filter is PROVABLY new and skips the
+    store lookup entirely; only bloom-positives (true dups plus the
+    measured false-positive tail) pay the join.
+
+    Content-derived and engine-portable: the k positions are four
+    8-hex-char slices of the document's own md5 fingerprint reduced
+    mod m — no engine bloom builtin (those are seeded), so the DuckDB
+    oracle reproduces the filter bit-for-bit.  The "bit array"
+    materializes as the DISTINCT store-position set: ≤ m = 4096 rows
+    regardless of corpus size, i.e. a broadcastable constant — the
+    probe side is map-only after that broadcast.  Output: one row of
+    filter stats (fill rate) and the measured confusion (true dups,
+    false positives, FP rate among actual non-dups) — the numbers
+    that size m and k for a target ingest volume."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_col().alias("fp")
+    )
+    store = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    def pos_array():
+        return F.array(
+            *[
+                F.conv(F.substring("fp", 1 + 8 * j, 8), 16, 10).cast("long")
+                % BLOOM_BITS
+                for j in range(BLOOM_K)
+            ]
+        )
+
+    bits = (
+        store.select(F.explode(pos_array()).alias("pos")).distinct()
+    )
+    probe = batch.select(
+        "doc_id", "fp", F.explode(pos_array()).alias("pos")
+    )
+    per = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "fp")
+        .agg(
+            F.countDistinct("pos").alias("np"),
+            F.countDistinct(F.when(F.col("hit") == 1, F.col("pos"))).alias("nm"),
+        )
+    )
+    store_fps = store.select("fp").distinct().withColumn("in_store", F.lit(1))
+    flags = per.join(store_fps, "fp", "left").select(
+        (F.col("nm") == F.col("np")).cast("long").alias("bloom_pos"),
+        F.coalesce("in_store", F.lit(0)).alias("is_dup"),
+    )
+    n_store = store.agg(F.count(F.lit(1)).cast("long").alias("n_store"))
+    bits_set = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum("bloom_pos").cast("long").alias("n_bloom_pos"),
+        F.sum("is_dup").cast("long").alias("n_true_dup"),
+        F.sum(F.col("bloom_pos") * (1 - F.col("is_dup")))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_store))
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            "n_store",
+            "n_batch",
+            "bits_set",
+            r6(F.col("bits_set") / float(BLOOM_BITS)).alias("fill_rate"),
+            "n_bloom_pos",
+            "n_true_dup",
+            "n_false_pos",
+            r6(
+                F.col("n_false_pos")
+                / F.nullif(F.col("n_batch") - F.col("n_true_dup"), F.lit(0))
+            ).alias("fp_rate"),
+        )
+    )
+
+
+QUERIES["dedup_bloom_prefilter"] = dedup_bloom_prefilter
+ORACLES["dedup_bloom_prefilter"] = f"""
+WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+store AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+batch AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+spos AS (SELECT DISTINCT
+    ('0x' || substr(fp, 1 + 8 * j, 8))::BIGINT % {BLOOM_BITS} AS pos
+  FROM store, range({BLOOM_K}) t(j)),
+bpos AS (SELECT doc_id, fp,
+    ('0x' || substr(fp, 1 + 8 * j, 8))::BIGINT % {BLOOM_BITS} AS pos
+  FROM batch, range({BLOOM_K}) t(j)),
+per AS (SELECT b.doc_id, b.fp,
+    count(DISTINCT b.pos) AS np,
+    count(DISTINCT s.pos) AS nm
+  FROM bpos b LEFT JOIN spos s ON b.pos = s.pos
+  GROUP BY 1, 2),
+flags AS (SELECT
+    CASE WHEN nm = np THEN 1 ELSE 0 END AS bloom_pos,
+    CASE WHEN fp IN (SELECT fp FROM store) THEN 1 ELSE 0 END AS is_dup
+  FROM per),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_batch,
+    CAST(sum(bloom_pos) AS BIGINT) AS n_bloom_pos,
+    CAST(sum(is_dup) AS BIGINT) AS n_true_dup,
+    CAST(sum(bloom_pos * (1 - is_dup)) AS BIGINT) AS n_false_pos
+  FROM flags)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM store) AS n_store,
+  n_batch,
+  (SELECT CAST(count(*) AS BIGINT) FROM spos) AS bits_set,
+  floor((SELECT count(*) FROM spos) / {float(BLOOM_BITS)!r} * 1e6 + 0.5) / 1e6
+    AS fill_rate,
+  n_bloom_pos, n_true_dup, n_false_pos,
+  floor(CAST(n_false_pos AS DOUBLE) / nullif(n_batch - n_true_dup, 0)
+      * 1e6 + 0.5) / 1e6
+    AS fp_rate
+FROM g
+"""

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
 
 # Tiny per-language stopword profiles (public common-word lists).
@@ -1672,3 +1673,116 @@ FROM x
 
 
 ORACLES["ns_incremental_manifest"] = _sql_incremental_manifest()
+
+
+BIGRAM_VOCAB = 256  # capped first/second-token vocabulary (CCNet-style)
+BIGRAM_ADD_K = 0.5  # add-k smoothing pseudo-count
+
+
+def ns_bigram_lm(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Bigram language-model quality filter — the order-2 upgrade of
+    ns_perplexity_proxy: score every document by its per-bigram
+    cross-entropy against an add-k-smoothed bigram model trained on
+    the corpus itself over a CAPPED vocabulary (out-of-vocab tokens
+    collapse to one <oov> symbol), and return the k most surprising
+    documents.  This is the KenLM-shaped filter of CCNet/Gopher-style
+    pipelines: a doc whose word ORDER is unlike the corpus scores
+    high even when its unigram mix looks normal (shuffled text,
+    keyword stuffing, wrong language with shared vocabulary).
+
+    Scale shape: the model is bounded by construction — ≤ VOCAB top
+    tokens (count DESC, token ASC tie-break) and therefore
+    ≤ (VOCAB+1)² mapped-bigram rows — so both model joins broadcast a
+    constant regardless of corpus size; everything else is two
+    explode-aggregates and one per-doc combine.  P(w2|w1) =
+    (c(w1,w2)+k) / (c(w1·)+k·(V+1)) with c(w1·) the observed-bigram
+    context total; the per-doc mean of −log₂P rounds 1e-6 at the end
+    (the same summation contract every scoring query here uses)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda p, q: F.struct(p.alias("w1"), q.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    vocab = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(BIGRAM_VOCAB)
+        .select("tok")
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    m1 = F.broadcast(vocab.select(F.col("tok").alias("w1"), F.lit(1).alias("k1")))
+    m2 = F.broadcast(vocab.select(F.col("tok").alias("w2"), F.lit(1).alias("k2")))
+    mapped = (
+        bg.join(m1, "w1", "left")
+        .join(m2, "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("k1") == 1, F.col("w1")).otherwise("<oov>").alias("w1m"),
+            F.when(F.col("k2") == 1, F.col("w2")).otherwise("<oov>").alias("w2m"),
+        )
+        .persist()
+    )
+    big = mapped.groupBy("w1m", "w2m").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    ctx = big.groupBy("w1m").agg(F.sum("c12").cast("long").alias("c1"))
+    p = (F.col("c12").cast("double") + BIGRAM_ADD_K) / (
+        F.col("c1").cast("double") + BIGRAM_ADD_K * (F.col("v") + 1).cast("double")
+    )
+    scored = (
+        mapped.join(F.broadcast(big), ["w1m", "w2m"])
+        .join(F.broadcast(ctx), "w1m")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.sum(-F.log(2.0, p)) / F.count(F.lit(1))).alias("xent"),
+        )
+    )
+    result = (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            (F.floor(F.col("xent") * 1e6 + 0.5) / 1e6).alias("bits_per_bigram"),
+        )
+        .orderBy(F.col("bits_per_bigram").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    return tether_cache(result, mapped)
+
+
+QUERIES["ns_bigram_lm"] = ns_bigram_lm
+ORACLES["ns_bigram_lm"] = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM d, LATERAL unnest(range(1, greatest(len(t), 1))) s(i)),
+vocab AS (SELECT tok FROM (
+    SELECT unnest(t) AS tok FROM d) u
+  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT {BIGRAM_VOCAB}),
+vs AS (SELECT count(*) AS v FROM vocab),
+mapped AS (SELECT doc_id,
+    CASE WHEN m1.tok IS NOT NULL THEN w1 ELSE '<oov>' END AS w1m,
+    CASE WHEN m2.tok IS NOT NULL THEN w2 ELSE '<oov>' END AS w2m
+  FROM bg LEFT JOIN vocab m1 ON bg.w1 = m1.tok
+  LEFT JOIN vocab m2 ON bg.w2 = m2.tok),
+big AS (SELECT w1m, w2m, CAST(count(*) AS BIGINT) AS c12
+  FROM mapped GROUP BY 1, 2),
+ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    sum(-ln((CAST(c12 AS DOUBLE) + {BIGRAM_ADD_K})
+        / (CAST(c1 AS DOUBLE) + {BIGRAM_ADD_K} * CAST(v + 1 AS DOUBLE)))
+      / ln(2)) / count(*) AS xent
+  FROM mapped JOIN big USING (w1m, w2m) JOIN ctx USING (w1m)
+  CROSS JOIN vs GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  floor(xent * 1e6 + 0.5) / 1e6 AS bits_per_bigram
+FROM scored ORDER BY bits_per_bigram DESC, doc_id LIMIT 50
+"""

@@ -162,3 +162,34 @@ def test_substring_stats_merges_overlaps_and_fracs(spark, tmp_path):
     assert got[0]["dup_frac"] == 0.75
     assert got[1]["dup_tokens"] == 12 and got[1]["n_tokens"] == 17
     assert got[0]["n_regions"] == 1 and got[1]["n_regions"] == 1
+
+
+def test_bloom_prefilter_never_false_negative(spark, tmp_path):
+    """A true duplicate straddling the store/batch split MUST come
+    out bloom-positive (bloom filters have no false negatives — the
+    property the prefilter's skip-the-join optimization rests on),
+    and the confusion counts must stay consistent."""
+    from decision_tree_analytics_spark.operators.dedup import (
+        dedup_bloom_prefilter,
+    )
+
+    rows = [
+        # store side (doc_id % 10 != 0)
+        (1, BASE, "en", "src1", len(BASE)),
+        (2, UNRELATED, "en", "src2", len(UNRELATED)),
+        (3, NEAR_DUP, "en", "src3", len(NEAR_DUP)),
+        # batch side (doc_id % 10 == 0): 10 duplicates BASE exactly
+        (10, BASE, "en", "src4", len(BASE)),
+        (20, "something never stored before at all", "en", "src5", 37),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = dedup_bloom_prefilter(spark, d).collect()[0]
+    assert out.n_store == 3 and out.n_batch == 2
+    assert out.n_true_dup == 1
+    # no false negatives: every true dup is bloom-positive
+    assert out.n_bloom_pos >= out.n_true_dup
+    assert out.n_false_pos == out.n_bloom_pos - out.n_true_dup
