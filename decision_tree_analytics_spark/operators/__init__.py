@@ -86,6 +86,12 @@ BENCH_EXTRAS = [
     "ml_gbt_stumps",
     "ns_incremental_manifest",
     "rel_survival_km",
+    "src_bucketed_join",
+    "dedup_bloom_prefilter",
+    "ns_bigram_lm",
+    "sim_srp_recall_eval",
+    "graph_label_propagation",
+    "ml_target_encoding",
 ]
 
 

@@ -744,3 +744,31 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
         return o.join(c, F.col("o_custkey") == F.col("c_custkey"))
 
     assert count_shuffles(_plan_with_no_auto_broadcast(spark, plain)) == 2
+
+
+def test_bloom_prefilter_bit_set_is_broadcast(spark, sf_dir):
+    # The bloom "bit array" is the distinct-position table, bounded by
+    # m=65536 rows regardless of corpus size — the probe join must be
+    # a broadcast (map-only probe side), and the whole query stays
+    # JVM-side.
+    from decision_tree_analytics_spark.operators import dedup as DD
+
+    plan = simple_plan(DD.dedup_bloom_prefilter(spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert not has_python_eval(plan)
+
+
+def test_bigram_lm_model_joins_are_broadcast(spark, sf_dir):
+    # The bigram model is capped (≤(V+1)² rows by construction) and
+    # must reach the scoring join as a broadcast even with
+    # auto-broadcast off — a corpus-sized shuffle there would defeat
+    # the cap.  The vocab top-N must plan as a heap, not a global
+    # sort.
+    from decision_tree_analytics_spark.operators import text as TT
+
+    plan = _plan_with_no_auto_broadcast(
+        spark, lambda: TT.ns_bigram_lm(spark, sf_dir)
+    )
+    assert has_broadcast_join(plan)
+    assert uses_top_k_sort(plan)
+    assert not has_python_eval(plan)
