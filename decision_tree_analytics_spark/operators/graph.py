@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
 
 PR_ITERS = 3
@@ -60,8 +61,15 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PR_ITERS damped PageRank rounds; output rounded to 1e-6 (the
     engine-portable rounding) with the nation name as tie-break-free
-    key."""
-    edges = _trade_edges(spark, sf_dir)
+    key.
+
+    The edge build (the 5-table fact join) is PERSISTED: Catalyst
+    does not reuse an exchange across the out-weight / contribution /
+    node branches, so the unpersisted plan re-ran the fact join once
+    per branch per iteration (22 lineitem scans at PR_ITERS=3 — the
+    BM25-postings lesson again).  At 100 TB this persisted edge list
+    is the graph you would write to parquet once."""
+    edges = _trade_edges(spark, sf_dir).persist()
     out_w = edges.groupBy(F.col("src").alias("ow_src")).agg(
         F.sum("weight").alias("out_weight")
     )
@@ -93,10 +101,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.select(
+    result = ranks.select(
         F.col("node").alias("nation"),
         (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("pagerank"),
     )
+    return tether_cache(result, edges)
 
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,11 +127,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # three self-join branches — persist or the fact join behind
+        # the edge build runs three times (no cross-branch exchange
+        # reuse in Catalyst)
+        .persist()
     )
     e1 = und.select(F.col("a").alias("n1"), F.col("b").alias("n2"))
     e2 = und.select(F.col("a").alias("n2"), F.col("b").alias("n3"))
     e3 = und.select(F.col("a").alias("n1"), F.col("b").alias("n3"))
-    return e1.join(e2, "n2").join(e3, ["n1", "n3"]).select("n1", "n2", "n3")
+    result = e1.join(e2, "n2").join(e3, ["n1", "n3"]).select("n1", "n2", "n3")
+    return tether_cache(result, und)
 
 
 KHOP_ROUNDS = 3
@@ -140,7 +154,7 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     into chained CTEs for the oracle), the same trick as
     graph_pagerank.  At real scale you persist the frontier per round
     exactly as dedup.connected_components does."""
-    edges = _trade_edges(spark, sf_dir)
+    edges = _trade_edges(spark, sf_dir).persist()  # seed + per-round reuse
     mean_w = edges.agg(F.avg("weight").alias("mw"))
     sparse = (
         edges.crossJoin(F.broadcast(mean_w))
@@ -159,7 +173,8 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
         )
-    return reach.select("node", F.col("hop").cast("long").alias("hop"))
+    result = reach.select("node", F.col("hop").cast("long").alias("hop"))
+    return tether_cache(result, edges)
 
 
 QUERIES = {
@@ -257,7 +272,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels only transiently (state = one label per node)."""
     from pyspark.sql import Window
 
-    edges = _trade_edges(spark, sf_dir)
+    edges = _trade_edges(spark, sf_dir).persist()  # mean + sparsify reuse
     mean_w = edges.agg(F.avg("weight").alias("mw"))
     und = (
         edges.crossJoin(F.broadcast(mean_w))
@@ -291,11 +306,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "label")
         )
     wlab = Window.partitionBy("label")
-    return labels.select(
+    result = labels.select(
         F.col("node").alias("nation"),
         F.col("label").alias("community"),
         F.count(F.lit(1)).over(wlab).cast("long").alias("community_size"),
     )
+    return tether_cache(result, edges)
 
 
 QUERIES["graph_label_propagation"] = graph_label_propagation

@@ -772,3 +772,30 @@ def test_bigram_lm_model_joins_are_broadcast(spark, sf_dir):
     assert has_broadcast_join(plan)
     assert uses_top_k_sort(plan)
     assert not has_python_eval(plan)
+
+
+def test_graph_queries_scan_the_fact_join_once(spark, sf_dir):
+    # The trade-graph build (the 5-table fact join) is the expensive
+    # stage; every graph query persists it, so the physical plan must
+    # contain exactly ONE lineitem scan.  Unpersisted, the branch-per
+    # -iteration plans re-ran the fact join 16-30x (Catalyst reuses no
+    # exchange across branches) — cheap in parallel on 60k rows,
+    # disastrous at 100 TB.
+    from decision_tree_analytics_spark.operators import graph as G
+
+    for fn in (
+        G.graph_pagerank,
+        G.graph_label_propagation,
+        G.graph_khop,
+        G.graph_triangles,
+    ):
+        plan = simple_plan(fn(spark, sf_dir))
+        # .explain reprints the cached child plan under every
+        # InMemoryTableScan consumer, so "one real scan" asserts as:
+        # every lineitem mention is inside a cached subtree (count
+        # parity), and at least one cached consumer exists.  An
+        # unpersisted edge build adds lineitem mentions with no
+        # matching InMemoryTableScan and fails the parity.
+        n_imts = plan.count("InMemoryTableScan")
+        assert n_imts >= 1, fn.__name__
+        assert plan.count("lineitem") == n_imts, fn.__name__
