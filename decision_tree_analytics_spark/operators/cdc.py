@@ -76,6 +76,57 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snap_root() -> str:
+    import os
+
+    return os.environ.get(
+        "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
+    )
+
+
+def _events_tag(sf_dir: str) -> str:
+    """Content-derived snapshot-fixture identity (parquet footer md5 —
+    the same object-storage-safe key component_labels_snapshot and the
+    source_io fixtures use; replaced the r4 os.stat identity)."""
+    import os
+
+    from decision_tree_analytics_spark.sources.tables import parquet_footer_tag
+
+    return parquet_footer_tag(os.path.join(sf_dir, "events.parquet"))
+
+
+def _events_tt_table(spark: SparkSession, sf_dir: str):
+    """The two-commit events SnapshotTable fixture (v1 = even
+    event_ids, v2 appends the odd half), self-healing from any crash
+    point: readiness = 2 snapshots + a fresh published pointer."""
+    import os
+
+    from decision_tree_analytics_spark.sources.snapshots import (
+        NoPublishedSnapshot,
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(
+        spark, os.path.join(_snap_root(), f"events_tt_{_events_tag(sf_dir)}")
+    )
+    snaps = table.snapshot_ids()
+    if len(snaps) < 2:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        if not snaps:
+            table.append(ev.filter(F.col("event_id") % 2 == 0))
+        table.append(ev.filter(F.col("event_id") % 2 == 1))
+    else:
+        try:
+            stale = table.latest_id() != snaps[-1]
+        except NoPublishedSnapshot:
+            stale = True
+        if stale:  # commit landed, publish didn't — finish it
+            table.publish(snaps[-1])
+    return table
+
+
 def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style incremental consumption: a SnapshotTable of events
     is committed in two appends (v1 = event_id % 4 != 0, v2 adds the
@@ -84,12 +135,12 @@ def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the downstream-pipeline shape where each run pays for new files
     only, never a full-table scan or diff.
 
-    The snapshot directory is keyed by the source file identity
-    (path+size+mtime), so a regenerated corpus misses and rebuilds;
-    the oracle is the batch definition of the delta (the % 4 == 0
-    slice), proving manifest-diff planning returns exactly the
-    appended rows."""
-    import hashlib
+    The snapshot directory is keyed by the source file's CONTENT
+    identity (parquet footer md5), so a regenerated corpus misses and
+    rebuilds; the oracle is the batch definition of the delta (the
+    % 4 == 0 slice), proving manifest-diff planning returns exactly
+    the appended rows.  Readiness = 2 snapshots + fresh pointer, the
+    same crash-point self-healing as _events_tt_table."""
     import os
 
     from decision_tree_analytics_spark.sources.snapshots import (
@@ -97,23 +148,24 @@ def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         SnapshotTable,
     )
 
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(ev_path)
-    tag = hashlib.md5(
-        f"{os.path.abspath(ev_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    root = os.environ.get(
-        "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
+    table = SnapshotTable(
+        spark, os.path.join(_snap_root(), f"events_incr_{_events_tag(sf_dir)}")
     )
-    table = SnapshotTable(spark, os.path.join(root, f"events_incr_{tag}"))
-    try:
-        table.latest_id()
-    except NoPublishedSnapshot:
+    snaps = table.snapshot_ids()
+    if len(snaps) < 2:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        table.append(ev.filter(F.col("event_id") % 4 != 0))
+        if not snaps:
+            table.append(ev.filter(F.col("event_id") % 4 != 0))
         table.append(ev.filter(F.col("event_id") % 4 == 0))
+    else:
+        try:
+            stale = table.latest_id() != snaps[-1]
+        except NoPublishedSnapshot:
+            stale = True
+        if stale:  # commit landed, publish didn't — finish it
+            table.publish(snaps[-1])
     v1, v2 = table.snapshot_ids()[:2]
     delta = table.read_incremental(v1, v2)
     return delta.groupBy("event_type").agg(
@@ -138,44 +190,9 @@ def snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs what the old version cost; both aggregates are mergeable
     per-type partials and the final reconciliation joins |event_type|
     rows.  The oracle replays the parity arithmetic (v1 = even
-    event_ids) on the raw table."""
-    import hashlib
-    import os
-
-    from decision_tree_analytics_spark.sources.snapshots import (
-        NoPublishedSnapshot,
-        SnapshotTable,
-    )
-
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(ev_path)
-    tag = hashlib.md5(
-        f"{os.path.abspath(ev_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    root = os.environ.get(
-        "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
-    )
-    table = SnapshotTable(spark, os.path.join(root, f"events_tt_{tag}"))
-    # Fixture readiness = BOTH commits exist AND the pointer is on the
-    # last one (a crash between the two appends, or between a commit
-    # and its publish, must self-heal on the next run instead of
-    # freezing the table at v1 forever — ADVICE r03).  With exactly
-    # one snapshot present only the odd half is still missing.
-    snaps = table.snapshot_ids()
-    if len(snaps) < 2:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value"
-        )
-        if not snaps:
-            table.append(ev.filter(F.col("event_id") % 2 == 0))
-        table.append(ev.filter(F.col("event_id") % 2 == 1))
-    else:
-        try:
-            stale = table.latest_id() != snaps[-1]
-        except NoPublishedSnapshot:
-            stale = True
-        if stale:  # commit landed, publish didn't — finish it
-            table.publish(snaps[-1])
+    event_ids) on the raw table.  Fixture: _events_tt_table
+    (self-healing two-commit table, footer-tag identity)."""
+    table = _events_tt_table(spark, sf_dir)
     v1 = table.snapshot_ids()[0]
     old = table.read(v1).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_v1"),
@@ -233,3 +250,70 @@ ORACLES = {
         " FROM cur c LEFT JOIN v1 v USING (event_type)"
     ),
 }
+
+
+def snap_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DIFF between two committed snapshot versions — the
+    generic "what changed" read completing the snapshot family
+    (incremental read answers WHICH FILES are new; this answers WHICH
+    ROWS differ, the shape a CDC consumer or a data-quality audit
+    needs when a version may also delete or rewrite rows).
+
+    One full-outer join of the two version reads keyed on event_id
+    classifies every key as inserted / deleted / changed / unchanged;
+    the readout aggregates the classification per event_type.  Both
+    version scans plan only their own manifest's files (no undo log),
+    the join shuffles each side once on the key — bucket-store the
+    table on the key and even that shuffle goes away
+    (src_bucketed_join is the demonstration).  On this append-only
+    fixture deletes/changes are structurally zero — asserted by the
+    oracle, which replays the parity arithmetic."""
+    table = _events_tt_table(spark, sf_dir)
+    v1 = table.snapshot_ids()[0]
+    o = table.read(v1).select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("t_old"),
+        F.col("value").alias("v_old"),
+    )
+    n = table.read().select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("t_new"),
+        F.col("value").alias("v_new"),
+    )
+    j = o.join(n, "k", "full_outer")
+    kind = (
+        F.when(F.col("t_old").isNull(), "inserted")
+        .when(F.col("t_new").isNull(), "deleted")
+        .when(
+            (F.col("v_old") == F.col("v_new"))
+            | (F.col("v_old").isNull() & F.col("v_new").isNull()),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return (
+        j.select(
+            F.coalesce("t_new", "t_old").alias("event_type"),
+            kind.alias("change"),
+        )
+        .groupBy("event_type", "change")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+QUERIES["snap_row_diff"] = snap_row_diff
+ORACLES["snap_row_diff"] = """
+WITH o AS (SELECT event_id AS k, event_type AS t_old, value AS v_old
+  FROM events WHERE event_id % 2 = 0),
+n AS (SELECT event_id AS k, event_type AS t_new, value AS v_new
+  FROM events),
+j AS (SELECT coalesce(t_new, t_old) AS event_type,
+    CASE WHEN t_old IS NULL THEN 'inserted'
+         WHEN t_new IS NULL THEN 'deleted'
+         WHEN v_old = v_new OR (v_old IS NULL AND v_new IS NULL)
+           THEN 'unchanged'
+         ELSE 'changed' END AS change
+  FROM o FULL JOIN n USING (k))
+SELECT event_type, change, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1, 2
+"""

@@ -1190,3 +1190,91 @@ def _srp_recall_oracle() -> str:
 
 QUERIES["sim_srp_recall_eval"] = sim_srp_recall_eval
 ORACLES["sim_srp_recall_eval"] = _srp_recall_oracle()
+
+
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between two deterministic
+    hash splits — the embedding-space twin of ml_psi_drift: an
+    encoder regression or a corpus shift moves a class's centroid,
+    and the per-label L2 / cosine between the reference and live
+    split centroids is the standard cheap monitor (full-distribution
+    tests need pairwise work; centroid shift is one pass).
+
+    One explode-aggregate reduces the corpus to the |labels| × 2 ×
+    DIM mean grid (map-side combine carries (sum, count) partials);
+    the shift metrics are windows over that bounded grid.  The md5
+    split is content-derived (rule 6), dims stay JVM-side, and both
+    engines compute the same rounded expression tree."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("split"),
+        F.posexplode(_vecd("embedding")).alias("i", "x"),
+    )
+    g = e.groupBy("label", "split", "i").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    # pivot the two splits onto one row per (label, dim)
+    w = (
+        g.groupBy("label", "i")
+        .agg(
+            F.max(F.when(F.col("split") == 0, F.col("m"))).alias("m0"),
+            F.max(F.when(F.col("split") == 1, F.col("m"))).alias("m1"),
+            F.max(F.when(F.col("split") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("split") == 1, F.col("n"))).alias("n1"),
+        )
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    agg = w.groupBy("label").agg(
+        F.max("n0").cast("long").alias("n_ref"),
+        F.max("n1").cast("long").alias("n_live"),
+        F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))
+        .alias("sq"),
+        F.sum(F.col("m0") * F.col("m1")).alias("dot"),
+        F.sum(F.col("m0") * F.col("m0")).alias("s0"),
+        F.sum(F.col("m1") * F.col("m1")).alias("s1"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        "n_ref",
+        "n_live",
+        r6(F.sqrt(F.col("sq"))).alias("l2_shift"),
+        r6(
+            F.col("dot")
+            / F.nullif(F.sqrt(F.col("s0")) * F.sqrt(F.col("s1")), F.lit(0.0))
+        ).alias("centroid_cos"),
+    )
+
+
+QUERIES["sim_centroid_drift"] = sim_centroid_drift
+ORACLES["sim_centroid_drift"] = f"""
+WITH e AS (SELECT label,
+    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 2
+      AS split,
+    generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+g AS (SELECT label, split, i, avg(x) AS m, count(*) AS n
+  FROM e GROUP BY 1, 2, 3),
+w AS (SELECT label, i,
+    max(CASE WHEN split = 0 THEN m END) AS m0,
+    max(CASE WHEN split = 1 THEN m END) AS m1,
+    max(CASE WHEN split = 0 THEN n END) AS n0,
+    max(CASE WHEN split = 1 THEN n END) AS n1
+  FROM g GROUP BY 1, 2),
+a AS (SELECT label,
+    CAST(max(n0) AS BIGINT) AS n_ref, CAST(max(n1) AS BIGINT) AS n_live,
+    sum((m0 - m1) * (m0 - m1)) AS sq,
+    sum(m0 * m1) AS dot, sum(m0 * m0) AS s0, sum(m1 * m1) AS s1
+  FROM w GROUP BY label)
+SELECT CAST(label AS BIGINT) AS label, n_ref, n_live,
+  floor(sqrt(sq) * 1e6 + 0.5) / 1e6 AS l2_shift,
+  floor(dot / nullif(sqrt(s0) * sqrt(s1), 0.0) * 1e6 + 0.5) / 1e6
+    AS centroid_cos
+FROM a
+"""
