@@ -444,7 +444,7 @@ def sim_ivf_topk(
     recall vs exact brute force is asserted in tests/test_similarity.py.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select(
