@@ -1770,3 +1770,140 @@ SELECT category, fold, n AS n_fold, CAST(n_cat - n AS BIGINT) AS n_oof,
     AS enc_smooth
 FROM x
 """
+
+
+CONF_ALPHA_P = 0.9  # split-conformal quantile level (1 - alpha)
+
+
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals — the
+    distribution-free uncertainty wrapper production scoring
+    pipelines put around ANY point model: fit on the train split,
+    take the (1−α) quantile of absolute residuals on a held-out
+    CALIBRATION split, and ship ŷ ± q; the conformal guarantee is
+    ≥ (1−α) coverage on exchangeable data, and this query also
+    MEASURES the realized coverage on the test split (the number an
+    ML-ops dashboard actually watches).
+
+    Fully oracled end to end: the point model is closed-form OLS
+    (price ~ quantity) from one pass of mergeable moments (rounded
+    1e-6 before use so both engines score one expression tree), the
+    calibration quantile is percentile ≡ quantile_cont (the
+    rel_winsorize idiom), and coverage is a conditional mean.  Three
+    passes over one persisted 3-column projection — moments,
+    calibration quantile, test coverage — each a 1-row reduction with
+    map-side combine; splits are content-hash buckets (train <7,
+    cal 7-8, test 9)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("l_orderkey").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+            ).alias("bucket"),
+        )
+        .persist()
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    tr = F.col("bucket") < 7
+    m = li.agg(
+        F.sum(F.when(tr, 1).otherwise(0)).cast("long").alias("n"),
+        F.sum(F.when(tr, F.col("x"))).alias("sx"),
+        F.sum(F.when(tr, F.col("y"))).alias("sy"),
+        F.sum(F.when(tr, F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(F.when(tr, F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    # intercept from the SAME rounded slope (one expression tree)
+    params = m.select(
+        F.col("n").alias("n_train"),
+        r6(slope).alias("b"),
+        r6((F.col("sy") - r6(slope) * F.col("sx")) / F.col("n").cast("double"))
+        .alias("a"),
+    )
+    scored = li.crossJoin(F.broadcast(params)).withColumn(
+        "absres", F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+    )
+    qrow = scored.agg(
+        F.max("n_train").cast("long").alias("n_train"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.sum(F.when(F.col("bucket").isin(7, 8), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cal"),
+        r6(
+            F.percentile(
+                F.when(F.col("bucket").isin(7, 8), F.col("absres")),
+                CONF_ALPHA_P,
+            )
+        ).alias("q90"),
+    )
+    test = scored.filter(F.col("bucket") == 9).crossJoin(
+        F.broadcast(qrow.select("n_cal", "q90"))
+    )
+    cov = test.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.max("q90").alias("q"),
+        r6(
+            F.avg((F.col("absres") <= F.col("q90")).cast("double"))
+        ).alias("coverage"),
+    )
+    result = cov.crossJoin(F.broadcast(params)).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        F.col("a").alias("intercept"),
+        F.col("b").alias("slope"),
+        F.col("q").alias("q90"),
+        "coverage",
+        r6(2 * F.col("q")).alias("mean_width"),
+    )
+    return tether_cache(result, li)
+
+
+QUERIES["ml_conformal_interval"] = ml_conformal_interval
+ORACLES["ml_conformal_interval"] = f"""
+WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y,
+    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10
+      AS bucket
+  FROM lineitem),
+m AS (SELECT CAST(sum(CASE WHEN bucket < 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n,
+    sum(CASE WHEN bucket < 7 THEN x END) AS sx,
+    sum(CASE WHEN bucket < 7 THEN y END) AS sy,
+    sum(CASE WHEN bucket < 7 THEN x * x END) AS sxx,
+    sum(CASE WHEN bucket < 7 THEN x * y END) AS sxy
+  FROM d),
+p AS (SELECT n AS n_train,
+    floor((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+        * 1e6 + 0.5) / 1e6 AS b,
+    floor((sy - (floor((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+          * 1e6 + 0.5) / 1e6) * sx) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+      AS a
+  FROM m),
+s AS (SELECT d.bucket, abs(d.y - (p.a + p.b * d.x)) AS absres
+  FROM d CROSS JOIN p),
+q AS (SELECT CAST(sum(CASE WHEN bucket IN (7, 8) THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_cal,
+    floor(quantile_cont(CASE WHEN bucket IN (7, 8) THEN absres END,
+        {CONF_ALPHA_P}) * 1e6 + 0.5) / 1e6 AS q90
+  FROM s),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+    floor(avg(CASE WHEN absres <= q90 THEN 1.0 ELSE 0.0 END)
+        * 1e6 + 0.5) / 1e6 AS coverage
+  FROM s CROSS JOIN q WHERE bucket = 9)
+SELECT n_train, n_cal, n_test, a AS intercept, b AS slope, q90, coverage,
+  floor(2 * q90 * 1e6 + 0.5) / 1e6 AS mean_width
+FROM p CROSS JOIN q CROSS JOIN c
+"""

@@ -268,3 +268,18 @@ def test_gbt_stumps_reduce_training_error(spark, sf_dir):
     for m in range(1, GBT_ROUNDS + 1):
         assert row[f"t{m}"] in [float(t) for t in GBT_CANDS]
         assert math.isfinite(row[f"l{m}"]) and math.isfinite(row[f"r{m}"])
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    """ml_conformal_interval: the split-conformal guarantee — realized
+    test coverage must sit near the nominal 1-alpha = 0.9 (the whole
+    point of the wrapper; a broken quantile or residual definition
+    shows up here immediately)."""
+    from decision_tree_analytics_spark.operators.ml_inventory import (
+        ml_conformal_interval,
+    )
+
+    row = ml_conformal_interval(spark, sf_dir).collect()[0]
+    assert 0.85 <= row.coverage <= 0.96
+    assert row.q90 > 0 and row.mean_width == pytest.approx(2 * row.q90, rel=1e-9)
+    assert row.n_train > row.n_cal > row.n_test > 0
