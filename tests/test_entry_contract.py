@@ -37,3 +37,24 @@ def test_rows_only_queries_are_the_documented_exceptions():
         "ml_rf_train_predict",
         "sim_ivf_topk",
     }
+
+
+def test_driver_sampled_names_exist_and_rotate_first():
+    """Rotation-contract hygiene: every name in _DRIVER_SAMPLED must
+    be a real query (a typo in a rotation commit would silently waste
+    a driver sample slot), and all_queries() must enumerate every
+    never-sampled query BEFORE any sampled one (the property the
+    per-round rotation relies on)."""
+    from decision_tree_analytics_spark.operators import (
+        _DRIVER_SAMPLED,
+        all_queries,
+    )
+
+    qs = list(all_queries())
+    missing = _DRIVER_SAMPLED - set(qs)
+    assert not missing, f"_DRIVER_SAMPLED names not in the contract: {missing}"
+    flags = [name in _DRIVER_SAMPLED for name in qs]
+    # once we hit the first sampled name, everything after is sampled
+    if True in flags:
+        first = flags.index(True)
+        assert all(flags[first:]), "sampled query enumerated before a fresh one"
