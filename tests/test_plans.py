@@ -731,6 +731,8 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
     )
     assert count_shuffles(plan) == 0
     assert "SortMergeJoin" in plan
+    # SORTED BY + one file per bucket removes the SMJ sorts too
+    assert "+- Sort " not in plan
 
     def plain():
         o = load_table(spark, sf_dir, "orders").select(
