@@ -77,11 +77,9 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _snap_root() -> str:
-    import os
+    from decision_tree_analytics_spark.sources.snapshots import snapshot_root
 
-    return os.environ.get(
-        "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
-    )
+    return snapshot_root()
 
 
 def _events_tag(sf_dir: str) -> str:

@@ -730,15 +730,15 @@ def component_labels_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     tag = parquet_footer_tag(os.path.join(sf_dir, "documents.parquet"))
-    root = os.environ.get(
-        "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
-    )
     from decision_tree_analytics_spark.sources.snapshots import (
         NoPublishedSnapshot,
         SnapshotTable,
+        snapshot_root,
     )
 
-    table = SnapshotTable(spark, os.path.join(root, f"dedup_labels_{tag}"))
+    table = SnapshotTable(
+        spark, os.path.join(snapshot_root(), f"dedup_labels_{tag}")
+    )
     try:
         return table.read()
     except NoPublishedSnapshot:
@@ -1392,7 +1392,7 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-hex-char slices of the document's own md5 fingerprint reduced
     mod m — no engine bloom builtin (those are seeded), so the DuckDB
     oracle reproduces the filter bit-for-bit.  The "bit array"
-    materializes as the DISTINCT store-position set: ≤ m = 4096 rows
+    materializes as the DISTINCT store-position set: ≤ m = BLOOM_BITS rows
     regardless of corpus size, i.e. a broadcastable constant — the
     probe side is map-only after that broadcast.  Output: one row of
     filter stats (fill rate) and the measured confusion (true dups,

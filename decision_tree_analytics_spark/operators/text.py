@@ -1709,6 +1709,10 @@ def ns_bigram_lm(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
     bg = d.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
+    # persist the tiny top-N vocab: it feeds THREE branches (both
+    # mapping joins and the vocab-size row) and Catalyst reuses no
+    # exchange across branches — unpersisted, each branch re-ran the
+    # full corpus token-count (the BM25-postings lesson).
     vocab = (
         d.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
@@ -1716,6 +1720,7 @@ def ns_bigram_lm(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(BIGRAM_VOCAB)
         .select("tok")
+        .persist()
     )
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
     m1 = F.broadcast(vocab.select(F.col("tok").alias("w1"), F.lit(1).alias("k1")))
@@ -1756,7 +1761,7 @@ def ns_bigram_lm(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
         .orderBy(F.col("bits_per_bigram").desc(), F.col("doc_id"))
         .limit(k)
     )
-    return tether_cache(result, mapped)
+    return tether_cache(result, mapped, vocab)
 
 
 QUERIES["ns_bigram_lm"] = ns_bigram_lm

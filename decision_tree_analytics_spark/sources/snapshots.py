@@ -42,6 +42,16 @@ from decision_tree_analytics_spark.session import prepare_session
 _LATEST = "_latest"
 
 
+def snapshot_root() -> str:
+    """The one place the snapshot-store root is resolved — every
+    fixture/cache that publishes a SnapshotTable (dedup component
+    labels, the cdc events fixtures) must use this so an env override
+    or a default change moves them all together."""
+    return os.environ.get(
+        "SPARK_GRAFT_SNAPSHOT_DIR", "/root/repo/spark-warehouse/snapshots"
+    )
+
+
 class NoPublishedSnapshot(RuntimeError):
     pass
 

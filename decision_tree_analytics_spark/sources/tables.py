@@ -92,18 +92,29 @@ def parquet_footer_tag(path: str) -> str:
     FOOTER thrift blob (the serialized schema, row-group manifest,
     offsets and column statistics).  Equal bytes → equal tag at any
     path or mtime; any data change perturbs row-group stats/offsets →
-    new tag.  Reading it costs one tail ranged-read (8-byte length
-    trailer + footer) — exactly the manifest fetch every parquet
-    reader already performs, so this works unchanged on object
-    storage where os.stat identity does not exist."""
+    new tag.  The DESIGN is object-storage-safe — the footer is the
+    one ranged tail-read every parquet reader already performs, with
+    no mtime/inode dependence — though this helper reads via the
+    local filesystem API (swap ``open`` for the store's ranged GET
+    when pointing at a real object store).  Raises ValueError for
+    anything that is not a well-formed parquet file (truncated, bad
+    magic, or a footer length exceeding the file)."""
     import hashlib
 
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
+        if size < 12:  # 4-byte header magic + footer length + tail magic
+            raise ValueError(f"not a parquet file (too short): {path}")
         f.seek(-8, os.SEEK_END)
         tail = f.read(8)
         if tail[4:] != b"PAR1":
             raise ValueError(f"not a parquet file (bad magic): {path}")
         flen = int.from_bytes(tail[:4], "little")
+        if flen <= 0 or flen > size - 8:
+            raise ValueError(
+                f"not a parquet file (footer length {flen} vs size {size}):"
+                f" {path}"
+            )
         f.seek(-(8 + flen), os.SEEK_END)
         footer = f.read(flen)
     return hashlib.md5(footer).hexdigest()[:12]

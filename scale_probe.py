@@ -39,9 +39,12 @@ def generate() -> None:
 
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    md = con.sql(
+        f"SELECT max(doc_id)+1 FROM read_parquet('{BASE}/documents.parquet')"
+    ).fetchone()[0]
     con.execute(f"""
     COPY (
-      SELECT r * 5000 + doc_id AS doc_id,
+      SELECT r * {md} + doc_id AS doc_id,
         CASE WHEN r = 0 THEN text
              ELSE array_to_string(list_transform(string_split(text, ' '),
                     t -> t || 'q' || CAST(r AS VARCHAR)), ' ') END AS text,
