@@ -767,3 +767,85 @@ ORACLES = {
         " FROM j"
     ),
 }
+
+
+PIT_WINDOW_US = 7 * US_PER_DAY  # trailing feature window
+
+
+def rel_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature backfill — the feature-store primitive
+    that builds a LEAKAGE-FREE training set: for every label event
+    (here: each purchase), compute per-user features from events
+    STRICTLY BEFORE that label's own timestamp — lifetime activity
+    count, lifetime value sum, and trailing-7-day activity — so a
+    model trained on these rows never sees information from its own
+    label time or later (the point-in-time-correct join Feast/Tecton
+    style stores exist to provide).
+
+    One shuffle on user_id serves every feature: the events stream is
+    ordered per user by the integer µs key and the features are RANGE
+    frames ending at 1 PRECEDING (equal timestamps are excluded —
+    "strictly before" even under ties, identically in both engines);
+    the trailing window is the same frame with a bounded lower edge.
+    Labels are then a filter over the windowed stream — features are
+    computed once for all rows, not per label type.  At 100 TB this
+    is the canonical backfill shape: one user-keyed shuffle, bounded
+    per-user state, no self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w_life = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_7d = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-PIT_WINDOW_US, -1)
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.count(F.lit(1)).over(w_life).cast("long").alias("n_prior"),
+        r6(F.coalesce(F.sum("value").over(w_life), F.lit(0.0))).alias(
+            "sum_prior"
+        ),
+        F.count(F.lit(1)).over(w_7d).cast("long").alias("n_7d"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts_us",
+        "n_prior",
+        "sum_prior",
+        "n_7d",
+    )
+
+
+QUERIES["rel_pit_features"] = rel_pit_features
+ORACLES["rel_pit_features"] = f"""
+WITH ev AS (SELECT event_id, user_id, event_type, value,
+    epoch_us(ts) AS ts_us FROM events),
+feat AS (SELECT event_id, user_id, event_type, ts_us,
+    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+      AS n_prior,
+    floor(coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY ts_us
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+      * 1e6 + 0.5) / 1e6 AS sum_prior,
+    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      RANGE BETWEEN {PIT_WINDOW_US} PRECEDING AND 1 PRECEDING) AS BIGINT)
+      AS n_7d
+  FROM ev)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CAST(user_id AS BIGINT) AS user_id, ts_us, n_prior, sum_prior, n_7d
+FROM feat WHERE event_type = 'purchase'
+"""

@@ -193,3 +193,46 @@ def test_bloom_prefilter_never_false_negative(spark, tmp_path):
     # no false negatives: every true dup is bloom-positive
     assert out.n_bloom_pos >= out.n_true_dup
     assert out.n_false_pos == out.n_bloom_pos - out.n_true_dup
+
+
+def test_pit_features_exclude_label_time_ties(spark, tmp_path):
+    """Point-in-time correctness under TIES: an event at exactly the
+    label's timestamp must NOT leak into the label's features (the
+    frame ends at 1 PRECEDING on the integer time key), while strictly
+    earlier events count in both the lifetime and trailing windows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decision_tree_analytics_spark.operators.analytics import (
+        US_PER_DAY,
+        rel_pit_features,
+    )
+
+    t0 = 1_700_000_000_000_000  # label instant, epoch-µs
+    day = US_PER_DAY
+    rows = [
+        # user 1: one event strictly before, one AT the label instant
+        (1, t0 - day, 1, "view", 10.0),
+        (2, t0, 1, "click", 99.0),          # same µs as the label
+        (3, t0, 1, "purchase", 5.0),        # the label event
+        # user 2: only later events — features must be zero
+        (4, t0, 2, "purchase", 1.0),
+        (5, t0 + day, 2, "view", 7.0),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    out = {r.event_id: r for r in rel_pit_features(spark, str(tmp_path)).collect()}
+    assert set(out) == {3, 4}
+    # the tied click at t0 must NOT count; the day-old view must
+    assert out[3].n_prior == 1 and out[3].sum_prior == 10.0
+    assert out[3].n_7d == 1
+    assert out[4].n_prior == 0 and out[4].sum_prior == 0.0 and out[4].n_7d == 0

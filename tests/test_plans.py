@@ -801,3 +801,15 @@ def test_graph_queries_scan_the_fact_join_once(spark, sf_dir):
         n_imts = plan.count("InMemoryTableScan")
         assert n_imts >= 1, fn.__name__
         assert plan.count("lineitem") == n_imts, fn.__name__
+
+
+def test_pit_features_single_user_shuffle(spark, sf_dir):
+    # The point-in-time backfill must serve ALL features off one
+    # user-keyed exchange (both RANGE frames share the window spec) —
+    # and never plan a self-join.
+    from decision_tree_analytics_spark.operators import analytics as A
+
+    plan = simple_plan(A.rel_pit_features(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert "Join" not in plan
+    assert not has_python_eval(plan)
