@@ -160,7 +160,42 @@ _DRIVER_SAMPLED = {
     "stream_window_dedup", "stream_windowed_counts", "udf_batch_inference",
     "udf_frame_sample", "udf_grouped_zscore", "udf_heavy_hitters",
     "udf_secondary_sort", "udf_user_gap_stats",
+    # round 5 sample (CORRECTNESS_r05.json key set, 50/50 hash-green).
+    "cdc_merge_upsert", "dedup_bloom_prefilter", "graph_khop",
+    "graph_label_propagation", "graph_pagerank", "graph_triangles",
+    "ml_calibration_bins", "ml_conformal_interval", "ml_confusion_matrix",
+    "ml_target_encoding", "ns_bigram_lm", "rel_agg_quantifiers",
+    "rel_benford", "rel_entropy", "rel_mutual_info",
+    "rel_pit_features", "rel_quantile_bin", "rel_seasonality",
+    "rel_top_movers", "rel_winsorize", "sim_centroid_drift",
+    "sim_srp_recall_eval", "skew_salted_join", "snap_incremental_read",
+    "snap_row_diff", "snap_time_travel", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_parts_promotion",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_predicates", "tpch_q1_pricing_summary",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "udf_dtw_profile", "udf_holt_smooth",
 }
+
+# Queries whose code was MATERIALLY REWRITTEN after their driver
+# CORRECTNESS row was recorded (r3/r4 rows certified older
+# definitions — VERDICT r5 item 2 / ADVICE r5).  Enumerated right
+# after the never-sampled names so the driver's 50-query window
+# re-verifies the CURRENT code.  Once a fresh green row lands,
+# move the name back to plain _DRIVER_SAMPLED membership.
+_RECHECK_PRIORITY = [
+    "ml_feature_importance",   # r5: rows-only -> fully-oracled rebuild
+    "dedup_lsh_recall_eval",   # r5: bounded to doc_id % 4 == 0 slice
+    "ml_auc_roc",              # r5: floor-idiom rework at the score grid
+    "ml_psi_drift",            # r5: p-guard added
+    "dedup_canonical_snapshot",  # r5: footer-tag (parquet md5) identity
+]
 
 
 def all_queries():
@@ -171,6 +206,9 @@ def all_queries():
             raise RuntimeError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
     fresh = {k: v for k, v in out.items() if k not in _DRIVER_SAMPLED}
+    for k in _RECHECK_PRIORITY:
+        if k in out and k not in fresh:
+            fresh[k] = out[k]
     fresh.update((k, v) for k, v in out.items() if k in _DRIVER_SAMPLED)
     return fresh
 

@@ -220,8 +220,11 @@ def _fi_oracle() -> str:
     )
     w_parts = []
     for f in feats:
+        # CAST each literal to DOUBLE: bare numerics type the COALESCE
+        # DECIMAL(4,2) in DuckDB while Spark emits DOUBLE (ADVICE r5).
         thr = "COALESCE(" + ", ".join(
-            f"CASE WHEN {score(f, i)} = best_{f} THEN {t!r} END"
+            f"CASE WHEN {score(f, i)} = best_{f}"
+            f" THEN CAST({t!r} AS DOUBLE) END"
             for i, t in enumerate(FI_GRIDS[f])
         ) + ")"
         w_parts.append(f"{thr} AS bt_{f}")

@@ -213,7 +213,12 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
-        (F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("revenue"),
+        # Sum integer CENTS, not raw doubles: a raw-order float sum can
+        # round differently across engines at a .005 boundary (rule 9;
+        # ADVICE r5).  floor() is LONG in Spark / integral DOUBLE in
+        # DuckDB; the per-row value is exact so the sum is order-free.
+        (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)) / 100.0)
+        .alias("revenue"),
     )
 
 
@@ -248,7 +253,8 @@ ORACLES = {
     "src_bucketed_join": (
         "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,"
         " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,"
-        " floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue"
+        " CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+        "      AS DOUBLE) / 100.0 AS revenue"
         " FROM orders JOIN customer ON o_custkey = c_custkey"
         " GROUP BY c_mktsegment"
     ),
