@@ -275,3 +275,41 @@ def test_dtw_profile_zero_for_single_user(spark, tmp_path):
     assert len(out) == 1
     assert out[0].dtw == 0.0
     assert out[0].n_active_days == 8
+
+
+def test_paragraph_dedup_keep_first_on_planted_dups(spark, tmp_path):
+    """dedup_paragraph: a 20-token paragraph planted verbatim in three
+    docs keeps the first (doc_id, pid) occurrence and flags the other
+    two; a unique doc reports zero removed."""
+    from decision_tree_analytics_spark.operators.dedup import (
+        PARA_TOKENS,
+        dedup_paragraph,
+    )
+
+    para = " ".join(f"w{i}" for i in range(PARA_TOKENS))
+    uniq0 = " ".join(f"x{i}" for i in range(PARA_TOKENS))
+    uniq3 = " ".join(f"z{i}" for i in range(7))  # short tail paragraph
+    rows = [
+        (0, uniq0 + " " + para, "en", "s", 0),   # para is pid 1 (first)
+        (1, para + " " + uniq0, "en", "s", 0),   # dup at pid 0
+        (2, para, "en", "s", 0),                 # dup, whole doc
+        (3, uniq3, "en", "s", 0),                # unique short doc
+    ]
+    # uniq0 appears in docs 0 and 1: pid0 of doc0 keeps, pid1 of doc1
+    # removed.  So doc0: 2 paras 0 removed; doc1: 2 paras 2 removed;
+    # doc2: 1 para 1 removed; doc3: 1 para 0 removed.
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_paras, r.n_removed, r.removed_frac)
+        for r in dedup_paragraph(spark, d).collect()
+    }
+    assert got == {
+        0: (2, 0, 0.0),
+        1: (2, 2, 1.0),
+        2: (1, 1, 1.0),
+        3: (1, 0, 0.0),
+    }
