@@ -10,6 +10,9 @@ dedup/text/graph paths best-of-two on the bench session.
 Usage:
     python scale_probe.py            # generate if missing, then time
     python scale_probe.py --generate # force regeneration
+    python scale_probe.py --skew     # skewed-join probe (salted vs
+                                     # unsalted vs AQE, 1M-row events
+                                     # with one user owning half)
 """
 from __future__ import annotations
 
@@ -31,6 +34,12 @@ NAMES = [
     "graph_pagerank",
     "graph_label_propagation",
     "graph_khop",
+    # r6: similarity/ANN family (VERDICT r5 item 3).  Probes/codebooks
+    # are fixed small-vec_id sets, so the 10x replicas (offset ids)
+    # never enter them and each path should stay ~linear.
+    "sim_pq_topk",
+    "sim_ivf_oracled",
+    "sim_srp_recall_eval",
 ]
 
 
@@ -82,11 +91,160 @@ def generate() -> None:
             f"COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))"
             f" TO '{OUT}/{t}.parquet' (FORMAT parquet)"
         )
+    # embeddings: replicas keep identical vectors with offset vec_ids.
+    # Fixed-probe/codebook queries only read vec_id < ~320, so the
+    # replicas are corpus-only; per-SRP-bucket occupancy grows exactly
+    # 10x, same as real growth under a fixed plane count.
+    mv = con.sql(
+        f"SELECT max(vec_id)+1 FROM read_parquet('{BASE}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+    COPY (SELECT vec_id + r * {mv} AS vec_id, embedding, label
+      FROM read_parquet('{BASE}/embeddings.parquet'), range(10) t(r)
+      ORDER BY vec_id) TO '{OUT}/embeddings.parquet' (FORMAT parquet)""")
+
+
+SKEW_OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".scale", "skew"
+)
+SKEW_HOT_USER = 0
+
+
+SKEW_REPLICAS = 50  # 5M rows; the hot user owns 90% of them
+
+
+def generate_skew() -> None:
+    """50x events (5M rows) with user 0 owning 90% of the stream — the
+    'one domain owns the firehose' failure mode.  Replicas offset
+    event_id and user_id; 9 of 10 event_ids are then reassigned to
+    the hot user.  (At 10x/50% the whole join fits inside ~2 s of
+    scan+overhead and the stuck reducer is invisible; 50x/90% puts
+    4.5M rows on the hot key's single reducer.)"""
+    import duckdb
+
+    os.makedirs(SKEW_OUT, exist_ok=True)
+    con = duckdb.connect()
+    me, mu = con.sql(
+        f"SELECT max(event_id)+1, max(user_id)+1"
+        f" FROM read_parquet('{BASE}/events.parquet')"
+    ).fetchone()
+    con.execute(f"""
+    COPY (
+      SELECT event_id + r * {me} AS event_id, ts,
+        CASE WHEN (event_id + r * {me}) % 10 != 0 THEN {SKEW_HOT_USER}
+             ELSE user_id + r * {mu} END AS user_id,
+        event_type, value, props
+      FROM read_parquet('{BASE}/events.parquet'), range({SKEW_REPLICAS}) t(r)
+      ORDER BY event_id
+    ) TO '{SKEW_OUT}/events.parquet' (FORMAT parquet)""")
+
+
+def skew_probe() -> None:
+    """Times three shapes of the same fact⋈dim enrich-and-reaggregate
+    on the hot-key corpus, broadcast disabled so the join shuffles
+    (the 100 TB shape — a dim that no longer broadcasts):
+
+      unsalted/noaqe  — plain key join, AQE skew-split off: the
+                        stuck-reducer baseline (hot user's half of the
+                        fact lands on ONE reducer).
+      unsalted/aqe    — plain key join, AQE skew-split on: what the
+                        runtime buys for sort-merge skew it can see.
+      salted          — skew_salted_join: dim replicated over 16
+                        explicit salts, fact salt = event_id % 16 —
+                        the hot key fans out by construction.
+
+    Both variants carry the ~60-byte props payload through the join
+    (shuffle volume has to be real for the stuck reducer to cost
+    anything); the salted variant replicates the contract query's
+    pattern (skew.skew_salted_join) like-for-like."""
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.operators.skew import (
+        HEAVY_USER_EVENTS,
+        N_JOIN_SALTS,
+    )
+    from decision_tree_analytics_spark.session import get_spark
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    if "--generate" in sys.argv or not os.path.exists(
+        os.path.join(SKEW_OUT, "events.parquet")
+    ):
+        generate_skew()
+    spark = get_spark(app_name="dta-spark-skew-probe")
+    load_table(spark, SKEW_OUT, "events").count()  # warm FS cache
+    tier = (
+        F.when(F.col("user_events") >= HEAVY_USER_EVENTS, "heavy")
+        .otherwise("light")
+        .alias("user_tier")
+    )
+
+    def unsalted(sp, sf_dir):
+        ev = load_table(sp, sf_dir, "events")
+        dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+        return (
+            ev.select("event_id", "user_id", "event_type", "props")
+            .join(dim, "user_id")
+            .groupBy("event_type", tier)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.length("props")).alias("payload"),
+            )
+        )
+
+    def salted(sp, sf_dir):
+        ev = load_table(sp, sf_dir, "events")
+        dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+        dim_rep = dim.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALTS - 1)))
+        )
+        fact = ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "props",
+            F.pmod("event_id", F.lit(N_JOIN_SALTS)).alias("salt"),
+        )
+        return (
+            fact.join(dim_rep, ["user_id", "salt"])
+            .groupBy("event_type", tier)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.length("props")).alias("payload"),
+            )
+        )
+
+    runs = [
+        ("unsalted/noaqe", unsalted, {"spark.sql.adaptive.skewJoin.enabled": "false"}),
+        ("unsalted/aqe", unsalted, {"spark.sql.adaptive.skewJoin.enabled": "true"}),
+        ("salted/noaqe", salted, {"spark.sql.adaptive.skewJoin.enabled": "false"}),
+        ("salted/aqe", salted, {"spark.sql.adaptive.skewJoin.enabled": "true"}),
+    ]
+    out = {}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    )
+    for tag, fn, confs in runs:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        best = rows = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = fn(spark, SKEW_OUT).count()
+            dt = round(time.perf_counter() - t0, 2)
+            best = dt if best is None or dt < best else best
+        out[tag] = {"sec": best, "rows": rows}
+        print(json.dumps({tag: best, "rows": rows}), flush=True)
+    print(json.dumps(out))
+    spark.stop()
 
 
 def main() -> None:
+    if "--skew" in sys.argv:
+        skew_probe()
+        return
     if "--generate" in sys.argv or not os.path.exists(
-        os.path.join(OUT, "lineitem.parquet")
+        os.path.join(OUT, "embeddings.parquet")
     ):
         generate()
     from decision_tree_analytics_spark import operators
@@ -98,7 +256,7 @@ def main() -> None:
     out = {}
     for sf_dir, tag in [(BASE, "sf0.1"), (OUT, "sf1")]:
         for t in ("documents", "customer", "orders", "lineitem",
-                  "supplier", "nation"):
+                  "supplier", "nation", "embeddings"):
             load_table(spark, sf_dir, t).count()
         spark.range(32).repartition(32).mapInPandas(
             lambda it: it, "id long"
