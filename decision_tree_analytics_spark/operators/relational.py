@@ -1875,3 +1875,216 @@ def sql_text_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_text_revenue"] = sql_text_revenue
 ORACLES["sql_text_revenue"] = _SQL_TEXT_REVENUE
+
+
+# ------------------------------------------------------------------
+# Sorted-neighborhood entity resolution (r6) — the classic SNM of
+# Hernandez & Stolfo (SIGMOD '95) made vocabulary-bounded.
+SNM_PREFIX = 2      # blocking key: first chars of the sort key
+SNM_WINDOW = 3      # lookahead inside a block
+SNM_MAX_DIST = 3    # near-miss threshold (exact dups excluded: d >= 1)
+
+
+def rel_entity_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-miss part-name pairs via sorted-neighborhood matching
+    over the DISTINCT-name vocabulary.
+
+    Naive SNM sorts the whole corpus and compares each row to its W
+    successors — at 100 TB the duplicate-heavy sort saturates every
+    window with copies of the same string.  This runs the method one
+    level up: (1) one mergeable groupBy collapses the corpus to its
+    name vocabulary (count + canonical min-key per name — the only
+    corpus-sized stage); (2) the SNM window — partitionBy 2-char
+    prefix block, orderBy name, W=3 codegen leads — runs on the
+    vocabulary table, which is bounded by the name domain, not the
+    corpus; (3) JVM-side levenshtein keeps pairs with 1 <= d <= 3
+    (d = 0 is exact dup territory, owned by q24/dedup_*).  Every
+    stage is bounded by construction: corpus work is one partial-agg
+    shuffle, pairwise work is |vocab| * W.
+
+    Reference parity: fuzzy-match companion to the reference's exact
+    row dedup (SURVEY Q24 contract); blocking-window precedent is
+    ns_text_levenshtein, vocabulary-bound precedent ns_text_tfidf_top."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.select(F.lower(F.trim(F.col("p_name"))).alias("name"), "p_partkey")
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("p_partkey").alias("canon_key"),
+        )
+    )
+    w = Window.partitionBy(F.substring("name", 1, SNM_PREFIX)).orderBy("name")
+    leads = names.select(
+        "name",
+        "n_rows",
+        "canon_key",
+        *[
+            F.struct(
+                F.lead("name", i).over(w).alias("b_name"),
+                F.lead("n_rows", i).over(w).alias("b_rows"),
+                F.lead("canon_key", i).over(w).alias("b_key"),
+            ).alias(f"l{i}")
+            for i in range(1, SNM_WINDOW + 1)
+        ],
+    )
+    pairs = (
+        leads.select(
+            F.col("name").alias("a_name"),
+            F.col("n_rows").alias("a_rows"),
+            F.col("canon_key").alias("a_key"),
+            F.explode(F.array(*[f"l{i}" for i in range(1, SNM_WINDOW + 1)])).alias("b"),
+        )
+        .filter(F.col("b.b_name").isNotNull())
+        .select(
+            "a_name",
+            F.col("b.b_name").alias("b_name"),
+            F.levenshtein("a_name", F.col("b.b_name")).cast("long").alias("dist"),
+            "a_rows",
+            F.col("b.b_rows").alias("b_rows"),
+            "a_key",
+            F.col("b.b_key").alias("b_key"),
+        )
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= SNM_MAX_DIST))
+    )
+    return pairs
+
+
+QUERIES["rel_entity_snm"] = rel_entity_snm
+ORACLES["rel_entity_snm"] = f"""
+WITH names AS (
+  SELECT lower(trim(p_name)) AS name, CAST(count(*) AS BIGINT) AS n_rows,
+         min(p_partkey) AS canon_key
+  FROM part GROUP BY 1),
+l AS (
+  SELECT name, n_rows, canon_key,
+    lead(name, 1) OVER w AS n1, lead(n_rows, 1) OVER w AS r1, lead(canon_key, 1) OVER w AS k1,
+    lead(name, 2) OVER w AS n2, lead(n_rows, 2) OVER w AS r2, lead(canon_key, 2) OVER w AS k2,
+    lead(name, 3) OVER w AS n3, lead(n_rows, 3) OVER w AS r3, lead(canon_key, 3) OVER w AS k3
+  FROM names
+  WINDOW w AS (PARTITION BY substring(name, 1, {SNM_PREFIX}) ORDER BY name)),
+pairs AS (
+  SELECT name AS a_name, n1 AS b_name, n_rows AS a_rows, r1 AS b_rows,
+         canon_key AS a_key, k1 AS b_key FROM l WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT name, n2, n_rows, r2, canon_key, k2 FROM l WHERE n2 IS NOT NULL
+  UNION ALL
+  SELECT name, n3, n_rows, r3, canon_key, k3 FROM l WHERE n3 IS NOT NULL)
+SELECT a_name, b_name, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist,
+       a_rows, b_rows, a_key, b_key
+FROM pairs
+WHERE levenshtein(a_name, b_name) BETWEEN 1 AND {SNM_MAX_DIST}
+"""
+
+
+# ------------------------------------------------------------------
+# Count-min sketch (r6) — completes the mergeable-sketch suite next
+# to Misra-Gries (udf_heavy_hitters), KMV (rel_kmv_*), and the bloom
+# gate (dedup_bloom_prefilter).
+CMS_D = 4        # rows (one per md5 slice — the bloom-gate idiom)
+CMS_W = 1024     # columns per row
+CMS_PROBE_MIN = 50   # probe tokens must be at least this frequent
+CMS_PROBES = 40      # bounded probe set (ORDER BY tok LIMIT n)
+
+
+def rel_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, with measured
+    over-count against exact truth for a bounded probe set.
+
+    The sketch IS a grouped aggregate: every token contributes one
+    count to (row j, position_j) for d=4 positions carved from its
+    own md5 (8-hex-char slices mod w — dedup_bloom_prefilter's
+    engine-portable hashing; engine-seeded hash()/xxhash64 would not
+    oracle).  The materialized sketch is at most d*w = 4096 rows
+    REGARDLESS of corpus size — a mergeable, broadcastable constant,
+    which is the whole point at 100 TB: shards build partial sketches
+    map-side (plain partial aggregation), the merge is elementwise
+    sum, and the estimate min_j(cell_j) only ever reads 4 cells.
+    Probes: the first CMS_PROBES tokens (alphabetic, unique — rule 5)
+    with exact count >= CMS_PROBE_MIN; est >= exact is the CMS
+    guarantee, surfaced as overcount / rel_err per probe.
+
+    Scale: one exploded-token pass feeds both the sketch groupBy and
+    the exact groupBy (persisted, tether_cache-released); the probe
+    estimate joins a broadcast 4096-row sketch.  No higher-order
+    functions in the hot path (HOF lambdas skip codegen — CLAUDE.md)."""
+    from decision_tree_analytics_spark.operators._cache import tether_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
+    ).persist()
+
+    def pos_cols():
+        md = F.md5(F.col("tok"))
+        return F.array(
+            *[
+                F.conv(F.substring(md, 1 + 8 * j, 8), 16, 10).cast("long")
+                % CMS_W
+                for j in range(CMS_D)
+            ]
+        )
+
+    posed = toks.select("tok", F.posexplode(pos_cols()).alias("j", "pos"))
+    sketch = posed.groupBy("j", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    probes = (
+        exact.filter(F.col("n_exact") >= CMS_PROBE_MIN)
+        .orderBy("tok")
+        .limit(CMS_PROBES)
+    )
+    ppos = probes.select(
+        "tok", "n_exact", F.posexplode(pos_cols()).alias("j", "pos")
+    )
+    est = (
+        ppos.join(F.broadcast(sketch), ["j", "pos"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("est"))
+    )
+    result = est.select(
+        "tok",
+        "n_exact",
+        "est",
+        (F.col("est") - F.col("n_exact")).alias("overcount"),
+        (
+            F.floor(
+                (F.col("est") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("rel_err"),
+    )
+    return tether_cache(result, toks)
+
+
+QUERIES["rel_countmin_sketch"] = rel_countmin_sketch
+ORACLES["rel_countmin_sketch"] = f"""
+WITH toks AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents),
+posed AS (SELECT tok, j,
+    ('0x' || substr(md5(tok), 1 + 8 * j, 8))::BIGINT % {CMS_W} AS pos
+  FROM toks, range({CMS_D}) t(j)),
+sketch AS (SELECT j, pos, CAST(count(*) AS BIGINT) AS c
+  FROM posed GROUP BY 1, 2),
+exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+  FROM toks GROUP BY 1),
+probes AS (SELECT * FROM exact WHERE n_exact >= {CMS_PROBE_MIN}
+  ORDER BY tok LIMIT {CMS_PROBES}),
+ppos AS (SELECT tok, n_exact, j,
+    ('0x' || substr(md5(tok), 1 + 8 * j, 8))::BIGINT % {CMS_W} AS pos
+  FROM probes, range({CMS_D}) t(j)),
+est AS (SELECT tok, n_exact, min(c) AS est
+  FROM ppos JOIN sketch USING (j, pos) GROUP BY 1, 2)
+SELECT tok, n_exact, CAST(est AS BIGINT) AS est,
+  CAST(est - n_exact AS BIGINT) AS overcount,
+  floor((est - n_exact) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS rel_err
+FROM est
+"""

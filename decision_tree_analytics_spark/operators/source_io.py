@@ -222,11 +222,63 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRUNE_PRIORITY = "1-URGENT"
+
+
+def partitioned_orders_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned orders fixture (partitionBy o_orderpriority,
+    written once per corpus generation) read back as a partition-aware
+    parquet source."""
+    tag = parquet_footer_tag(os.path.join(sf_dir, "orders.parquet"))
+    root = os.environ.get(_IO_ROOT_ENV, _IO_ROOT_DEFAULT)
+    path = os.path.join(root, f"orders_partitioned_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def src_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over a hive-partitioned layout — the
+    second physical-layout pillar next to src_bucketed_join: where
+    bucketing deletes the JOIN shuffle, directory partitioning
+    deletes the SCAN itself for filtered loads.  Orders are written
+    once partitionBy(o_orderpriority) (5 directories); the query
+    filters one priority and the FileSourceScan's PartitionFilters
+    prune 4/5 of the files before any IO is scheduled — at 100 TB
+    that is the difference between reading 20 TB and 100 TB.  Plan-
+    locked in tests/test_plans.py (PartitionFilters carries the
+    equality; the row-group data filters do NOT see the partition
+    column, it exists only in directory names).  The readout
+    aggregates the surviving partition by status, cents-summed
+    (rule 9), so the driver's oracle checks the pruned scan's
+    CONTENT against an unpartitioned DuckDB filter."""
+    df = partitioned_orders_frame(spark, sf_dir)
+    return (
+        df.filter(F.col("o_orderpriority") == PRUNE_PRIORITY)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)) / 100.0).alias(
+                "revenue"
+            ),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
     "src_csv_orders": src_csv_orders,
     "src_json_events": src_json_events,
     "src_orc_lineitem": src_orc_lineitem,
     "src_bucketed_join": src_bucketed_join,
+    "src_partitioned_scan": src_partitioned_scan,
 }
 
 ORACLES = {
@@ -257,5 +309,14 @@ ORACLES = {
         "      AS DOUBLE) / 100.0 AS revenue"
         " FROM orders JOIN customer ON o_custkey = c_custkey"
         " GROUP BY c_mktsegment"
+    ),
+    "src_partitioned_scan": (
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,"
+        " CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+        "      AS DOUBLE) / 100.0 AS revenue,"
+        " CAST(min(o_orderkey) AS BIGINT) AS min_key,"
+        " CAST(max(o_orderkey) AS BIGINT) AS max_key"
+        f" FROM orders WHERE o_orderpriority = '{PRUNE_PRIORITY}'"
+        " GROUP BY o_orderstatus"
     ),
 }

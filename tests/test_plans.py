@@ -813,3 +813,41 @@ def test_pit_features_single_user_shuffle(spark, sf_dir):
     assert count_shuffles(plan) == 1
     assert "Join" not in plan
     assert not has_python_eval(plan)
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    # Directory partitioning must surface as PartitionFilters on the
+    # FileSourceScan — the files of the other 4 priorities are pruned
+    # before any IO is scheduled.  The partition column lives only in
+    # directory names, so it must NOT appear among the row-group data
+    # filters.
+    from decision_tree_analytics_spark.operators import source_io as SIO
+    from decision_tree_analytics_spark.plans.inspect import formatted_plan
+
+    import pyspark.sql.functions as F
+
+    df = SIO.partitioned_orders_frame(spark, sf_dir).filter(
+        F.col("o_orderpriority") == SIO.PRUNE_PRIORITY
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert SIO.PRUNE_PRIORITY in plan
+    # the equality landed in the partition filters, not the data
+    # filters (the data files do not even contain the column)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "o_orderpriority" in pf and "1-URGENT" in pf
+    dfilters = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    if dfilters:
+        assert "o_orderpriority" not in dfilters.group(1)
+
+
+def test_entity_snm_is_vocab_bounded_two_shuffles(spark, sf_dir):
+    # Corpus-sized work is ONE mergeable groupBy shuffle; the SNM
+    # window shuffles only the vocabulary table (second exchange).
+    # Everything stays JVM-side (codegen levenshtein, no Arrow lane).
+    plan = simple_plan(R.rel_entity_snm(spark, sf_dir))
+    assert count_shuffles(plan) == 2
+    assert not has_python_eval(plan)
+    assert has_whole_stage_codegen(plan)

@@ -210,3 +210,54 @@ def test_kmv_setops_estimates_track_exact(spark, sf_dir):
             r.type_a, r.type_b, ex_u, r.est_union)
         assert abs(r.est_inter - ex_i) <= tol * max(ex_i, ex_u / 4) + 1e-9, (
             r.type_a, r.type_b, ex_i, r.est_inter)
+
+
+def test_countmin_never_underestimates_and_is_tight_here(spark, sf_dir):
+    """The CMS guarantee: est >= exact for every probe (a min of
+    counters each of which includes the token's own contributions).
+    At this corpus/width (w=1024 >> distinct tokens' collision mass)
+    the over-count should also stay small relative to the stream."""
+    from decision_tree_analytics_spark.operators.relational import (
+        rel_countmin_sketch,
+    )
+
+    rows = rel_countmin_sketch(spark, sf_dir).collect()
+    assert rows, "probe set must be non-empty at every SF"
+    for r in rows:
+        assert r.est >= r.n_exact, (r.tok, r.n_exact, r.est)
+        assert r.overcount == r.est - r.n_exact
+    # sanity: the sketch is not saturated — median rel_err under 100%
+    errs = sorted(r.rel_err for r in rows)
+    assert errs[len(errs) // 2] < 1.0
+
+
+def test_entity_snm_finds_planted_near_miss(spark, tmp_path):
+    """A one-edit name variant planted next to a frequent name must
+    surface as a (dist=1) pair with the right per-name row counts and
+    canonical keys; an unrelated name (different 2-char block) must
+    not pair with it."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from decision_tree_analytics_spark.operators.relational import (
+        rel_entity_snm,
+    )
+
+    rows = [
+        (1, "blue widget", "Brand#1", "T", 1, 1.0),
+        (2, "blue widget", "Brand#1", "T", 1, 1.0),
+        (3, "blue widgex", "Brand#1", "T", 1, 1.0),  # 1 edit away
+        (4, "red gear", "Brand#1", "T", 1, 1.0),     # different block
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    out = rel_entity_snm(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a_name, r.b_name, r.dist) == ("blue widget", "blue widgex", 1)
+    assert (r.a_rows, r.b_rows) == (2, 1)
+    assert (r.a_key, r.b_key) == (1, 3)
