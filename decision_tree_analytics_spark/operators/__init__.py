@@ -92,6 +92,8 @@ BENCH_EXTRAS = [
     "sim_srp_recall_eval",
     "graph_label_propagation",
     "ml_target_encoding",
+    "dedup_paragraph",
+    "rel_countmin_sketch",
 ]
 
 

@@ -849,3 +849,184 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
   CAST(user_id AS BIGINT) AS user_id, ts_us, n_prior, sum_prior, n_7d
 FROM feat WHERE event_type = 'purchase'
 """
+
+
+def rel_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema — the
+    cross-TABLE complement of rel_data_quality's single-table Deequ
+    checks: for every FK edge, how many child rows point at a parent
+    key that does not exist.
+
+    One pass per CHILD table, not per edge: lineitem's three FK
+    checks (orders/part/supplier) ride a single fact scan with three
+    existence left-joins whose parent sides are distinct-key
+    projections, then one conditional aggregate — the number of
+    constraints must not multiply the number of 100 TB fact scans
+    (the Deequ rule, applied across tables).  Parent key sets are
+    dimension-sized (part/supplier/customer/nation/region) or
+    key-only projections (orders), so Catalyst broadcasts where the
+    size bound allows and shuffle-joins otherwise — both correct.
+    The events.user_id→customer edge is the deliberately DIRTY one
+    (events users are synthetic and exceed the customer domain):
+    orphan accounting has to be proven on rows that actually violate.
+
+    Output: one row per FK edge — child rows, orphans, orphan ppm
+    (floor-rounded integer, rule 3/4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k_ord")
+    ).distinct()
+    pk = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k_part")
+    ).distinct()
+    sk = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k_supp")
+    ).distinct()
+    li3 = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(ok, F.col("l_orderkey") == F.col("k_ord"), "left")
+        .join(pk, F.col("l_partkey") == F.col("k_part"), "left")
+        .join(sk, F.col("l_suppkey") == F.col("k_supp"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("k_ord").isNull().cast("int")).cast("long").alias("orph_ord"),
+            F.sum(F.col("k_part").isNull().cast("int")).cast("long").alias("orph_part"),
+            F.sum(F.col("k_supp").isNull().cast("int")).cast("long").alias("orph_supp"),
+        )
+        .select(
+            F.expr(
+                "stack(3,"
+                " 'lineitem.l_orderkey->orders', n, orph_ord,"
+                " 'lineitem.l_partkey->part', n, orph_part,"
+                " 'lineitem.l_suppkey->supplier', n, orph_supp"
+                ") AS (edge, n_child, n_orphans)"
+            )
+        )
+    )
+
+    def edge(child: str, ckey: str, parent: str, pkey: str) -> DataFrame:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("pk")
+        ).distinct()
+        return (
+            c.join(p, F.col("ck") == F.col("pk"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.col("pk").isNull().cast("int"))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(f"{child}.{ckey}->{parent}").alias("edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+
+    rows = li3
+    for e in [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]:
+        rows = rows.unionByName(edge(*e))
+    # Planted-violation control: the same orders→customer edge checked
+    # against the even-key HALF of the dimension (a soft-delete /
+    # late-arriving-dimension stand-in).  Roughly half the children
+    # must orphan, so the audit's nonzero accounting path is
+    # hash-verified at every SF — a clean corpus would otherwise let a
+    # broken orphan counter pass as all-zeros.
+    oc = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ck"))
+    ch = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("pk"))
+        .distinct()
+    )
+    control = (
+        oc.join(ch, F.col("ck") == F.col("pk"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col("pk").isNull().cast("int")).cast("long").alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders.o_custkey->customer[even-half control]").alias("edge"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    rows = rows.unionByName(control)
+    return rows.select(
+        "edge",
+        "n_child",
+        "n_orphans",
+        F.floor(F.col("n_orphans") / F.col("n_child").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("orphan_ppm"),
+    )
+
+
+QUERIES["rel_fk_integrity"] = rel_fk_integrity
+ORACLES["rel_fk_integrity"] = """
+WITH li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orph_ord,
+    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orph_part,
+    CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS orph_supp
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
+  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+    ON l.l_suppkey = s.s_suppkey),
+e AS (
+  SELECT 'lineitem.l_orderkey->orders' AS edge, n AS n_child,
+         orph_ord AS n_orphans FROM li
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', n, orph_part FROM li
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', n, orph_supp FROM li
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN nn.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer cu LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) nn
+    ON cu.c_nationkey = nn.n_nationkey
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN nn.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM supplier su LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) nn
+    ON su.s_nationkey = nn.n_nationkey
+  UNION ALL
+  SELECT 'nation.n_regionkey->region', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM nation na LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+    ON na.n_regionkey = r.r_regionkey
+  UNION ALL
+  SELECT 'events.user_id->customer', CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events ev LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON ev.user_id = c.c_custkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer[even-half control]',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN
+    (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 2 = 0) c
+    ON o.o_custkey = c.c_custkey)
+SELECT edge, n_child, n_orphans,
+  CAST(floor(n_orphans / CAST(n_child AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+    AS orphan_ppm
+FROM e
+"""

@@ -315,3 +315,82 @@ j AS (SELECT coalesce(t_new, t_old) AS event_type,
 SELECT event_type, change, CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY 1, 2
 """
+
+
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — the Kafka-log-compaction / CDC-feed
+    primitive that cdc_merge_upsert's single-batch merge doesn't
+    cover: a key receives MANY ops over time and the consumer wants
+    the compacted final state plus per-key change stats.
+
+    The changelog is derived from events (key = user_id, op mapped
+    from event_type: signup→I, error→D tombstone, rest→U; sequence =
+    (ts, event_id) with the unique event_id tie-break, rule 5).
+    Everything computes in ONE shuffle: the row_number that picks the
+    last op and the per-key count/delete windows all share the same
+    user_id partitioning, so Catalyst plans a single exchange feeding
+    stacked window operators.  A tombstoned key reports alive=0 — the
+    compacted table's delete semantics.
+
+    At 100 TB this is the standard 'replay the feed into a snapshot'
+    job: one hash partition of the log by key, no join against the
+    (possibly huge) prior snapshot needed because compaction is
+    self-contained per key.  Reference parity: the reference's
+    row-level keep-first contract (SURVEY Q16/Q24) generalized to
+    keep-LAST with op semantics."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    wseq = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wall = Window.partitionBy("user_id")
+    x = (
+        ev.withColumn("rn", F.row_number().over(wseq))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn(
+            "n_deletes",
+            F.sum((F.col("op") == "D").cast("int")).over(wall).cast("long"),
+        )
+    )
+    return x.filter(F.col("rn") == 1).select(
+        "user_id",
+        "n_ops",
+        "n_deletes",
+        F.col("op").alias("last_op"),
+        F.when(F.col("op") == "D", 0).otherwise(1).cast("long").alias("alive"),
+        F.col("event_id").cast("long").alias("last_event_id"),
+        (F.floor(F.col("value") * 1e6 + 0.5) / 1e6).alias("last_value"),
+    )
+
+
+QUERIES["cdc_changelog_compact"] = cdc_changelog_compact
+ORACLES["cdc_changelog_compact"] = """
+WITH ev AS (SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'signup' THEN 'I'
+         WHEN event_type = 'error' THEN 'D'
+         ELSE 'U' END AS op,
+    value
+  FROM events),
+x AS (SELECT user_id, op, value, event_id,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops,
+    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+  FROM ev)
+SELECT user_id, n_ops, n_deletes, op AS last_op,
+  CAST(CASE WHEN op = 'D' THEN 0 ELSE 1 END AS BIGINT) AS alive,
+  CAST(event_id AS BIGINT) AS last_event_id,
+  floor(value * 1e6 + 0.5) / 1e6 AS last_value
+FROM x WHERE rn = 1
+"""

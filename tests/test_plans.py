@@ -851,3 +851,14 @@ def test_entity_snm_is_vocab_bounded_two_shuffles(spark, sf_dir):
     assert count_shuffles(plan) == 2
     assert not has_python_eval(plan)
     assert has_whole_stage_codegen(plan)
+
+
+def test_changelog_compact_single_exchange(spark, sf_dir):
+    # The row_number + count + sum windows all partition by user_id —
+    # Catalyst must stack them on ONE exchange (replaying a changelog
+    # into a snapshot is a single hash partition of the log by key).
+    from decision_tree_analytics_spark.operators import cdc as C
+
+    plan = simple_plan(C.cdc_changelog_compact(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert not has_python_eval(plan)
