@@ -503,33 +503,21 @@ IVF_SEED_STEP = 7  # vec_id % STEP == 0 picks the seed sample
 IVF_NPROBE = 4  # cells searched per probe
 
 
-def sim_ivf_oracled(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """IVF ANN with a fully DuckDB-replayable index build — the
-    hash-verified successor to ``sim_ivf_topk`` (whose engine-seeded
-    KMeans forces a rows-only check).  Same IVF shape, deterministic
-    construction:
+def _ivf_l2(vec: str, cen: str) -> Column:
+    """Unrolled codegen L2 over the 64 dims, rounded 1e-6 (rule 9) —
+    shared by the inline and snapshot-backed IVF paths."""
+    terms = [
+        (F.col(vec)[j] - F.col(cen)[j]) * (F.col(vec)[j] - F.col(cen)[j])
+        for j in range(DIM)
+    ]
+    return _round6(sum(terms[1:], terms[0]))
 
-    * seed cells with a content-derived corpus sample (``vec_id %
-      IVF_SEED_STEP == 0``, capped at IVF_CELLS — the sampled-init
-      codebook pattern of sim_pq_topk);
-    * ONE Lloyd refinement step, unrolled: assign every vector to its
-      nearest seed, recompute cell means;
-    * re-assign against the refined centroids → the inverted lists;
-    * per probe, rank cells by centroid distance, search only the
-      IVF_NPROBE nearest cells, exact-cosine top-k inside them.
 
-    Distances are UNROLLED codegen arithmetic over the 64 dims (no
-    higher-order functions in the hot path — measured ~2× slower
-    interpreted), rounded 1e-6 before every argmin/rank with the cell
-    id as tie-break, so assignment and probing are identical
-    cross-engine.  Scale: each assignment pass is a broadcast of the
-    16-row centroid table + ONE shuffle whose map-side partial min
-    collapses the 16 candidates per vector before the exchange;
-    search touches n_probe/n_cells of the corpus.  At 100 TB the
-    build is a one-off job persisted as a (vec_id, cell) table (the
-    component_labels_snapshot pattern); here it runs inline."""
-    from pyspark.sql import Window
-
+def _ivf_build(spark: SparkSession, sf_dir: str):
+    """The deterministic IVF index build (seed sample → one unrolled
+    Lloyd step → re-assign), extracted so sim_ivf_oracled (inline)
+    and sim_ivf_snapshot (persisted) construct the IDENTICAL index.
+    Returns (emb persisted, refined centroids, assignments)."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _vecd("embedding").alias("v"))
@@ -540,13 +528,6 @@ def sim_ivf_oracled(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         & (F.col("vec_id") < IVF_SEED_STEP * IVF_CELLS)
     ).select(F.col("vec_id").alias("aid"), F.col("v").alias("cv"))
 
-    def l2(vec: str, cen: str) -> Column:
-        terms = [
-            (F.col(vec)[j] - F.col(cen)[j]) * (F.col(vec)[j] - F.col(cen)[j])
-            for j in range(DIM)
-        ]
-        return _round6(sum(terms[1:], terms[0]))
-
     def assign(cent: DataFrame) -> DataFrame:
         # nearest-cell argmin: conditional min(struct(d, aid)) per
         # vector — partial agg collapses the |cells| rows map-side.
@@ -556,7 +537,7 @@ def sim_ivf_oracled(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
                 "vec_id",
                 "v",
                 F.struct(
-                    l2("v", "cv").alias("d"), F.col("aid").alias("aid")
+                    _ivf_l2("v", "cv").alias("d"), F.col("aid").alias("aid")
                 ).alias("e"),
             )
             .groupBy("vec_id")
@@ -581,12 +562,44 @@ def sim_ivf_oracled(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         .select(F.col("cluster").alias("aid"), "cv")
     )
     a2 = assign(cent2)
+    return emb, cent2, a2
+
+
+def sim_ivf_oracled(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """IVF ANN with a fully DuckDB-replayable index build — the
+    hash-verified successor to ``sim_ivf_topk`` (whose engine-seeded
+    KMeans forces a rows-only check).  Same IVF shape, deterministic
+    construction:
+
+    * seed cells with a content-derived corpus sample (``vec_id %
+      IVF_SEED_STEP == 0``, capped at IVF_CELLS — the sampled-init
+      codebook pattern of sim_pq_topk);
+    * ONE Lloyd refinement step, unrolled: assign every vector to its
+      nearest seed, recompute cell means;
+    * re-assign against the refined centroids → the inverted lists;
+    * per probe, rank cells by centroid distance, search only the
+      IVF_NPROBE nearest cells, exact-cosine top-k inside them.
+
+    Distances are UNROLLED codegen arithmetic over the 64 dims (no
+    higher-order functions in the hot path — measured ~2× slower
+    interpreted), rounded 1e-6 before every argmin/rank with the cell
+    id as tie-break, so assignment and probing are identical
+    cross-engine.  Scale: each assignment pass is a broadcast of the
+    16-row centroid table + ONE shuffle whose map-side partial min
+    collapses the 16 candidates per vector before the exchange;
+    search touches n_probe/n_cells of the corpus.  At 100 TB the
+    build is a one-off job persisted as a (vec_id, cell) table (the
+    component_labels_snapshot pattern) — sim_ivf_snapshot IS that
+    variant; here it runs inline."""
+    from pyspark.sql import Window
+
+    emb, cent2, a2 = _ivf_build(spark, sf_dir)
 
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
     pc = probes.crossJoin(F.broadcast(cent2)).select(
-        "probe_id", "pv", "aid", l2("pv", "cv").alias("d")
+        "probe_id", "pv", "aid", _ivf_l2("pv", "cv").alias("d")
     )
     wc = Window.partitionBy("probe_id").orderBy("d", "aid")
     chosen = (
@@ -596,6 +609,117 @@ def sim_ivf_oracled(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
     cands = chosen.join(a2, "cluster").filter(
         F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _round6(
+            _dot(F.col("pv"), F.col("v")) / (_norm(F.col("pv")) * _norm(F.col("v")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    result = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+    return tether_cache(result, emb)
+
+
+def _ivf_index_snapshot(spark: SparkSession, sf_dir: str):
+    """Read-or-build the PERSISTED IVF index: assignments
+    (vec_id, cluster) and centroids (aid, cv) as two SnapshotTables
+    keyed on the embeddings parquet-footer md5 (the
+    component_labels_snapshot identity — content-derived,
+    object-storage-safe).  Audit before publish: every vector
+    assigned exactly once, no assignment pointing at a missing
+    centroid.  A crash between the two publishes self-heals: the
+    reader needs BOTH tables, so a half-published index misses and
+    rebuilds (publish is atomic per table)."""
+    import os
+
+    from decision_tree_analytics_spark.sources.snapshots import (
+        NoPublishedSnapshot,
+        SnapshotTable,
+        snapshot_root,
+    )
+    from decision_tree_analytics_spark.sources.tables import parquet_footer_tag
+
+    tag = parquet_footer_tag(os.path.join(sf_dir, "embeddings.parquet"))
+    at = SnapshotTable(spark, os.path.join(snapshot_root(), f"ivf_assign_{tag}"))
+    ct = SnapshotTable(spark, os.path.join(snapshot_root(), f"ivf_cent_{tag}"))
+    try:
+        return at.read(), ct.read()
+    except NoPublishedSnapshot:
+        pass
+    emb, cent2, a2 = _ivf_build(spark, sf_dir)
+    assignments = a2.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+    n_emb = emb.count()
+    n_a, n_d = assignments.agg(
+        F.count(F.lit(1)), F.countDistinct("vec_id")
+    ).first()
+    if not (n_a == n_d == n_emb):
+        raise RuntimeError(
+            f"IVF assignment audit failed: {n_a} rows / {n_d} distinct "
+            f"vec_ids for {n_emb} vectors"
+        )
+    orphans = (
+        assignments.select("cluster")
+        .distinct()
+        .join(
+            cent2.select(F.col("aid").alias("cluster")), "cluster", "left_anti"
+        )
+        .count()
+    )
+    if orphans:
+        raise RuntimeError(f"IVF centroid audit failed: {orphans} orphan cells")
+    sa = at.overwrite(assignments, publish=False)
+    at.publish(sa)
+    sc = ct.overwrite(cent2, publish=False)
+    ct.publish(sc)
+    emb.unpersist()
+    return at.read(), ct.read()
+
+
+def sim_ivf_snapshot(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """sim_ivf_oracled's probe search over the PERSISTED index — the
+    production ANN shape at 100 TB: the index build (two assignment
+    passes over every vector) is paid ONCE per corpus generation and
+    published write-audit-publish; every search session reads the
+    (vec_id, cluster) lists + 16-row centroid table and touches only
+    nprobe/ncells of the corpus, re-joining candidate vectors by key.
+    Same deterministic index, same probes, same output as
+    sim_ivf_oracled — the oracle string is literally shared, which is
+    itself the check that persistence changed the COST, not the
+    answer."""
+    from pyspark.sql import Window
+
+    assignments, cent = _ivf_index_snapshot(spark, sf_dir)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _vecd("embedding").alias("v"))
+        .persist()  # probes + candidate-vector re-join
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    pc = probes.crossJoin(F.broadcast(cent)).select(
+        "probe_id", "pv", "aid", _ivf_l2("pv", "cv").alias("d")
+    )
+    wc = Window.partitionBy("probe_id").orderBy("d", "aid")
+    chosen = (
+        pc.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= IVF_NPROBE)
+        .select("probe_id", "pv", F.col("aid").alias("cluster"))
+    )
+    cands = (
+        chosen.join(assignments, "cluster")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(emb, "vec_id")
     )
     scored = cands.select(
         "probe_id",
@@ -958,6 +1082,10 @@ WHERE rank <= 5
 
 
 ORACLES["sim_ivf_oracled"] = _ivf_oracle()
+QUERIES["sim_ivf_snapshot"] = sim_ivf_snapshot
+# Literally the same oracle: persistence must change the cost, not
+# the answer.
+ORACLES["sim_ivf_snapshot"] = _ivf_oracle()
 
 
 SWEEP_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)

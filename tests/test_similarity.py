@@ -139,3 +139,27 @@ def test_ivf_oracled_recall_against_brute_force(spark, sf_dir):
         len(approx.get(p, set()) & want) / len(want) for p, want in exact.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_ivf_snapshot_matches_inline_and_reuses(spark, sf_dir, tmp_path, monkeypatch):
+    """sim_ivf_snapshot must equal sim_ivf_oracled exactly, and a
+    second call must READ the published index (exactly one snapshot
+    id in each of the two index tables after two calls)."""
+    import os
+
+    from decision_tree_analytics_spark.operators.similarity import (
+        sim_ivf_oracled,
+        sim_ivf_snapshot,
+    )
+    from decision_tree_analytics_spark.sources.snapshots import SnapshotTable
+
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    first = sim_ivf_snapshot(spark, sf_dir)
+    assert rows(first) == rows(sim_ivf_oracled(spark, sf_dir))
+    assert rows(sim_ivf_snapshot(spark, sf_dir)) == rows(first)
+    dirs = sorted(os.listdir(tmp_path / "snaps"))
+    assert len(dirs) == 2  # assignments + centroids
+    for d in dirs:
+        t = SnapshotTable(spark, str(tmp_path / "snaps" / d))
+        assert t.snapshot_ids() == [1]  # second call reused
