@@ -94,6 +94,7 @@ BENCH_EXTRAS = [
     "ml_target_encoding",
     "dedup_paragraph",
     "rel_countmin_sketch",
+    "sim_ivf_snapshot",
 ]
 
 
