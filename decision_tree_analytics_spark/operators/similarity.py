@@ -739,6 +739,90 @@ def sim_ivf_snapshot(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     return tether_cache(result, emb)
 
 
+IVF_DELTA_MOD = 10  # vec_id % MOD == RES is the arriving delta slice
+IVF_DELTA_RES = 9
+
+
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE under corpus growth — the missing third
+    leg of the ANN lifecycle (build: sim_ivf_oracled, serve:
+    sim_ivf_snapshot, maintain: here).  The corpus is split into a
+    base (``vec_id % IVF_DELTA_MOD != IVF_DELTA_RES``, 90%) and an
+    arriving delta (10%); the index (seeds → one Lloyd step →
+    re-assign) is built on the BASE ONLY, then the delta is assigned
+    against the frozen base centroids — no Lloyd re-run, no touch of
+    existing assignments.  Output: per-cell occupancy before/after
+    (cluster, n_base, n_delta), the readout an operator watches to
+    decide when drift warrants a full rebuild (sim_centroid_drift is
+    the companion monitor).
+
+    Scale: at 100 TB growth lands as new files; maintenance is ONE
+    pass over the delta × a broadcast of the 16-row centroid table
+    (map-side partial min collapses candidates before the exchange),
+    then an append to the snapshot index — the dedup_incremental
+    pattern applied to ANN.  The base build here runs inline so the
+    whole pipeline stays DuckDB-replayable; in production it reads
+    the published sim_ivf_snapshot tables."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _vecd("embedding").alias("v"))
+        .persist()  # 2 base assignment passes + 1 delta pass
+    )
+    is_delta = F.col("vec_id") % IVF_DELTA_MOD == IVF_DELTA_RES
+    base = emb.filter(~is_delta)
+    delta = emb.filter(is_delta)
+    seeds = base.filter(
+        (F.col("vec_id") % IVF_SEED_STEP == 0)
+        & (F.col("vec_id") < IVF_SEED_STEP * IVF_CELLS)
+    ).select(F.col("vec_id").alias("aid"), F.col("v").alias("cv"))
+
+    def assign(rows: DataFrame, cent: DataFrame) -> DataFrame:
+        return (
+            rows.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                F.struct(
+                    _ivf_l2("v", "cv").alias("d"), F.col("aid").alias("aid")
+                ).alias("e"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min("e")["aid"].alias("cluster"),
+                F.first("v").alias("v"),
+            )
+        )
+
+    a1 = assign(base, seeds)
+    cent2 = (
+        a1.select("cluster", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "cx"))),
+                lambda s: s.getField("cx"),
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("aid"), "cv")
+    )
+    a2 = assign(base, cent2)
+    a3 = assign(delta, cent2)
+    nb = a2.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base")
+    )
+    nd = a3.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta")
+    )
+    result = nb.join(nd, "cluster", "full_outer").select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+    )
+    return tether_cache(result, emb)
+
+
 def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space label-quality scoring: Euclidean distance of
     each vector to its label's centroid, flagging outliers (dist >
@@ -1086,6 +1170,52 @@ QUERIES["sim_ivf_snapshot"] = sim_ivf_snapshot
 # Literally the same oracle: persistence must change the cost, not
 # the answer.
 ORACLES["sim_ivf_snapshot"] = _ivf_oracle()
+
+
+def _ivf_incremental_oracle() -> str:
+    """Replays the base-only build, then the frozen-centroid delta
+    assignment, then the per-cell occupancy counts.  Same rounding /
+    tie-break discipline as _ivf_oracle."""
+    return f"""
+WITH e AS ({_SQL_EXPLODED}),
+base AS (SELECT * FROM e
+  WHERE vec_id % {IVF_DELTA_MOD} <> {IVF_DELTA_RES}),
+delta AS (SELECT * FROM e
+  WHERE vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_RES}),
+seeds AS (SELECT vec_id AS aid, i, x FROM base
+  WHERE vec_id % {IVF_SEED_STEP} = 0
+    AND vec_id < {IVF_SEED_STEP * IVF_CELLS}),
+d1 AS (SELECT b.vec_id, s.aid,
+    floor(sum((b.x - s.x) * (b.x - s.x)) * 1e6 + 0.5) / 1e6 AS d
+  FROM base b JOIN seeds s ON s.i = b.i GROUP BY 1, 2),
+a1 AS (SELECT vec_id, aid FROM (SELECT vec_id, aid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, aid) AS rn FROM d1)
+  WHERE rn = 1),
+c2 AS (SELECT a1.aid, b.i, avg(b.x) AS cx
+  FROM base b JOIN a1 USING (vec_id) GROUP BY 1, 2),
+d2 AS (SELECT b.vec_id, c.aid,
+    floor(sum((b.x - c.cx) * (b.x - c.cx)) * 1e6 + 0.5) / 1e6 AS d
+  FROM base b JOIN c2 c ON c.i = b.i GROUP BY 1, 2),
+a2 AS (SELECT vec_id, aid FROM (SELECT vec_id, aid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, aid) AS rn FROM d2)
+  WHERE rn = 1),
+d3 AS (SELECT t.vec_id, c.aid,
+    floor(sum((t.x - c.cx) * (t.x - c.cx)) * 1e6 + 0.5) / 1e6 AS d
+  FROM delta t JOIN c2 c ON c.i = t.i GROUP BY 1, 2),
+a3 AS (SELECT vec_id, aid FROM (SELECT vec_id, aid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, aid) AS rn FROM d3)
+  WHERE rn = 1),
+nb AS (SELECT aid, count(*) AS n FROM a2 GROUP BY aid),
+nd AS (SELECT aid, count(*) AS n FROM a3 GROUP BY aid)
+SELECT CAST(COALESCE(nb.aid, nd.aid) AS BIGINT) AS cluster,
+  CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_base,
+  CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_delta
+FROM nb FULL OUTER JOIN nd ON nb.aid = nd.aid
+"""
+
+
+QUERIES["sim_ivf_incremental"] = sim_ivf_incremental
+ORACLES["sim_ivf_incremental"] = _ivf_incremental_oracle()
 
 
 SWEEP_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)

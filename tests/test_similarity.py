@@ -163,3 +163,29 @@ def test_ivf_snapshot_matches_inline_and_reuses(spark, sf_dir, tmp_path, monkeyp
     for d in dirs:
         t = SnapshotTable(spark, str(tmp_path / "snaps" / d))
         assert t.snapshot_ids() == [1]  # second call reused
+
+
+def test_ivf_incremental_conserves_and_stays_frozen(spark, sf_dir):
+    """Every base and every delta vector lands in exactly one cell
+    (occupancy totals equal the slice sizes), and every cell is a
+    base seed id — the delta can never mint a new centroid."""
+    from decision_tree_analytics_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_DELTA_MOD,
+        IVF_DELTA_RES,
+        IVF_SEED_STEP,
+        sim_ivf_incremental,
+    )
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    rows = sim_ivf_incremental(spark, sf_dir).collect()
+    ids = [r.vec_id for r in load_table(spark, sf_dir, "embeddings").select("vec_id").collect()]
+    n_delta = sum(1 for i in ids if i % IVF_DELTA_MOD == IVF_DELTA_RES)
+    assert sum(r.n_base for r in rows) == len(ids) - n_delta
+    assert sum(r.n_delta for r in rows) == n_delta
+    seed_ids = {
+        i for i in ids
+        if i % IVF_SEED_STEP == 0 and i < IVF_SEED_STEP * IVF_CELLS
+        and i % IVF_DELTA_MOD != IVF_DELTA_RES
+    }
+    assert {r.cluster for r in rows} <= seed_ids
