@@ -2088,3 +2088,146 @@ SELECT tok, n_exact, CAST(est AS BIGINT) AS est,
     AS rel_err
 FROM est
 """
+
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers — error ~1.04/sqrt(m) ≈ 4.6%
+HLL_WBITS = 52 - HLL_P  # value bits left of the 52-bit md5 prefix
+HLL_RHO_CAP = HLL_WBITS + 1  # rho when every value bit is zero
+_HLL_P50 = 1 << 50  # integer register-sum scale: term = 2^(50 - rho)
+
+
+def rel_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count per event_type — the
+    order-INDEPENDENT sibling of rel_kmv_distinct and the portable
+    replacement for q14's engine-seeded approx_count_distinct.
+
+    Each distinct user hashes (content-derived md5, rule 6) to a
+    52-bit value; the low HLL_P bits pick one of m=512 registers and
+    rho = 1 + leading-zero count of the remaining 43 bits (computed
+    as an unrolled chain of integer comparisons — log2() would be
+    ulp-unsafe, CLAUDE.md rule 10).  The register table is
+    max(rho) per (group, register): max is commutative/associative,
+    so shards build partials map-side and corpus union is elementwise
+    max — the canonical mergeable sketch for 100 TB rollups, at most
+    m rows per group regardless of corpus size.  The harmonic sum is
+    kept EXACT as the integer  S = Σ 2^(50-rho)  (BIGINT, ≤ 2^59), so
+    the estimate is one deterministic double division — no float
+    accumulation order anywhere (rule 9).  Small-range branch: when
+    raw E ≤ 2.5m and empty registers remain, linear counting
+    m·ln(m/V) takes over (nullif-guarded per rule 8; the branch
+    condition compares identical doubles on both engines).
+
+    Output per event_type: exact distinct, registers hit, the HLL
+    estimate, and measured |est-exact|/exact — the accuracy readout.
+
+    Scale: one distinct shuffle (shared shape with rel_kmv_distinct)
+    + one ≤ |types|·m register aggregate; everything after operates
+    on sketch rows only."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()  # feeds both the register build and exact truth
+    )
+    h = d.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    b = h.select(
+        "event_type",
+        (F.col("hv") % HLL_M).alias("idx"),
+        F.expr(f"hv div {HLL_M}").alias("w"),
+    )
+    bits = [
+        F.when(F.col("w") >= (1 << j), 1).otherwise(0)
+        for j in range(HLL_WBITS)
+    ]
+    bitlen = sum(bits[1:], bits[0])
+    regs = (
+        b.select("event_type", "idx", (F.lit(HLL_RHO_CAP) - bitlen).alias("rho"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(50) - F.col("r")).cast("long")
+        )
+        .cast("long")
+        .alias("s_hit"),
+    )
+    exact = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(512.0))
+    s_total = F.col("s_hit") + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(_HLL_P50)
+    e_raw = (
+        alpha
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(_HLL_P50))
+        / s_total.cast("double")
+    )
+    v = F.lit(HLL_M) - F.col("n_hit")
+    lin = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.nullif(v.cast("double"), F.lit(0.0))
+    )
+    est = F.when((e_raw <= F.lit(2.5 * HLL_M)) & (v > 0), lin).otherwise(e_raw)
+    est_r = F.floor(est * 1e6 + 0.5) / 1e6
+    joined = per.join(exact, "event_type")
+    result = joined.select(
+        "event_type",
+        "n_exact",
+        "n_hit",
+        est_r.alias("est_hll"),
+        (
+            F.floor(
+                F.abs(est_r - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("rel_err"),
+    )
+    return tether_cache(result, d)
+
+
+_HLL_BITLEN_SQL = " + ".join(
+    f"(CASE WHEN w >= {1 << j} THEN 1 ELSE 0 END)" for j in range(HLL_WBITS)
+)
+
+QUERIES["rel_hll_sketch"] = rel_hll_sketch
+ORACLES["rel_hll_sketch"] = f"""
+WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid
+  FROM events),
+h AS (SELECT event_type, ('0x' || substr(md5(uid), 1, 13))::BIGINT AS hv
+  FROM d),
+b AS (SELECT event_type, hv % {HLL_M} AS idx, hv // {HLL_M} AS w FROM h),
+r AS (SELECT event_type, idx, max({HLL_RHO_CAP} - ({_HLL_BITLEN_SQL})) AS r
+  FROM b GROUP BY 1, 2),
+per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hit,
+    CAST(sum(CAST(pow(2, 50 - r) AS BIGINT)) AS BIGINT) AS s_hit
+  FROM r GROUP BY 1),
+exact AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+  FROM d GROUP BY 1),
+c AS (SELECT event_type, n_exact, n_hit,
+    (7.213e-1 / (1e0 + 1.079e0 / 5.12e2)) * 2.62144e5
+      * 1.125899906842624e15
+      / CAST(s_hit + ({HLL_M} - n_hit) * {_HLL_P50} AS DOUBLE) AS e_raw,
+    {HLL_M} - n_hit AS v
+  FROM per JOIN exact USING (event_type)),
+est AS (SELECT event_type, n_exact, n_hit,
+    floor((CASE WHEN e_raw <= 1.28e3 AND v > 0
+      THEN 5.12e2 * ln(5.12e2 / nullif(CAST(v AS DOUBLE), 0e0))
+      ELSE e_raw END) * 1e6 + 0.5) / 1e6 AS est_hll
+  FROM c)
+SELECT event_type, n_exact, n_hit, est_hll,
+  floor(abs(est_hll - n_exact) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS rel_err
+FROM est
+"""

@@ -261,3 +261,27 @@ def test_entity_snm_finds_planted_near_miss(spark, tmp_path):
     assert (r.a_name, r.b_name, r.dist) == ("blue widget", "blue widgex", 1)
     assert (r.a_rows, r.b_rows) == (2, 1)
     assert (r.a_key, r.b_key) == (1, 3)
+
+
+def test_hll_estimate_tracks_exact_distinct(spark, sf_dir):
+    """The HLL estimate must land within the m=512 error envelope of
+    the exact distinct count for every event_type, use at most m
+    registers, and report a rel_err consistent with its own columns."""
+    import pytest
+
+    from decision_tree_analytics_spark.operators.relational import (
+        HLL_M,
+        rel_hll_sketch,
+    )
+
+    rows = rel_hll_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_hit <= HLL_M
+        assert r.n_hit <= r.n_exact
+        # 1.04/sqrt(512) ~ 4.6% asymptotic; linear counting is tighter
+        # at small cardinality.  3-sigma-ish envelope:
+        assert r.rel_err <= 0.15, (r.event_type, r.rel_err)
+        assert abs(r.est_hll - r.n_exact) / r.n_exact == pytest.approx(
+            r.rel_err, abs=1e-6
+        )
