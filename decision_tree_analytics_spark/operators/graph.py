@@ -342,3 +342,95 @@ ORACLES["graph_label_propagation"] = (
     " CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size"
     f" FROM l{LPA_ROUNDS}"
 )
+
+
+AA_DEG_CAP = 8  # parts bought by more customers are skipped (hubs)
+AA_TOPK = 50
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the customer–part co-purchase bipartite
+    graph: Adamic–Adar score for customer pairs,
+    AA(a,b) = Σ_{shared part p} 1/ln(deg(p)), surfaced as the top
+    AA_TOPK predicted links.
+
+    Scale design, in order of importance:
+
+    * **Hub cap**: pairs are generated ONLY through parts with
+      2 ≤ degree ≤ AA_DEG_CAP.  Pair fan-out per part is bounded at
+      C(cap,2)=28 rows, so the candidate set is O(|parts|·cap²), not
+      the quadratic blowup a popular part would cause — and the cap
+      is semantically faithful to Adamic–Adar, whose 1/ln(deg)
+      weighting already sends hub contributions toward zero (the
+      rare shared purchase is the informative one).
+    * **Integer scoring**: each part contributes
+      floor(1e6/ln(deg)+0.5) micro-units (BIGINT), so the per-pair
+      sum is order-independent — no float accumulation anywhere
+      (rule 9); ln's argument is an integer ≥ 2, so no guard needed.
+    * **Top-K**: orderBy+limit compiles to TakeOrderedAndProject
+      (per-partition top-K, no global sort); rank is computed on the
+      50 surviving rows with the unique (cust_a, cust_b) tie-break
+      (rule 5).
+
+    The distinct edge list is persisted — degree, and both sides of
+    the pair self-join, read it (three scans of the orders⋈lineitem
+    join otherwise; no cross-branch exchange reuse in Catalyst)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("part").agg(F.count(F.lit(1)).alias("d"))
+    ok = deg.filter((F.col("d") >= 2) & (F.col("d") <= AA_DEG_CAP))
+    term = F.floor(F.lit(1e6) / F.log(F.col("d").cast("double")) + 0.5).cast(
+        "long"
+    )
+    cand = e.join(ok, "part").select("part", "cust", term.alias("t"))
+    a = cand.select("part", F.col("cust").alias("ca"), "t")
+    b = cand.select("part", F.col("cust").alias("cb"))
+    pairs = a.join(b, "part").filter(F.col("ca") < F.col("cb"))
+    scores = pairs.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("t").cast("long").alias("score_micro"),
+    )
+    top = scores.orderBy(
+        F.col("score_micro").desc(), F.col("ca").asc(), F.col("cb").asc()
+    ).limit(AA_TOPK)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score_micro").desc(), "ca", "cb")
+    result = top.select(
+        F.col("ca").cast("long").alias("cust_a"),
+        F.col("cb").cast("long").alias("cust_b"),
+        "n_common",
+        "score_micro",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return tether_cache(result, e)
+
+
+QUERIES["graph_adamic_adar"] = graph_adamic_adar
+ORACLES["graph_adamic_adar"] = f"""
+WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT part, count(*) AS d FROM e GROUP BY part),
+ok AS (SELECT part, CAST(floor(1e6 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)
+    AS t
+  FROM deg WHERE d >= 2 AND d <= {AA_DEG_CAP}),
+cand AS (SELECT e.part, e.cust, ok.t FROM e JOIN ok USING (part)),
+pairs AS (SELECT a.cust AS ca, b.cust AS cb, a.t
+  FROM cand a JOIN cand b ON a.part = b.part AND a.cust < b.cust),
+scores AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS n_common,
+    CAST(sum(t) AS BIGINT) AS score_micro
+  FROM pairs GROUP BY 1, 2)
+SELECT CAST(ca AS BIGINT) AS cust_a, CAST(cb AS BIGINT) AS cust_b,
+  n_common, score_micro,
+  CAST(row_number() OVER (ORDER BY score_micro DESC, ca, cb) AS BIGINT)
+    AS rank
+FROM scores
+ORDER BY score_micro DESC, ca, cb
+LIMIT {AA_TOPK}
+"""

@@ -1,0 +1,36 @@
+"""Structural checks for the link-prediction operator (the other
+graph queries are covered by plan locks + oracles)."""
+
+from __future__ import annotations
+
+
+def test_adamic_adar_planted_links_and_hub_cap(spark, tmp_path):
+    """Two customers sharing two rare parts must outrank a pair
+    sharing one; customers connected ONLY through a hub part (degree
+    over the cap) must not pair at all."""
+    from decision_tree_analytics_spark.operators.graph import (
+        AA_DEG_CAP,
+        graph_adamic_adar,
+    )
+
+    purchases = (
+        [(1, 101), (2, 101)]  # rare part 101: custs 1,2
+        + [(1, 102), (2, 102)]  # rare part 102: custs 1,2 again
+        + [(3, 103), (4, 103)]  # rare part 103: custs 3,4
+        + [(c, 999) for c in range(1, AA_DEG_CAP + 3)]  # hub part
+    )
+    orders = [(i, c) for i, (c, _) in enumerate(purchases)]
+    lines = [(i, p) for i, (_, p) in enumerate(purchases)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    rows = {(r.cust_a, r.cust_b): r for r in graph_adamic_adar(spark, d).collect()}
+    assert set(rows) == {(1, 2), (3, 4)}  # hub minted no pairs
+    assert rows[(1, 2)].n_common == 2 and rows[(3, 4)].n_common == 1
+    assert rows[(1, 2)].score_micro == 2 * rows[(3, 4)].score_micro
+    assert rows[(1, 2)].rank == 1 and rows[(3, 4)].rank == 2
