@@ -407,3 +407,131 @@ ORACLES = {
     "sim_hybrid_rrf": _HYBRID_SQL,
     "sim_mmr_rerank": _mmr_oracle(),
 }
+
+
+# NDCG position discounts as INTEGER micro-unit literals, computed
+# once in Python — both engines consume identical constants, so no
+# libm log2 enters either plan (the rel_entropy ulp concern, solved
+# by construction).
+import math as _math
+
+NDCG_DEPTH = 10
+NDCG_KS = (1, 3, 5, 10)
+_NDCG_DISC = {
+    i: int(_math.floor(1e6 / _math.log2(i + 1) + 0.5))
+    for i in range(1, NDCG_DEPTH + 1)
+}
+
+
+def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval for the retrieval family: NDCG@k of the
+    BM25 top-10 against a content-derived graded relevance (rel(d) =
+    number of distinct query terms d contains, 0..4) — the metric a
+    pipeline owner tracks when tuning k1/b or swapping rankers, next
+    to sim_srp_recall_eval's ANN recall.
+
+    Determinism: gains are integers (2^rel − 1 ≤ 15), the position
+    discounts are the precomputed micro-unit literals above, so DCG
+    and IDCG are exact BIGINT sums (order-independent, rule 9) and
+    NDCG is one double division rounded 1e-6.  IDCG ranks ALL
+    matching docs by (rel DESC, doc_id) — rule 5's unique tie-break.
+
+    Scale: reuses _bm25_scores' single-corpus-scan postings (the
+    persisted tf table feeds relevance, ranking, and ideal ranking);
+    both rankings are bounded top-10 before any window; the k-grid
+    is a 4-row broadcast."""
+    scored, tf = _bm25_scores(spark, sf_dir)
+    rel = tf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("rel"))
+
+    def disc(pos_col):
+        expr = F.lit(None)
+        for i, d in _NDCG_DISC.items():
+            expr = F.when(pos_col == i, F.lit(d)).otherwise(expr)
+        return expr.cast("long")
+
+    def gains(ranked: DataFrame) -> DataFrame:
+        g = (F.pow(F.lit(2.0), F.col("rel")).cast("long") - 1) * disc(
+            F.col("pos")
+        )
+        return ranked.select("pos", g.alias("g"))
+
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    top = (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(NDCG_DEPTH)
+        .withColumn("pos", F.row_number().over(w))
+        .join(rel, "doc_id")
+    )
+    wi = Window.orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(NDCG_DEPTH)
+        .withColumn("pos", F.row_number().over(wi))
+    )
+    ks = F.broadcast(
+        spark.createDataFrame([(k,) for k in NDCG_KS], "k int")
+    )
+    dcg = (
+        gains(top)
+        .crossJoin(ks)
+        .filter(F.col("pos") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("g").cast("long").alias("dcg_micro"))
+    )
+    idcg = (
+        gains(ideal)
+        .crossJoin(ks)
+        .filter(F.col("pos") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("g").cast("long").alias("idcg_micro"))
+    )
+    result = dcg.join(idcg, "k").select(
+        F.col("k").cast("long").alias("k"),
+        "dcg_micro",
+        "idcg_micro",
+        (
+            F.floor(
+                F.col("dcg_micro") / F.col("idcg_micro").cast("double") * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("ndcg"),
+    )
+    return tether_cache(result, tf)
+
+
+def _ndcg_oracle() -> str:
+    disc_case = (
+        "CASE pos "
+        + " ".join(f"WHEN {i} THEN {d}" for i, d in _NDCG_DISC.items())
+        + " END"
+    )
+    ks = ", ".join(str(k) for k in NDCG_KS)
+    return f"""
+WITH {_bm25_oracle_cte()},
+rel AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS rel
+  FROM tf GROUP BY doc_id),
+top AS (SELECT doc_id,
+    row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+  FROM bm25 ORDER BY score DESC, doc_id LIMIT {NDCG_DEPTH}),
+dg AS (SELECT pos,
+    (CAST(pow(2, rel) AS BIGINT) - 1) * ({disc_case}) AS g
+  FROM top JOIN rel USING (doc_id)),
+ideal AS (SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS pos, rel
+  FROM rel ORDER BY rel DESC, doc_id LIMIT {NDCG_DEPTH}),
+ig AS (SELECT pos,
+    (CAST(pow(2, rel) AS BIGINT) - 1) * ({disc_case}) AS g
+  FROM ideal),
+ks AS (SELECT unnest([{ks}]) AS k),
+dcg AS (SELECT k, CAST(sum(g) AS BIGINT) AS dcg_micro
+  FROM ks JOIN dg ON dg.pos <= k GROUP BY k),
+idcg AS (SELECT k, CAST(sum(g) AS BIGINT) AS idcg_micro
+  FROM ks JOIN ig ON ig.pos <= k GROUP BY k)
+SELECT CAST(k AS BIGINT) AS k, dcg_micro, idcg_micro,
+  floor(dcg_micro / CAST(idcg_micro AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ndcg
+FROM dcg JOIN idcg USING (k)
+"""
+
+
+QUERIES["ml_ndcg_eval"] = ml_ndcg_eval
+ORACLES["ml_ndcg_eval"] = _ndcg_oracle()

@@ -1,5 +1,5 @@
-"""Structural checks for the link-prediction operator (the other
-graph queries are covered by plan locks + oracles)."""
+"""Structural checks for the link-prediction and ranking-eval
+operators (plan locks + oracles cover the rest of their families)."""
 
 from __future__ import annotations
 
@@ -34,3 +34,30 @@ def test_adamic_adar_planted_links_and_hub_cap(spark, tmp_path):
     assert rows[(1, 2)].n_common == 2 and rows[(3, 4)].n_common == 1
     assert rows[(1, 2)].score_micro == 2 * rows[(3, 4)].score_micro
     assert rows[(1, 2)].rank == 1 and rows[(3, 4)].rank == 2
+
+
+def test_ndcg_perfect_ranking_is_one(spark, tmp_path, sf_dir):
+    """A corpus where the BM25 order equals the relevance order must
+    score NDCG 1.0 at every cutoff (equal-gain swaps do not change
+    DCG); on the real fixture NDCG stays in (0, 1]."""
+    from decision_tree_analytics_spark.operators.retrieval import (
+        NDCG_KS,
+        ml_ndcg_eval,
+    )
+
+    rows = [
+        (0, "join hash window scan join hash window scan", "en", "s", 44),
+        (1, "join alpha beta gamma delta epsilon zeta eta", "en", "s", 44),
+        (2, "hash alpha beta gamma delta epsilon zeta eta", "en", "s", 44),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    planted = {r.k: r for r in ml_ndcg_eval(spark, d).collect()}
+    assert set(planted) == set(NDCG_KS)
+    for r in planted.values():
+        assert r.dcg_micro == r.idcg_micro and r.ndcg == 1.0
+
+    for r in ml_ndcg_eval(spark, sf_dir).collect():
+        assert 0.0 < r.ndcg <= 1.0
