@@ -434,3 +434,95 @@ FROM scores
 ORDER BY score_micro DESC, ca, cb
 LIMIT {AA_TOPK}
 """
+
+
+SP_ROUNDS = 4  # Bellman-Ford relaxation rounds (unrolled)
+SP_COST_SCALE = 1_000_000_000  # micro-unit inverse-affinity cost
+
+
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (Bellman-Ford, SP_ROUNDS
+    unrolled relaxations) over the sparsified undirected trade graph —
+    the min-plus counterpart of graph_khop's min-hop BFS: edge cost is
+    the integer inverse affinity floor(1e9/w + 0.5) (heavily-trading
+    nation pairs are "close"), so the cheapest route between two
+    nations threads through strong trade links.
+
+    Determinism: costs are BIGINT micro-units and path distances are
+    BIGINT sums — min-plus over integers has no float order anywhere
+    (rule 9); w ≥ 1 by construction so the division needs no guard.
+    The seed is min(node) (unique, rule 5).
+
+    Scale shape: each relaxation is one bd ⋈ frontier shuffle keyed on
+    src followed by a min-aggregate on dst with map-side partial mins —
+    the Pregel superstep, identical to graph_khop's plan but carrying a
+    cost sum instead of a hop count.  The aggregated undirected edge
+    list is persisted (four rounds + the seed re-read it; Catalyst
+    reuses no exchange across rounds); at 100 TB that persisted edge
+    list is the one you write to parquet once, and the fixed round
+    count unrolls into a single Catalyst plan exactly as PageRank's."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    mean_w = edges.agg(F.avg("weight").alias("mw"))
+    und = (
+        edges.crossJoin(F.broadcast(mean_w))
+        .filter((F.col("weight") > F.col("mw")) & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    cost = F.floor(F.lit(float(SP_COST_SCALE)) / F.col("w").cast("double") + 0.5).cast(
+        "long"
+    )
+    bd = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), cost.alias("c"))
+        .unionByName(
+            und.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), cost.alias("c")
+            )
+        )
+        .persist()
+    )
+    seed = bd.agg(F.min("src").alias("node"))
+    reach = F.broadcast(seed).select("node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(SP_ROUNDS):
+        relax = bd.join(reach, bd.src == reach.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("c")).alias("dist")
+        )
+        reach = (
+            reach.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    result = reach.select(
+        F.col("node").alias("nation"), F.col("dist").cast("long").alias("dist_cost")
+    )
+    return tether_cache(result, edges, bd)
+
+
+QUERIES["graph_shortest_path"] = graph_shortest_path
+ORACLES["graph_shortest_path"] = (
+    f"WITH edges AS ({_SQL_EDGES}),"
+    " und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,"
+    "   CAST(sum(weight) AS BIGINT) AS w FROM edges"
+    "   WHERE weight > (SELECT avg(weight) FROM edges) AND src <> dst"
+    "   GROUP BY 1, 2),"
+    " bd AS (SELECT a AS src, b AS dst,"
+    f"   CAST(floor({SP_COST_SCALE}.0 / CAST(w AS DOUBLE) + 0.5) AS BIGINT) AS c"
+    "   FROM und"
+    "   UNION ALL SELECT b, a,"
+    f"   CAST(floor({SP_COST_SCALE}.0 / CAST(w AS DOUBLE) + 0.5) AS BIGINT)"
+    "   FROM und),"
+    " r0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM bd),"
+    + ",".join(
+        f" r{i + 1} AS (SELECT node, min(dist) AS dist FROM ("
+        f"   SELECT node, dist FROM r{i} UNION ALL"
+        f"   SELECT bd.dst AS node, r{i}.dist + bd.c AS dist"
+        f"   FROM bd JOIN r{i} ON bd.src = r{i}.node)"
+        "   GROUP BY node)"
+        for i in range(SP_ROUNDS)
+    )
+    + " SELECT node AS nation, CAST(dist AS BIGINT) AS dist_cost"
+    f" FROM r{SP_ROUNDS}"
+)

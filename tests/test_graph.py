@@ -61,3 +61,44 @@ def test_ndcg_perfect_ranking_is_one(spark, tmp_path, sf_dir):
 
     for r in ml_ndcg_eval(spark, sf_dir).collect():
         assert 0.0 < r.ndcg <= 1.0
+
+
+def test_shortest_path_weighted_route_beats_direct_edge(spark, tmp_path, sf_dir):
+    """Planted trade graph: NA-NB and NB-NC carry weight 100 (cost 1e7
+    each) while the direct NA-NC edge carries weight 30 (cost
+    33_333_333); ten weight-1 edges among light nations drag the mean
+    below 30 but are themselves sparsified out.  Bellman-Ford must
+    route NA→NC through NB (2e7), beating the direct edge — the
+    weighted semantics BFS would miss."""
+    from decision_tree_analytics_spark.operators.graph import graph_shortest_path
+
+    lights = ["XL1", "XL2", "XL3", "XL4"]
+    light_pairs = [(a, b) for a in lights for b in lights if a != b][:10]
+    edges = [("NA", "NB", 100), ("NB", "NC", 100), ("NA", "NC", 30)] + [
+        (a, b, 1) for a, b in light_pairs
+    ]
+    nations = sorted({n for e in edges for n in e[:2]})
+    nk = {n: i for i, n in enumerate(nations)}
+    cust, supp, orders, lines = [], [], [], []
+    for i, (src, dst, w) in enumerate(edges, start=1):
+        cust.append((i, nk[src]))
+        supp.append((i, nk[dst]))
+        orders.append((i, i))
+        lines.extend((i, i) for _ in range(w))
+    d = str(tmp_path)
+    for rows, schema, name in [
+        (list(nk.items()), "n_name string, n_nationkey long", "nation"),
+        (cust, "c_custkey long, c_nationkey long", "customer"),
+        (supp, "s_suppkey long, s_nationkey long", "supplier"),
+        (orders, "o_orderkey long, o_custkey long", "orders"),
+        (lines, "l_orderkey long, l_suppkey long", "lineitem"),
+    ]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+
+    got = {r.nation: r.dist_cost for r in graph_shortest_path(spark, d).collect()}
+    assert got == {"NA": 0, "NB": 10_000_000, "NC": 20_000_000}
+
+    real = {r.nation: r.dist_cost for r in graph_shortest_path(spark, sf_dir).collect()}
+    assert real and min(real.values()) == 0 and all(v >= 0 for v in real.values())
