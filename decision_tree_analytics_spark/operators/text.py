@@ -1791,3 +1791,138 @@ SELECT doc_id, n_bigrams,
   floor(xent * 1e6 + 0.5) / 1e6 AS bits_per_bigram
 FROM scored ORDER BY bits_per_bigram DESC, doc_id LIMIT 50
 """
+
+
+CURR_EPOCH_TOKENS = 2048  # token budget per curriculum epoch
+
+
+def ns_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling for LLM training: order the corpus by
+    quality tier (high-quality docs train first), deterministically
+    shuffle within each tier, then cut the ordered token stream into
+    fixed-budget epochs — the scheduling stage that follows
+    ns_corpus_curate / ns_seq_pack in a training-data pipeline.
+
+    Tiering reuses the shared composite quality score (tier 0 ≥ 0.75,
+    tier 1 ≥ 0.5, else 2; the score is the same expression tree on
+    both engines, so the threshold comparisons see identical doubles).
+    The intra-tier "shuffle" is the md5 of a salted doc_id — content-
+    independent, engine-portable, and unique, so every ordering below
+    carries the (okey, doc_id) tie-break of rule 5.
+
+    The interesting part at 100 TB is the global running token count:
+    a single ORDER BY window would funnel the corpus through one task.
+    Instead the prefix sum is decomposed hierarchically — the classic
+    distributed scan:
+
+    * within (tier, md5-prefix bucket): one windowed running sum,
+      partitioned 3 tiers × 256 buckets, each partition O(corpus/768);
+    * per-bucket totals → per-tier bucket offsets (a ≤256-row window
+      per tier — a bounded grid, broadcast back);
+    * per-tier totals → tier offsets (a 3-row grid).
+
+    cum_before = tier_offset + bucket_offset + in-bucket prefix, and
+    epoch = cum_before div budget.  One corpus scan feeds everything:
+    the 5-column tokenized projection is persisted and the two offset
+    tables derived from it are broadcast joins.  All counters are
+    BIGINT — no float order anywhere."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    okey = F.md5(F.concat(F.lit("curr-"), F.col("doc_id").cast("string")))
+    q = _quality_score_col(toks)
+    tier = (
+        F.when(q >= 0.75, F.lit(0)).when(q >= 0.5, F.lit(1)).otherwise(F.lit(2))
+    ).cast("long")
+    proj = d.select(
+        "doc_id",
+        tier.alias("tier"),
+        okey.alias("okey"),
+        F.substring(okey, 1, 2).alias("bucket"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).persist()
+    w_in = (
+        Window.partitionBy("tier", "bucket")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cin = proj.withColumn(
+        "cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long")
+    )
+    w_b = (
+        Window.partitionBy("tier")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bo = (
+        proj.groupBy("tier", "bucket")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .select(
+            "tier",
+            "bucket",
+            F.coalesce(F.sum("btok").over(w_b), F.lit(0)).cast("long").alias("boff"),
+        )
+    )
+    w_t = Window.orderBy("tier").rowsBetween(Window.unboundedPreceding, -1)
+    toff = (
+        proj.groupBy("tier")
+        .agg(F.sum("n_tokens").alias("ttok"))
+        .select(
+            "tier",
+            F.coalesce(F.sum("ttok").over(w_t), F.lit(0)).cast("long").alias("toffv"),
+        )
+    )
+    cum = (F.col("toffv") + F.col("boff") + F.col("cum_in")).cast("long")
+    result = (
+        cin.join(F.broadcast(bo), ["tier", "bucket"])
+        .join(F.broadcast(toff), "tier")
+        .select(
+            "doc_id",
+            "tier",
+            "n_tokens",
+            cum.alias("cum_before"),
+            F.expr(f"(toffv + boff + cum_in) div {CURR_EPOCH_TOKENS}")
+            .cast("long")
+            .alias("epoch"),
+        )
+    )
+    return tether_cache(result, proj)
+
+
+QUERIES["ns_curriculum_order"] = ns_curriculum_order
+ORACLES["ns_curriculum_order"] = f"""
+WITH d AS (SELECT doc_id,
+    CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+    least(CAST(len({_TOKS_LIT}) AS DOUBLE) / 50.0, 1.0) * 0.5
+      + (CAST({_sql_stop_hits(STOPWORDS["en"])} AS DOUBLE)
+         / len({_TOKS_LIT})) * 0.5 AS q,
+    md5('curr-' || CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents),
+t AS (SELECT doc_id, n_tokens, okey, substr(okey, 1, 2) AS bucket,
+    CAST(CASE WHEN q >= 0.75 THEN 0 WHEN q >= 0.5 THEN 1 ELSE 2 END
+      AS BIGINT) AS tier
+  FROM d),
+cin AS (SELECT doc_id, tier, bucket, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY tier, bucket
+      ORDER BY okey, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_in
+  FROM t),
+bt AS (SELECT tier, bucket, sum(n_tokens) AS btok FROM t GROUP BY 1, 2),
+bo AS (SELECT tier, bucket,
+    CAST(coalesce(sum(btok) OVER (PARTITION BY tier ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS boff
+  FROM bt),
+tt AS (SELECT tier, sum(n_tokens) AS ttok FROM t GROUP BY 1),
+toff AS (SELECT tier,
+    CAST(coalesce(sum(ttok) OVER (ORDER BY tier
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS toffv
+  FROM tt)
+SELECT doc_id, tier, n_tokens,
+  CAST(toffv + boff + cum_in AS BIGINT) AS cum_before,
+  CAST((toffv + boff + cum_in) // {CURR_EPOCH_TOKENS} AS BIGINT) AS epoch
+FROM cin JOIN bo USING (tier, bucket) JOIN toff USING (tier)
+"""
