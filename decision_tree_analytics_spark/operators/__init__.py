@@ -95,6 +95,9 @@ BENCH_EXTRAS = [
     "dedup_paragraph",
     "rel_countmin_sketch",
     "sim_ivf_snapshot",
+    "ml_ndcg_eval",
+    "graph_shortest_path",
+    "ns_curriculum_order",
 ]
 
 
