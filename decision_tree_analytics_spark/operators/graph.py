@@ -152,26 +152,38 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a min-aggregate on dst — the Pregel superstep shape; with
     KHOP_ROUNDS fixed, the rounds unroll into one Catalyst plan (and
     into chained CTEs for the oracle), the same trick as
-    graph_pagerank.  At real scale you persist the frontier per round
-    exactly as dedup.connected_components does."""
+    graph_pagerank.  The edge list carries ZERO-hop self-loops so each
+    round references the previous frontier exactly once — the naive
+    union(frontier, advanced) formulation doubles the unrolled lineage
+    per round (2^rounds recomputations of the early frontiers; see
+    graph_shortest_path, whose min-plus relaxation this is with unit
+    costs).  At real scale you persist the frontier per round exactly
+    as dedup.connected_components does."""
     edges = _trade_edges(spark, sf_dir).persist()  # seed + per-round reuse
     mean_w = edges.agg(F.avg("weight").alias("mw"))
     sparse = (
         edges.crossJoin(F.broadcast(mean_w))
         .filter(F.col("weight") > F.col("mw"))
-        .select("src", "dst")
+        .select("src", "dst", F.lit(1).alias("c"))
     )
-    seed = sparse.agg(F.min("src").alias("node"))
-    reach = F.broadcast(seed).select("node", F.lit(0).alias("hop"))
-    for _ in range(KHOP_ROUNDS):
-        nxt = (
-            sparse.join(reach, sparse.src == reach.node)
-            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+    self_loops = (
+        sparse.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).alias("c"),
         )
+    )
+    bd = sparse.unionByName(self_loops)
+    seed = bd.agg(F.min("src").alias("node"))
+    reach = seed.select("node", F.lit(0).alias("hop"))
+    for _ in range(KHOP_ROUNDS):
         reach = (
-            reach.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("hop").alias("hop"))
+            bd.join(reach, bd.src == reach.node)
+            .groupBy("dst")
+            .agg(F.min(F.col("hop") + F.col("c")).alias("hop"))
+            .select(F.col("dst").alias("node"), "hop")
         )
     result = reach.select("node", F.col("hop").cast("long").alias("hop"))
     return tether_cache(result, edges)
@@ -456,11 +468,20 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each relaxation is one bd ⋈ frontier shuffle keyed on
     src followed by a min-aggregate on dst with map-side partial mins —
     the Pregel superstep, identical to graph_khop's plan but carrying a
-    cost sum instead of a hop count.  The aggregated undirected edge
-    list is persisted (four rounds + the seed re-read it; Catalyst
-    reuses no exchange across rounds); at 100 TB that persisted edge
-    list is the one you write to parquet once, and the fixed round
-    count unrolls into a single Catalyst plan exactly as PageRank's."""
+    cost sum instead of a hop count.  Crucially the edge list carries
+    ZERO-COST SELF-LOOPS, so "keep your current distance" is just
+    another relaxation candidate and each round references the previous
+    frontier exactly ONCE (a linear plan).  The naive
+    union(frontier, relaxed) formulation references it twice and the
+    unrolled lineage doubles per round — 2^rounds recomputations of the
+    early frontiers (measured ~1.5× slower at 4 rounds even on the tiny
+    nation graph, where fixed overhead masks most of the exponential
+    term; at depth 10+ it is fatal at any scale).  The
+    aggregated bidirectional edge list is persisted (four rounds + the
+    seed re-read it; Catalyst reuses no exchange across rounds); at
+    100 TB that persisted edge list is the one you write to parquet
+    once, and the fixed round count unrolls into a single Catalyst
+    plan exactly as PageRank's."""
     edges = _trade_edges(spark, sf_dir).persist()
     mean_w = edges.agg(F.avg("weight").alias("mw"))
     und = (
@@ -477,23 +498,29 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = F.floor(F.lit(float(SP_COST_SCALE)) / F.col("w").cast("double") + 0.5).cast(
         "long"
     )
-    bd = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), cost.alias("c"))
-        .unionByName(
-            und.select(
-                F.col("b").alias("src"), F.col("a").alias("dst"), cost.alias("c")
-            )
-        )
-        .persist()
+    both = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), cost.alias("c")
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), cost.alias("c"))
     )
-    seed = bd.agg(F.min("src").alias("node"))
-    reach = F.broadcast(seed).select("node", F.lit(0).cast("long").alias("dist"))
-    for _ in range(SP_ROUNDS):
-        relax = bd.join(reach, bd.src == reach.node).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.col("c")).alias("dist")
+    self_loops = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("c"),
         )
+    )
+    bd = both.unionByName(self_loops).persist()
+    seed = bd.agg(F.min("src").alias("node"))
+    reach = seed.select("node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(SP_ROUNDS):
         reach = (
-            reach.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+            bd.join(reach, bd.src == reach.node)
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("c")).alias("dist"))
+            .select(F.col("dst").alias("node"), "dist")
         )
     result = reach.select(
         F.col("node").alias("nation"), F.col("dist").cast("long").alias("dist_cost")
@@ -508,19 +535,20 @@ ORACLES["graph_shortest_path"] = (
     "   CAST(sum(weight) AS BIGINT) AS w FROM edges"
     "   WHERE weight > (SELECT avg(weight) FROM edges) AND src <> dst"
     "   GROUP BY 1, 2),"
-    " bd AS (SELECT a AS src, b AS dst,"
+    " bde AS (SELECT a AS src, b AS dst,"
     f"   CAST(floor({SP_COST_SCALE}.0 / CAST(w AS DOUBLE) + 0.5) AS BIGINT) AS c"
     "   FROM und"
     "   UNION ALL SELECT b, a,"
     f"   CAST(floor({SP_COST_SCALE}.0 / CAST(w AS DOUBLE) + 0.5) AS BIGINT)"
     "   FROM und),"
+    " bd AS MATERIALIZED (SELECT src, dst, c FROM bde"
+    "   UNION ALL SELECT DISTINCT src, src, CAST(0 AS BIGINT) FROM bde),"
     " r0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM bd),"
     + ",".join(
-        f" r{i + 1} AS (SELECT node, min(dist) AS dist FROM ("
-        f"   SELECT node, dist FROM r{i} UNION ALL"
-        f"   SELECT bd.dst AS node, r{i}.dist + bd.c AS dist"
-        f"   FROM bd JOIN r{i} ON bd.src = r{i}.node)"
-        "   GROUP BY node)"
+        f" r{i + 1} AS (SELECT bd.dst AS node,"
+        f"   min(r{i}.dist + bd.c) AS dist"
+        f"   FROM bd JOIN r{i} ON bd.src = r{i}.node"
+        "   GROUP BY bd.dst)"
         for i in range(SP_ROUNDS)
     )
     + " SELECT node AS nation, CAST(dist AS BIGINT) AS dist_cost"
