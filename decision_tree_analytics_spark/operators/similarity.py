@@ -1536,3 +1536,137 @@ SELECT CAST(label AS BIGINT) AS label, n_ref, n_live,
     AS centroid_cos
 FROM a
 """
+
+
+KM_K = 8  # clusters (seed sample size)
+KM_SEED_STEP = 11  # vec_id % STEP == 0, first KM_K picks seed the cells
+KM_ROUNDS = 3  # unrolled Lloyd iterations
+
+
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-round Lloyd k-means over the 64-dim embeddings with a
+    per-round convergence trace — the training-diagnostics counterpart
+    of _ivf_build's single refinement step: where the IVF path wants an
+    index, this wants the (round, cluster, n_points, inertia) curve an
+    operator watches to pick K and the round budget.
+
+    Round t assigns every vector to its nearest round-(t-1) centroid
+    (c0 = the content-derived seed sample) and reports that
+    assignment's inertia, so the reported sequence J(a1,c0) ≥ J(a2,c1)
+    ≥ J(a3,c2) is non-increasing — the textbook monotonicity, asserted
+    in tests up to per-row rounding slack.
+
+    Determinism (rule 9): distances round 1e-6 before every argmin
+    with the cluster id as tie-break; per-row inertia terms are the
+    SAME rounded integral micro-units summed as BIGINT (order-free);
+    centroid means are exact — float32 mantissas summed in double stay
+    exactly representable at any corpus this side of 2^29 rows per
+    cluster, the same argument _ivf_build's avg relies on.
+
+    Scale: 3 assignment passes (broadcast ≤8-row centroid table + one
+    map-side-collapsed min-struct shuffle each) and 2 mean passes
+    (posexplode → (cluster, dim) partial aggregate) over ONE persisted
+    projection of the corpus — 5 bounded-shuffle passes total, the
+    Lloyd cost model; nothing quadratic, nothing driver-side."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _vecd("embedding").alias("v"))
+        .persist()
+    )
+    seeds = emb.filter(
+        (F.col("vec_id") % KM_SEED_STEP == 0)
+        & (F.col("vec_id") < KM_SEED_STEP * KM_K)
+    ).select(F.col("vec_id").alias("aid"), F.col("v").alias("cv"))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        e = F.struct(_ivf_l2("v", "cv").alias("d"), F.col("aid").alias("aid"))
+        return (
+            emb.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", e.alias("e"))
+            .groupBy("vec_id")
+            .agg(
+                F.min("e").getField("aid").alias("cluster"),
+                F.min("e").getField("d").alias("d"),
+                F.first("v").alias("v"),
+            )
+        )
+
+    def means(a: DataFrame) -> DataFrame:
+        return (
+            a.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "cx"))),
+                    lambda s: s.getField("cx"),
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("aid"), "cv")
+        )
+
+    def stats(a: DataFrame, rnd: int) -> DataFrame:
+        return a.groupBy("cluster").agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.floor(F.col("d") * 1e6 + 0.5)).cast("long").alias(
+                "inertia_micro"
+            ),
+        )
+
+    cent = seeds
+    out = None
+    for t in range(1, KM_ROUNDS + 1):
+        a = assign(cent)
+        s = stats(a, t)
+        out = s if out is None else out.unionByName(s)
+        if t < KM_ROUNDS:
+            cent = means(a)
+    result = out.select(
+        "round", F.col("cluster").cast("long").alias("cluster"),
+        "n_points", "inertia_micro",
+    )
+    return tether_cache(result, emb)
+
+
+def _kmeans_oracle() -> str:
+    rounds = []
+    prev = "c0"
+    for t in range(1, KM_ROUNDS + 1):
+        rounds.append(
+            f"d{t} AS (SELECT e.vec_id, c.aid,"
+            "   floor(sum((e.x - c.x) * (e.x - c.x)) * 1e6 + 0.5) / 1e6 AS d"
+            f"  FROM e JOIN {prev} c ON c.i = e.i GROUP BY 1, 2)"
+        )
+        rounds.append(
+            f"a{t} AS (SELECT vec_id, aid, d FROM (SELECT vec_id, aid, d,"
+            "   row_number() OVER (PARTITION BY vec_id ORDER BY d, aid) AS rn"
+            f"  FROM d{t}) WHERE rn = 1)"
+        )
+        if t < KM_ROUNDS:
+            rounds.append(
+                f"c{t} AS (SELECT a{t}.aid, e.i, avg(e.x) AS x"
+                f"  FROM e JOIN a{t} USING (vec_id) GROUP BY 1, 2)"
+            )
+        prev = f"c{t}"
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, CAST(aid AS BIGINT) AS cluster,"
+        " CAST(count(*) AS BIGINT) AS n_points,"
+        " CAST(sum(floor(d * 1e6 + 0.5)) AS BIGINT) AS inertia_micro"
+        f" FROM a{t} GROUP BY aid"
+        for t in range(1, KM_ROUNDS + 1)
+    )
+    return (
+        f"WITH e AS ({_SQL_EXPLODED}),\n"
+        "c0 AS (SELECT vec_id AS aid, i, x FROM e"
+        f" WHERE vec_id % {KM_SEED_STEP} = 0"
+        f" AND vec_id < {KM_SEED_STEP * KM_K}),\n"
+        + ",\n".join(rounds)
+        + "\n"
+        + unions
+    )
+
+
+QUERIES["ml_kmeans_lloyd"] = ml_kmeans_lloyd
+ORACLES["ml_kmeans_lloyd"] = _kmeans_oracle()

@@ -189,3 +189,25 @@ def test_ivf_incremental_conserves_and_stays_frozen(spark, sf_dir):
         and i % IVF_DELTA_MOD != IVF_DELTA_RES
     }
     assert {r.cluster for r in rows} <= seed_ids
+
+
+def test_kmeans_lloyd_inertia_monotone_and_partition(spark, sf_dir):
+    """Lloyd's guarantee: the reported J(a_t, c_{t-1}) sequence is
+    non-increasing (up to the 1-micro-per-row rounding slack), and
+    every round's assignment partitions the whole corpus."""
+    from decision_tree_analytics_spark.operators.similarity import (
+        KM_ROUNDS,
+        ml_kmeans_lloyd,
+    )
+
+    rows = ml_kmeans_lloyd(spark, sf_dir).collect()
+    by_round = {}
+    for r in rows:
+        n, j = by_round.get(r.round, (0, 0))
+        by_round[r.round] = (n + r.n_points, j + r.inertia_micro)
+    assert set(by_round) == set(range(1, KM_ROUNDS + 1))
+    counts = {n for n, _ in by_round.values()}
+    assert len(counts) == 1  # same corpus partitioned every round
+    total = counts.pop()
+    for t in range(1, KM_ROUNDS):
+        assert by_round[t + 1][1] <= by_round[t][1] + total
