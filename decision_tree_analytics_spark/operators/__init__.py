@@ -98,6 +98,7 @@ BENCH_EXTRAS = [
     "ml_ndcg_eval",
     "graph_shortest_path",
     "ns_curriculum_order",
+    "ml_kmeans_lloyd",
 ]
 
 
@@ -201,6 +202,7 @@ _RECHECK_PRIORITY = [
     "ml_auc_roc",              # r5: floor-idiom rework at the score grid
     "ml_psi_drift",            # r5: p-guard added
     "dedup_canonical_snapshot",  # r5: footer-tag (parquet md5) identity
+    "graph_khop",  # r6: linearized rounds via zero-hop self-loops
 ]
 
 

@@ -40,6 +40,13 @@ NAMES = [
     "sim_pq_topk",
     "sim_ivf_oracled",
     "sim_srp_recall_eval",
+    # r6 additions: linearized min-plus graph loop, multi-round Lloyd,
+    # hierarchical-prefix-sum curriculum — all should stay ~linear
+    # (graph: same 25-node topology with 10x edge weights; kmeans /
+    # curriculum: fixed-round passes over a 10x corpus).
+    "graph_shortest_path",
+    "ml_kmeans_lloyd",
+    "ns_curriculum_order",
 ]
 
 
