@@ -203,6 +203,7 @@ _RECHECK_PRIORITY = [
     "ml_psi_drift",            # r5: p-guard added
     "dedup_canonical_snapshot",  # r5: footer-tag (parquet md5) identity
     "graph_khop",  # r6: linearized rounds via zero-hop self-loops
+    "dedup_prefix_join",  # r6: oracle rewritten as shared-shingle equi-join
 ]
 
 

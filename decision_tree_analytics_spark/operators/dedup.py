@@ -995,26 +995,38 @@ def _sql_lsh_pairs_from(src: str) -> str:
 
 
 def _sql_prefix_join_from(src: str) -> str:
-    """Brute-force all-pairs J ≥ 0.7 SQL over an arbitrary documents
-    source — the lossless ground truth the prefix-filtered Spark plan
-    must reproduce exactly (recall proof)."""
+    """Ground-truth J ≥ 0.7 SQL over an arbitrary documents source —
+    the lossless answer the prefix-filtered Spark plan must reproduce
+    exactly (recall proof).
+
+    Enumerates pairs via an equi-join on shared shingles rather than
+    the literal all-pairs cross product: the two are EXACTLY
+    equivalent (J ≥ 0.7 > 0 forces a non-empty intersection, so every
+    qualifying pair shares a shingle), and the equi-join stays
+    independent of the prefix-filter logic under proof — it uses ALL
+    shingles, no frequency ordering, no prefixes.  The rewrite took
+    the sf0.1 oracle from 524 s (12.5M list_intersect pairs) to
+    seconds (Σ df² ≈ 2.8M join rows); docs with zero shingles never
+    enter the exploded table, which subsumes the old 0/0 guard."""
     return (
-        f"WITH toks AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s"
-        f"   FROM {src})"
-        " SELECT CAST(a.doc_id AS BIGINT) AS doc_a,"
-        " CAST(b.doc_id AS BIGINT) AS doc_b,"
-        " CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,"
-        " CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b,"
-        " floor(len(list_intersect(a.s, b.s))"
-        "   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
-        "   * 1e6 + 0.5) / 1e6 AS jaccard"
-        " FROM toks a JOIN toks b ON a.doc_id < b.doc_id"
-        # shingle-less (<3-token) docs never reach the Spark explode;
-        # guard the brute force against the 0/0 both-empty pair
-        " WHERE len(a.s) > 0 AND len(b.s) > 0"
-        f" AND len(list_intersect(a.s, b.s)) * {PREFIX_T_DEN}"
-        f"   >= {PREFIX_T_NUM}"
-        "   * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+        f"WITH t0 AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s"
+        f"   FROM {src}),"
+        " toks AS (SELECT doc_id, unnest(s) AS tok FROM t0),"
+        " sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),"
+        " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "     count(*) AS ni"
+        "   FROM toks a JOIN toks b"
+        "   ON a.tok = b.tok AND a.doc_id < b.doc_id"
+        "   GROUP BY 1, 2)"
+        " SELECT CAST(doc_a AS BIGINT) AS doc_a,"
+        " CAST(doc_b AS BIGINT) AS doc_b,"
+        " CAST(ni AS BIGINT) AS n_inter,"
+        " CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,"
+        " floor(ni / (sa.n + sb.n - ni) * 1e6 + 0.5) / 1e6 AS jaccard"
+        " FROM inter"
+        " JOIN sizes sa ON sa.doc_id = doc_a"
+        " JOIN sizes sb ON sb.doc_id = doc_b"
+        f" WHERE ni * {PREFIX_T_DEN} >= {PREFIX_T_NUM} * (sa.n + sb.n - ni)"
     )
 
 # Shared CTE chain: signatures → LSH bands → candidate pairs →
