@@ -862,3 +862,44 @@ def test_changelog_compact_single_exchange(spark, sf_dir):
     plan = simple_plan(C.cdc_changelog_compact(spark, sf_dir))
     assert count_shuffles(plan) == 1
     assert not has_python_eval(plan)
+
+
+def test_shortest_path_rounds_are_linear_not_exponential(spark, sf_dir):
+    # Each Bellman-Ford round must reference the previous frontier
+    # exactly once (zero-cost self-loops), so the unrolled plan holds
+    # exactly SP_ROUNDS round-aggregates plus the seed's min — the
+    # union(frontier, relaxed) formulation doubles the lineage per
+    # round (1+2+4+8 aggregates at 4 rounds, measured ~2x wall).
+    from decision_tree_analytics_spark.operators import graph as G
+
+    plan = simple_plan(G.graph_shortest_path(spark, sf_dir))
+    assert plan.count("partial_min") == G.SP_ROUNDS + 1
+    assert plan.count("InMemoryTableScan") >= G.SP_ROUNDS + 1  # cached bd
+    assert not has_python_eval(plan)
+
+
+def test_kmeans_assignments_broadcast_and_collapse_mapside(spark, sf_dir):
+    # Every Lloyd assignment must broadcast the <=8-row centroid table
+    # (never shuffle the corpus against it) and collapse the K
+    # candidate rows per vector map-side before the exchange.
+    from decision_tree_analytics_spark.operators import similarity as S
+
+    plan = simple_plan(S.ml_kmeans_lloyd(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast centroid cross join
+    assert plan.count("partial_min") >= S.KM_ROUNDS  # map-side argmin collapse
+    assert not has_python_eval(plan)
+
+
+def test_curriculum_prefix_sum_stays_hierarchical(spark, sf_dir):
+    # The running token count must decompose into the (tier, bucket)
+    # window + broadcast offset grids — never a global ORDER BY
+    # window (single-partition funnel).  5 exchanges total: the
+    # doc-level (tier, bucket) window, the two offset groupBys, their
+    # two bounded-grid windows.
+    from decision_tree_analytics_spark.operators import text as T2
+
+    plan = simple_plan(T2.ns_curriculum_order(spark, sf_dir))
+    assert "hashpartitioning(tier" in plan
+    assert has_broadcast_join(plan)  # both offset tables broadcast back
+    assert count_shuffles(plan) == 5
+    assert not has_python_eval(plan)
