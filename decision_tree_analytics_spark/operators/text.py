@@ -1926,3 +1926,160 @@ SELECT doc_id, tier, n_tokens,
   CAST((toffv + boff + cum_in) // {CURR_EPOCH_TOKENS} AS BIGINT) AS epoch
 FROM cin JOIN bo USING (tier, bucket) JOIN toff USING (tier)
 """
+
+
+QM_ITERS = 5  # unrolled full-batch GD steps
+QM_LR = 0.5  # learning rate (ratio features are O(1), so 0.5 is tame)
+QM_LANGS = ("en", "de", "fr", "es")
+
+
+def ns_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality/language filter — the CCNet-style counterpart
+    to ns_gopher_filter's handcrafted rules: train a logistic
+    regression (QM_ITERS unrolled full-batch GD steps, the
+    ml_logreg_gd machinery) to predict the metadata ``lang == 'en'``
+    label from the four cheap stopword-rate features, on the md5
+    bucket < 8 split; report the held-out keep decision the filter
+    would make at p ≥ 0.5.
+
+    Training is hash-verified end to end: each step is one scan of
+    the persisted feature projection + a 1-row weight broadcast, and
+    the readout keeps integers integral (kept/match counts BIGINT)
+    with only the final loss/weights rounded 1e-6.  The sigmoid stays
+    well inside (0, 1) at these feature scales, so no ln(0)/ANSI
+    guard is needed (same argument as ml_logreg_gd).
+
+    Data note: the synthetic corpus draws every lang from one shared
+    vocabulary (CLAUDE.md) — signal is weak by construction, so tests
+    pin STRUCTURE (split sizes, count bounds, loss finiteness), never
+    accuracy.  Scale: 5 + 2 one-pass mergeable aggregates over one
+    persisted projection; the model is a 1-row broadcast at every
+    step — the full-batch GD cost model."""
+    d = load_table(spark, sf_dir, "documents")
+    # Spread the single-file input before the 4-stopword-filter map
+    # (CPU-bound narrow stage; the ns_corpus_curate rule).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    feats = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        *[
+            (_stop_hits(toks, STOPWORDS[lang]).cast("double") / n).alias(
+                f"x{i + 1}"
+            )
+            for i, lang in enumerate(QM_LANGS)
+        ],
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 10
+        ).alias("bucket"),
+    ).persist()
+    train = feats.filter(F.col("bucket") < 8)
+    test = feats.filter(F.col("bucket") >= 8)
+    margin = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+        + F.col("w4") * F.col("x4")
+    )
+    w = spark.range(1).select(*[F.lit(0.0).alias(f"w{j}") for j in range(5)])
+    for _ in range(QM_ITERS):
+        j = train.crossJoin(F.broadcast(w)).withColumn(
+            "p", 1.0 / (1.0 + F.exp(-margin))
+        )
+        err = F.col("p") - F.col("y")
+        w = j.agg(
+            (F.max("w0") - QM_LR * F.avg(err)).alias("w0"),
+            *[
+                (F.max(f"w{k}") - QM_LR * F.avg(err * F.col(f"x{k}"))).alias(
+                    f"w{k}"
+                )
+                for k in range(1, 5)
+            ],
+        )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    tr = train.crossJoin(F.broadcast(w)).withColumn(
+        "p", 1.0 / (1.0 + F.exp(-margin))
+    )
+    t1 = tr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        *[r6(F.max(f"w{j}")).alias(f"w{j}") for j in range(5)],
+        r6(
+            F.avg(
+                -(
+                    F.col("y") * F.log("p")
+                    + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))
+                )
+            )
+        ).alias("train_logloss"),
+    )
+    te = test.crossJoin(F.broadcast(w)).withColumn(
+        "p", 1.0 / (1.0 + F.exp(-margin))
+    )
+    t2 = te.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum((F.col("p") >= 0.5).cast("long")).cast("long").alias("kept_count"),
+        F.sum(
+            ((F.col("p") >= 0.5).cast("double") == F.col("y")).cast("long")
+        )
+        .cast("long")
+        .alias("match_count"),
+    )
+    result = t1.crossJoin(F.broadcast(t2))
+    return tether_cache(result, feats)
+
+
+def _quality_model_oracle() -> str:
+    margin = "w0 + w1*x1 + w2*x2 + w3*x3 + w4*x4"
+    ratios = ", ".join(
+        f"CAST({_sql_stop_hits(STOPWORDS[lang])} AS DOUBLE)"
+        f" / len({_TOKS_LIT}) AS x{i + 1}"
+        for i, lang in enumerate(QM_LANGS)
+    )
+    parts = [
+        "WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,"
+        f" {ratios},"
+        " ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10"
+        "   AS bucket"
+        " FROM documents),"
+        " tr AS (SELECT * FROM f WHERE bucket < 8),"
+        " te AS (SELECT * FROM f WHERE bucket >= 8),"
+        " it0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,"
+        " 0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4)"
+    ]
+    for i in range(1, QM_ITERS + 1):
+        grads = ", ".join(
+            f"max(w{k}) - {QM_LR} * avg((p - y) * x{k}) AS w{k}"
+            for k in range(1, 5)
+        )
+        parts.append(
+            f", it{i} AS (SELECT max(w0) - {QM_LR} * avg(p - y) AS w0, {grads}"
+            f" FROM (SELECT *, 1.0/(1.0 + exp(-({margin}))) AS p"
+            f" FROM tr CROSS JOIN it{i - 1}))"
+        )
+    ws = ", ".join(
+        f"floor(max(w{j}) * 1e6 + 0.5) / 1e6 AS w{j}" for j in range(5)
+    )
+    parts.append(
+        f", t1 AS (SELECT CAST(count(*) AS BIGINT) AS n_train, {ws},"
+        " floor(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) * 1e6 + 0.5)"
+        " / 1e6 AS train_logloss"
+        f" FROM (SELECT *, 1.0/(1.0 + exp(-({margin}))) AS p"
+        f" FROM tr CROSS JOIN it{QM_ITERS})),"
+        " t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_test,"
+        " CAST(sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS kept_count,"
+        " CAST(sum(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = y"
+        "   THEN 1 ELSE 0 END) AS BIGINT) AS match_count"
+        f" FROM (SELECT *, 1.0/(1.0 + exp(-({margin}))) AS p"
+        f" FROM te CROSS JOIN it{QM_ITERS}))"
+        " SELECT * FROM t1 CROSS JOIN t2"
+    )
+    return "".join(parts)
+
+
+QUERIES["ns_quality_model"] = ns_quality_model
+ORACLES["ns_quality_model"] = _quality_model_oracle()
