@@ -99,6 +99,7 @@ BENCH_EXTRAS = [
     "graph_shortest_path",
     "ns_curriculum_order",
     "ml_kmeans_lloyd",
+    "ns_quality_model",
 ]
 
 
