@@ -1329,3 +1329,106 @@ SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
   END AS survival
 FROM x
 """
+
+
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the deterministic score
+    ml_calibration_bins diagnoses: fit the least-squares NON-DECREASING
+    map score → P(positive) — the production calibrator (PAV) next to
+    the reliability diagram (diagnosis) and Platt scaling (parametric).
+
+    Instead of the sequential pool-adjacent-violators sweep (data-
+    dependent merges — not relational), this computes the identical
+    fit via PAV's closed-form minimax characterization
+        iso(i) = max_{j ≤ i} min_{k ≥ i} mean(y[j..k]),
+    which is pure joins/aggregates and therefore fully DuckDB-oracled.
+
+    Scale: the corpus collapses to the DISTINCT-score grid first (the
+    discount score takes 11 values; a continuous score would be
+    quantile-binned to a fixed grid exactly like ml_ks_test's 128
+    bins) — ONE bounded-state aggregate pass over the fact table, then
+    every window/join below runs on the ≤11-row grid (bounded-grid
+    rule), where the O(grid³) minimax enumeration is ~200 rows.
+    Interval means are ratios of BIGINT prefix sums — identical
+    doubles cross-engine, no float accumulation (rule 9).
+
+    Tests pin the two PAV invariants: iso is non-decreasing in the
+    score, and pooling preserves total mass (Σ n·iso = Σ positives)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("k"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    g = li.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    pre = g.select(
+        "k",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("pos").over(w).cast("long").alias("cp"),
+    )
+    a = pre.select(
+        F.col("k").alias("jk"),
+        (F.col("cn") - F.col("n")).alias("nb"),
+        (F.col("cp") - F.col("pos")).alias("pb"),
+    )
+    b = pre.select(F.col("k").alias("kk"), "cn", "cp")
+    pairs = a.join(b, F.col("jk") <= F.col("kk")).select(
+        "jk",
+        "kk",
+        (
+            (F.col("cp") - F.col("pb"))
+            / (F.col("cn") - F.col("nb")).cast("double")
+        ).alias("avg_jk"),
+    )
+    mid = pre.select(F.col("k").alias("ik"))
+    mn = (
+        pairs.join(
+            mid, (F.col("jk") <= F.col("ik")) & (F.col("ik") <= F.col("kk"))
+        )
+        .groupBy("jk", "ik")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    iso = mn.groupBy("ik").agg(F.max("mn").alias("iso"))
+    result = (
+        pre.join(iso, pre.k == iso.ik)
+        .select(
+            "k",
+            "n",
+            _r6(F.col("pos") / F.col("n").cast("double")).alias("pos_rate"),
+            _r6(F.col("iso")).alias("iso_rate"),
+        )
+    )
+    return result
+
+
+QUERIES["ml_isotonic_calibration"] = ml_isotonic_calibration
+ORACLES["ml_isotonic_calibration"] = """
+WITH li AS (SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS k,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+g AS (SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM li GROUP BY 1),
+pre AS (SELECT k, n, pos,
+    CAST(sum(n) OVER (ORDER BY k
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+    CAST(sum(pos) OVER (ORDER BY k
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+  FROM g),
+pairs AS (SELECT a.k AS jk, b.k AS kk,
+    (b.cp - (a.cp - a.pos)) / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS avg_jk
+  FROM pre a JOIN pre b ON a.k <= b.k),
+mn AS (SELECT p.jk, i.k AS ik, min(p.avg_jk) AS mn
+  FROM pairs p JOIN pre i ON p.jk <= i.k AND i.k <= p.kk
+  GROUP BY 1, 2),
+iso AS (SELECT ik, max(mn) AS iso FROM mn GROUP BY 1)
+SELECT pre.k, pre.n,
+  floor(pre.pos / CAST(pre.n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pos_rate,
+  floor(iso.iso * 1e6 + 0.5) / 1e6 AS iso_rate
+FROM pre JOIN iso ON pre.k = iso.ik
+"""
