@@ -100,6 +100,7 @@ BENCH_EXTRAS = [
     "ns_curriculum_order",
     "ml_kmeans_lloyd",
     "ns_quality_model",
+    "ml_isotonic_calibration",
 ]
 
 
