@@ -548,6 +548,14 @@ def _ivf_build(spark: SparkSession, sf_dir: str):
         )
 
     a1 = assign(seeds)
+    # NOTE: ml_kmeans_lloyd's mean stage replaced this posexplode
+    # shape with 64 per-dim avg columns (2.2x faster THERE, single
+    # downstream consumer per round) — tried here and it ran 3.5x
+    # SLOWER: the probe/cell-ranking stages consume cent2 several
+    # times, and element extraction over the F.array(c0..c63)
+    # construction re-expands per consumer per dim, blowing up
+    # codegen.  collect_list keeps cv an opaque column.  Measured
+    # both ways; keep this one.
     cent2 = (
         a1.select("cluster", F.posexplode("v").alias("i", "x"))
         .groupBy("cluster", "i")
@@ -1564,10 +1572,11 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, the same argument _ivf_build's avg relies on.
 
     Scale: 3 assignment passes (broadcast ≤8-row centroid table + one
-    map-side-collapsed min-struct shuffle each) and 2 mean passes
-    (posexplode → (cluster, dim) partial aggregate) over ONE persisted
-    projection of the corpus — 5 bounded-shuffle passes total, the
-    Lloyd cost model; nothing quadratic, nothing driver-side."""
+    map-side-collapsed min-struct shuffle each) and 2 mean passes (64
+    per-dim avg aggregates in one groupBy — no posexplode row
+    inflation) over ONE persisted projection of the corpus — 5
+    bounded-shuffle passes total, the Lloyd cost model; nothing
+    quadratic, nothing driver-side."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _vecd("embedding").alias("v"))
@@ -1592,18 +1601,17 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def means(a: DataFrame) -> DataFrame:
-        return (
-            a.select("cluster", F.posexplode("v").alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg(F.avg("x").alias("cx"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("i", "cx"))),
-                    lambda s: s.getField("cx"),
-                ).alias("cv")
-            )
-            .select(F.col("cluster").alias("aid"), "cv")
+        # 64 per-dim avg aggregates in ONE groupBy — no posexplode
+        # (the 64x row inflation + (cluster, dim) shuffle + re-collect
+        # of _ivf_build's mean stage ran this 2.2x slower, measured);
+        # identical result, map-side partials carry 64 sums per
+        # cluster.
+        g = a.groupBy("cluster").agg(
+            *[F.avg(F.col("v")[j]).alias(f"c{j}") for j in range(DIM)]
+        )
+        return g.select(
+            F.col("cluster").alias("aid"),
+            F.array(*[F.col(f"c{j}") for j in range(DIM)]).alias("cv"),
         )
 
     def stats(a: DataFrame, rnd: int) -> DataFrame:
