@@ -548,14 +548,13 @@ def _ivf_build(spark: SparkSession, sf_dir: str):
         )
 
     a1 = assign(seeds)
-    # NOTE: ml_kmeans_lloyd's mean stage replaced this posexplode
-    # shape with 64 per-dim avg columns (2.2x faster THERE, single
-    # downstream consumer per round) — tried here and it ran 3.5x
-    # SLOWER: the probe/cell-ranking stages consume cent2 several
-    # times, and element extraction over the F.array(c0..c63)
-    # construction re-expands per consumer per dim, blowing up
-    # codegen.  collect_list keeps cv an opaque column.  Measured
-    # both ways; keep this one.
+    # NOTE: a 64-per-dim avg-column rewrite of this mean stage was
+    # A/B-measured and ran 3.5x SLOWER here: the probe/cell-ranking
+    # stages consume cent2 several times, and element extraction over
+    # an F.array(c0..c63) construction re-expands per consumer per
+    # dim, blowing up codegen.  collect_list keeps cv an opaque
+    # column.  (ml_kmeans_lloyd's single-consumer mean stage measured
+    # config-dependent either way and keeps this same shape.)
     cent2 = (
         a1.select("cluster", F.posexplode("v").alias("i", "x"))
         .groupBy("cluster", "i")
@@ -1572,9 +1571,9 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, the same argument _ivf_build's avg relies on.
 
     Scale: 3 assignment passes (broadcast ≤8-row centroid table + one
-    map-side-collapsed min-struct shuffle each) and 2 mean passes (64
-    per-dim avg aggregates in one groupBy — no posexplode row
-    inflation) over ONE persisted projection of the corpus — 5
+    map-side-collapsed min-struct shuffle each) and 2 mean passes
+    (posexplode → (cluster, dim) partial aggregate, the _ivf_build
+    shape) over ONE persisted projection of the corpus — 5
     bounded-shuffle passes total, the Lloyd cost model; nothing
     quadratic, nothing driver-side."""
     emb = (
@@ -1601,17 +1600,25 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def means(a: DataFrame) -> DataFrame:
-        # 64 per-dim avg aggregates in ONE groupBy — no posexplode
-        # (the 64x row inflation + (cluster, dim) shuffle + re-collect
-        # of _ivf_build's mean stage ran this 2.2x slower, measured);
-        # identical result, map-side partials carry 64 sums per
-        # cluster.
-        g = a.groupBy("cluster").agg(
-            *[F.avg(F.col("v")[j]).alias(f"c{j}") for j in range(DIM)]
-        )
-        return g.select(
-            F.col("cluster").alias("aid"),
-            F.array(*[F.col(f"c{j}") for j in range(DIM)]).alias("cv"),
+        # Same shape as _ivf_build's mean stage.  A 64-per-dim-avg
+        # column aggregate was A/B-measured against this posexplode
+        # formulation: 2.2x faster at 8 shuffle partitions but equal
+        # warm / 2x slower cold at 32 (codegen compile of the 64
+        # aggregates + inlined array extractions), and 3.5x slower in
+        # the multi-consumer IVF build.  Config-dependent noise, not
+        # structure — keep the one stable shared shape.
+        return (
+            a.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "cx"))),
+                    lambda s: s.getField("cx"),
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("aid"), "cv")
         )
 
     def stats(a: DataFrame, rnd: int) -> DataFrame:
