@@ -554,3 +554,142 @@ ORACLES["graph_shortest_path"] = (
     + " SELECT node AS nation, CAST(dist AS BIGINT) AS dist_cost"
     f" FROM r{SP_ROUNDS}"
 )
+
+
+MST_SQUARINGS = 5  # covers paths up to 2^5 = 32 hops ≥ any 25-node path
+MST_RANK_SCALE = 1024  # distinct-ifier: cost*1024 + edge rank (≤300 edges)
+
+
+def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning tree of the FULL undirected trade graph under
+    the integer inverse-affinity cost (graph_shortest_path's metric) —
+    the cheapest backbone connecting every nation through its
+    strongest trade links (an MST on inverse affinity IS the maximum
+    spanning tree on affinity).
+
+    Sequential MST algorithms (Kruskal/Prim) are union-find loops —
+    not relational.  This uses the CUT PROPERTY closed form instead:
+    with all edge costs distinct, an edge belongs to the unique MST
+    iff its cost equals the BOTTLENECK distance (minimax path cost)
+    between its endpoints.  All-pairs bottleneck distances solve in
+    the (min, max) semiring by MST_SQUARINGS unrolled matrix
+    squarings — M ← min_{mid}(max(M[a,mid], M[mid,b])) — each one
+    self-join + groupBy-min, so the whole computation is joins and
+    aggregates and carries a full chained-CTE DuckDB oracle
+    (MATERIALIZED: each squaring references the previous twice).
+
+    Determinism: costs are BIGINT micro-units made DISTINCT by
+    appending the edge's rank in (a, b) order (cost*1024 + rank —
+    ≤300 edges < 1024, no collision, and the perturbation never
+    reorders真distinct costs); ZERO floats anywhere, so no rounding
+    is needed at all.  The rank window and the O(n³) squaring run on
+    the CONTRACTED entity graph (≤25 nodes / ≤300 edges — the
+    bounded-grid rule): at 100 TB the expensive stage is the fact
+    aggregation INTO that graph (one shuffle, map-side combined);
+    contract-then-solve is the standard pattern, with Borůvka rounds
+    as the alternative when the entity graph itself is huge.
+
+    tests/test_graph.py proves the output equals textbook Kruskal
+    run on the same edge list, and that it spans (|edges| =
+    |nodes| − |components|)."""
+    from pyspark.sql import Window
+
+    edges = _trade_edges(spark, sf_dir).persist()
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    cost = F.floor(F.lit(1e9) / F.col("w").cast("double") + 0.5).cast("long")
+    rn = F.row_number().over(Window.orderBy("a", "b"))  # bounded edge grid
+    ce = und.select(
+        "a", "b", "w", (cost * MST_RANK_SCALE + rn).alias("cd")
+    ).persist()
+    bd = ce.select(F.col("a").alias("src"), F.col("b").alias("dst"), "cd").unionByName(
+        ce.select(F.col("b").alias("src"), F.col("a").alias("dst"), "cd")
+    )
+    self_loops = (
+        bd.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("cd"),
+        )
+    )
+    # Each squaring references m TWICE (both join sides) — left
+    # unrolled, the lineage doubles per round (2^5 copies of the
+    # edge build; the graph_shortest_path lesson, but here the
+    # double reference is inherent to squaring).  localCheckpoint
+    # eagerly materializes the ≤n² bottleneck matrix per round
+    # (CLAUDE.md iterative-loop rule), keeping every squaring a
+    # join of two tiny cached tables.
+    m = bd.unionByName(self_loops).localCheckpoint()
+    for _ in range(MST_SQUARINGS):
+        l = m.select(F.col("src").alias("ls"), F.col("dst").alias("mid"), F.col("cd").alias("lc"))
+        r = m.select(F.col("dst").alias("rd"), F.col("src").alias("mid"), F.col("cd").alias("rc"))
+        m = (
+            l.join(r, "mid")
+            .groupBy("ls", "rd")
+            .agg(F.min(F.greatest("lc", "rc")).alias("cd"))
+            .select(F.col("ls").alias("src"), F.col("rd").alias("dst"), "cd")
+            .localCheckpoint()
+        )
+    result = (
+        ce.join(
+            m,
+            (ce.a == m.src) & (ce.b == m.dst) & (ce.cd == m.cd),
+            "left_semi",
+        )
+        .select(
+            F.col("a").alias("nation_a"),
+            F.col("b").alias("nation_b"),
+            "w",
+            F.expr(f"cd div {MST_RANK_SCALE}").cast("long").alias("cost_micro"),
+        )
+    )
+    return tether_cache(result, edges, ce)
+
+
+QUERIES["graph_mst"] = graph_mst
+
+
+def _mst_oracle() -> str:
+    sq = []
+    prev = "m0"
+    for i in range(1, MST_SQUARINGS + 1):
+        sq.append(
+            f" m{i} AS MATERIALIZED (SELECT l.src, r.dst,"
+            "   min(greatest(l.cd, r.cd)) AS cd"
+            f"   FROM {prev} l JOIN {prev} r ON l.dst = r.src"
+            "   GROUP BY 1, 2)"
+        )
+        prev = f"m{i}"
+    return (
+        f"WITH edges AS ({_SQL_EDGES}),"
+        " und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,"
+        "   CAST(sum(weight) AS BIGINT) AS w FROM edges"
+        "   WHERE src <> dst GROUP BY 1, 2),"
+        " ce AS (SELECT a, b, w,"
+        "   CAST(floor(1e9 / CAST(w AS DOUBLE) + 0.5) AS BIGINT)"
+        f"     * {MST_RANK_SCALE}"
+        "     + row_number() OVER (ORDER BY a, b) AS cd"
+        "   FROM und),"
+        " bd AS (SELECT a AS src, b AS dst, cd FROM ce"
+        "   UNION ALL SELECT b, a, cd FROM ce),"
+        " m0 AS MATERIALIZED (SELECT src, dst, cd FROM bd"
+        "   UNION ALL SELECT DISTINCT src, src, CAST(0 AS BIGINT) FROM bd),"
+        + ",".join(sq)
+        + " SELECT ce.a AS nation_a, ce.b AS nation_b, ce.w,"
+        f" CAST(ce.cd // {MST_RANK_SCALE} AS BIGINT) AS cost_micro"
+        f" FROM ce JOIN {prev} m"
+        " ON ce.a = m.src AND ce.b = m.dst AND ce.cd = m.cd"
+    )
+
+
+ORACLES["graph_mst"] = _mst_oracle()

@@ -102,3 +102,56 @@ def test_shortest_path_weighted_route_beats_direct_edge(spark, tmp_path, sf_dir)
 
     real = {r.nation: r.dist_cost for r in graph_shortest_path(spark, sf_dir).collect()}
     assert real and min(real.values()) == 0 and all(v >= 0 for v in real.values())
+
+
+def test_mst_equals_kruskal_and_spans(spark, sf_dir):
+    """The cut-property/bottleneck formulation must produce exactly
+    the tree textbook Kruskal builds on the same distinct-ified edge
+    list, and it must span (|mst| = |nodes| - |components|)."""
+    from decision_tree_analytics_spark.operators.graph import (
+        MST_RANK_SCALE,
+        _trade_edges,
+        graph_mst,
+    )
+    import pyspark.sql.functions as F
+
+    got = {
+        (r.nation_a, r.nation_b): (r.w, r.cost_micro)
+        for r in graph_mst(spark, sf_dir).collect()
+    }
+    # rebuild the same distinct-ified edge list
+    und = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("weight").alias("w"))
+        .collect()
+    )
+    edges = sorted((r.a, r.b, int(r.w)) for r in und)
+    costed = [
+        (int(1e9 / w + 0.5) * MST_RANK_SCALE + i + 1, a, b)
+        for i, (a, b, w) in enumerate(edges)
+    ]
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal = set()
+    for cd, a, b in sorted(costed):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            kruskal.add((a, b))
+    assert set(got) == kruskal
+    nodes = {a for a, _, _ in edges} | {b for _, b, _ in edges}
+    n_comp = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - n_comp
