@@ -101,6 +101,7 @@ BENCH_EXTRAS = [
     "ml_kmeans_lloyd",
     "ns_quality_model",
     "ml_isotonic_calibration",
+    "graph_mst",
 ]
 
 
