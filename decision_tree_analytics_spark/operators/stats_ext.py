@@ -1432,3 +1432,162 @@ SELECT pre.k, pre.n,
   floor(iso.iso * 1e6 + 0.5) / 1e6 AS iso_rate
 FROM pre JOIN iso ON pre.k = iso.ik
 """
+
+
+VIT_DAYS = 8  # bounded daily grid (the udf_holt/udf_dtw window)
+VIT_SWITCH = 2  # integer state-switch penalty (count units)
+
+
+def rel_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Viterbi sequence labeling over the first VIT_DAYS days
+    of activity: decode each user's most-likely latent LOW/HIGH
+    activity state path under integer emission costs |count − level_s|
+    and a flat switch penalty — the HMM max-product decode next to
+    udf_holt_smooth (smoothing) and udf_dtw_profile (alignment), but
+    needing NO Arrow lane at all.
+
+    The trick is the layout: the (user, day) grid pivots WIDE first
+    (8 conditional-sum columns in the one groupBy shuffle), and the
+    whole 8-step × 2-state DP — running costs v0/v1 plus the decoded
+    path packed into an integer bitmask (path·2 + state per day, day 0
+    at the high bit) — is then pure whole-stage-codegen column
+    arithmetic: ONE exchange total at any corpus size, no joins, no
+    per-row Python.  Ties prefer the lower previous state (<=), making
+    the decoded path unique and cross-engine identical.
+
+    Everything is BIGINT (counts, |·| emissions, packed paths) except
+    the level derivation — levels are floor-rounded halves of the
+    global per-user-day mean (a ratio of two BIGINTs, identical
+    doubles both engines) — so no rounding subtleties anywhere.
+    tests/test_viterbi.py replays the DP in pure Python from the same
+    collected counts and asserts exact equality (the Kruskal-style
+    algorithmic cross-check)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"(ts div 1000) div {US_PER_DAY}").alias("day")
+    )
+    min_day = ev.agg(F.min("day").alias("d0"))
+    w = (
+        ev.crossJoin(F.broadcast(min_day))
+        .withColumn("di", (F.col("day") - F.col("d0")).cast("long"))
+        .filter(F.col("di") < VIT_DAYS)
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("di") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c{t}")
+                for t in range(VIT_DAYS)
+            ]
+        )
+    )
+    tot = sum((F.col(f"c{t}") for t in range(1, VIT_DAYS)), F.col("c0"))
+    lv = w.agg(
+        (F.sum(tot).cast("double") / (F.count(F.lit(1)) * VIT_DAYS).cast("double")).alias("mu")
+    ).select(
+        F.floor(F.col("mu") / 2 + 0.5).cast("long").alias("lo"),
+        F.floor(F.col("mu") * 3 / 2 + 0.5).cast("long").alias("hi"),
+    )
+    d = w.crossJoin(F.broadcast(lv))
+
+    def em(t, lev):
+        return F.abs(F.col(f"c{t}") - F.col(lev))
+
+    d = d.withColumns(
+        {
+            "v0": em(0, "lo"),
+            "v1": em(0, "hi"),
+            "p0": F.lit(0).cast("long"),
+            "p1": F.lit(1).cast("long"),
+        }
+    )
+    for t in range(1, VIT_DAYS):
+        c00, c10 = F.col("v0"), F.col("v1") + VIT_SWITCH  # into state 0
+        c01, c11 = F.col("v0") + VIT_SWITCH, F.col("v1")  # into state 1
+        d = d.withColumns(
+            {
+                "nv0": F.least(c00, c10) + em(t, "lo"),
+                "np0": F.when(c00 <= c10, F.col("p0") * 2).otherwise(
+                    F.col("p1") * 2
+                ),
+                "nv1": F.least(c01, c11) + em(t, "hi"),
+                "np1": F.when(c01 <= c11, F.col("p0") * 2 + 1).otherwise(
+                    F.col("p1") * 2 + 1
+                ),
+            }
+        ).select(
+            "user_id",
+            *[f"c{i}" for i in range(VIT_DAYS)],
+            "lo",
+            "hi",
+            F.col("nv0").alias("v0"),
+            F.col("nv1").alias("v1"),
+            F.col("np0").alias("p0"),
+            F.col("np1").alias("p1"),
+        )
+    return d.select(
+        "user_id",
+        F.least("v0", "v1").cast("long").alias("vit_cost"),
+        F.when(F.col("v0") <= F.col("v1"), F.col("p0"))
+        .otherwise(F.col("p1"))
+        .cast("long")
+        .alias("path_mask"),
+        F.bit_count(
+            F.when(F.col("v0") <= F.col("v1"), F.col("p0")).otherwise(F.col("p1"))
+        )
+        .cast("long")
+        .alias("n_high_days"),
+    )
+
+
+def _viterbi_oracle() -> str:
+    # Each step CTE re-aliases v0/v1/p0/p1; inside one SELECT the
+    # expressions must see the PREVIOUS step's columns.  DuckDB's
+    # lateral-alias feature binds a name to a same-SELECT alias only
+    # when the input relation does NOT carry that column — here it
+    # does, so input-column precedence gives exactly the intended
+    # semantics.
+    cs = ", ".join(
+        f"CAST(sum(CASE WHEN di = {t} THEN 1 ELSE 0 END) AS BIGINT) AS c{t}"
+        for t in range(VIT_DAYS)
+    )
+    tot = " + ".join(f"c{t}" for t in range(VIT_DAYS))
+    steps = []
+    prev = "s0"
+    for t in range(1, VIT_DAYS):
+        steps.append(
+            f"s{t} AS (SELECT user_id, {', '.join(f'c{i}' for i in range(VIT_DAYS))}, lo, hi,"
+            f" least(v0, v1 + {VIT_SWITCH}) + abs(c{t} - lo) AS v0,"
+            f" least(v0 + {VIT_SWITCH}, v1) + abs(c{t} - hi) AS v1,"
+            f" CASE WHEN v0 <= v1 + {VIT_SWITCH} THEN p0 * 2 ELSE p1 * 2 END AS p0,"
+            f" CASE WHEN v0 + {VIT_SWITCH} <= v1 THEN p0 * 2 + 1 ELSE p1 * 2 + 1 END AS p1"
+            f" FROM {prev})"
+        )
+        prev = f"s{t}"
+    return (
+        f"WITH ev AS (SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day"
+        "   FROM events),"
+        " w AS (SELECT user_id, " + cs + " FROM ("
+        "   SELECT user_id, day - (SELECT min(day) FROM ev) AS di FROM ev)"
+        f"  WHERE di < {VIT_DAYS} GROUP BY user_id),"
+        " lv AS (SELECT"
+        f"   CAST(floor(mu / 2 + 0.5) AS BIGINT) AS lo,"
+        f"   CAST(floor(mu * 3 / 2 + 0.5) AS BIGINT) AS hi"
+        f"   FROM (SELECT CAST(sum({tot}) AS DOUBLE)"
+        f"     / (count(*) * {VIT_DAYS}) AS mu FROM w)),"
+        " s0 AS (SELECT user_id,"
+        + ", ".join(f"c{i}" for i in range(VIT_DAYS))
+        + ", lo, hi,"
+        "   abs(c0 - lo) AS v0, abs(c0 - hi) AS v1,"
+        "   CAST(0 AS BIGINT) AS p0, CAST(1 AS BIGINT) AS p1"
+        "   FROM w CROSS JOIN lv),"
+        + ",".join(steps)
+        + " SELECT user_id, CAST(least(v0, v1) AS BIGINT) AS vit_cost,"
+        " CAST(CASE WHEN v0 <= v1 THEN p0 ELSE p1 END AS BIGINT) AS path_mask,"
+        " CAST(bit_count(CASE WHEN v0 <= v1 THEN p0 ELSE p1 END) AS BIGINT)"
+        "   AS n_high_days"
+        f" FROM {prev}"
+    )
+
+
+QUERIES["rel_viterbi_states"] = rel_viterbi_states
+ORACLES["rel_viterbi_states"] = _viterbi_oracle()
