@@ -102,6 +102,7 @@ BENCH_EXTRAS = [
     "ns_quality_model",
     "ml_isotonic_calibration",
     "graph_mst",
+    "rel_viterbi_states",
 ]
 
 
