@@ -103,6 +103,7 @@ BENCH_EXTRAS = [
     "ml_isotonic_calibration",
     "graph_mst",
     "rel_viterbi_states",
+    "graph_scc",
 ]
 
 

@@ -155,3 +155,46 @@ def test_mst_equals_kruskal_and_spans(spark, sf_dir):
     nodes = {a for a, _, _ in edges} | {b for _, b, _ in edges}
     n_comp = len({find(n) for n in nodes})
     assert len(got) == len(nodes) - n_comp
+
+
+def test_scc_equals_python_mutual_reachability(spark, sf_dir):
+    """graph_scc's squaring-based labels must equal the partition a
+    per-node Python BFS computes from the same sparsified directed
+    edge list."""
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.operators.graph import (
+        _trade_edges,
+        graph_scc,
+    )
+
+    got = {r.nation: (r.scc, r.scc_size) for r in graph_scc(spark, sf_dir).collect()}
+    assert got
+
+    e = _trade_edges(spark, sf_dir).collect()
+    mean_w = sum(r.weight for r in e) / len(e)
+    adj = {}
+    nodes = set()
+    for r in e:
+        if r.weight > mean_w and r.src != r.dst:
+            adj.setdefault(r.src, set()).add(r.dst)
+            nodes |= {r.src, r.dst}
+
+    def reach(start):
+        seen, stack = {start}, [start]
+        while stack:
+            for nxt in adj.get(stack.pop(), ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        return seen
+
+    fwd = {n: reach(n) for n in nodes}
+    want_label = {
+        n: min(m for m in fwd[n] if n in fwd[m]) for n in nodes
+    }
+    sizes = {}
+    for lbl in want_label.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    want = {n: (want_label[n], sizes[want_label[n]]) for n in nodes}
+    assert got == want
