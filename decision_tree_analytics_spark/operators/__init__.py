@@ -104,6 +104,10 @@ BENCH_EXTRAS = [
     "graph_mst",
     "rel_viterbi_states",
     "graph_scc",
+    "graph_betweenness",
+    "rel_gaps_islands",
+    "rel_assoc_rules",
+    "ml_shap_linear",
 ]
 
 

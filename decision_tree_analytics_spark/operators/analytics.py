@@ -1030,3 +1030,102 @@ SELECT edge, n_child, n_orphans,
     AS orphan_ppm
 FROM e
 """
+
+
+ASSOC_TOPK = 50
+
+
+def rel_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (the A-priori pair step):
+    baskets = orders, items = part brands, output the top-50 brand
+    pairs by co-occurrence support with confidence P(b|a) and lift.
+
+    Scale shape: the pair generator is a per-basket self-join on the
+    DISTINCT (order, brand) item table — fan-out is C(items-per-
+    basket, 2), bounded by the basket size (≤7 lineitems in this
+    schema), never corpus-quadratic.  Brand supports are a ≤25-row
+    broadcast; the basket count is a broadcast scalar; the top-50 is
+    TakeOrderedAndProject (pair_supp DESC, brand tie-break — rule 5).
+    The item table is persisted — it feeds the pair join twice plus
+    both support aggregates, and Catalyst does not reuse exchanges
+    across branches (the BM25 lesson).
+
+    Determinism: supports are BIGINT counts; confidence and lift are
+    single IEEE divisions of BIGINTs rounded at 1e-6 (lift written as
+    (pair/supp_a)*(n/supp_b) so both engines execute the same two
+    divisions — the BIGINT product n*pair*1e6 could overflow at real
+    corpus sizes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    nb = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    supp = items.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_supp"))
+    )
+    sa = F.broadcast(supp.select(F.col("brand").alias("brand_a"), F.col("s").alias("supp_a")))
+    sb = F.broadcast(supp.select(F.col("brand").alias("brand_b"), F.col("s").alias("supp_b")))
+    m = (
+        pairs.join(sa, "brand_a")
+        .join(sb, "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_supp",
+            "supp_a",
+            "supp_b",
+            (F.floor(F.col("pair_supp") / F.col("supp_a") * 1e6 + 0.5) / 1e6).alias(
+                "conf_ab"
+            ),
+            (
+                F.floor(
+                    (F.col("pair_supp") / F.col("supp_a"))
+                    * (F.col("n_baskets") / F.col("supp_b"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("lift"),
+        )
+    )
+    result = m.orderBy(
+        F.col("pair_supp").desc(), "brand_a", "brand_b"
+    ).limit(ASSOC_TOPK)
+    from decision_tree_analytics_spark.operators._cache import tether_cache
+
+    return tether_cache(result, items)
+
+
+QUERIES["rel_assoc_rules"] = rel_assoc_rules
+ORACLES["rel_assoc_rules"] = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+  FROM items),
+supp AS (SELECT brand, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+    CAST(count(*) AS BIGINT) AS pair_supp
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2)
+SELECT brand_a, brand_b, pair_supp, sa.s AS supp_a, sb.s AS supp_b,
+  floor(pair_supp / sa.s * 1e6 + 0.5) / 1e6 AS conf_ab,
+  floor((pair_supp / sa.s) * (nb.n_baskets / sb.s) * 1e6 + 0.5) / 1e6 AS lift
+FROM pairs JOIN supp sa ON pairs.brand_a = sa.brand
+JOIN supp sb ON pairs.brand_b = sb.brand
+CROSS JOIN nb
+ORDER BY pair_supp DESC, brand_a, brand_b LIMIT {ASSOC_TOPK}
+"""

@@ -790,3 +790,161 @@ def _scc_oracle() -> str:
 
 
 ORACLES["graph_scc"] = _scc_oracle()
+
+
+BC_ROUNDS = 6  # BFS layers ≥ the sparsified graph's diameter
+BC_SCALE = 1_000_000  # betweenness terms in integer micro-units
+
+
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness centrality over the UNDIRECTED sparsified
+    trade graph — which nations broker the strong-trade routes.
+
+    Brandes' algorithm is a per-source DFS/stack accumulation — not
+    relational.  But its first phase (BFS layering with shortest-path
+    counting) IS: keep one relation r(s, t, dist, cnt) holding, for
+    every source s, the BFS distance and the NUMBER of shortest paths;
+    each round extends the distance-(k-1) frontier by one edge,
+    sums counts per (s, t) (sigma(s,t) = sum of sigma(s,v) over
+    predecessors v — each shortest path decomposes uniquely by its
+    final edge, so nothing double-counts), and anti-joins against r so
+    only first-reached pairs enter at layer k.  The pair-dependency
+    phase is then the closed form: v lies on a shortest s-t path iff
+    d(s,v) + d(v,t) = d(s,t), contributing sigma(s,v)*sigma(v,t)/
+    sigma(s,t) — two self-joins of the final relation, no stack.
+
+    Determinism: counts are BIGINT; each rational dependency term is
+    rounded to integer micro-units BEFORE summation (CLAUDE.md rule
+    9: floor(1e6*c1*c2/sig + 0.5) — products < 2^53, division IEEE-
+    identical), so both engines sum identical integers.  sig ≥ 1 by
+    construction (the pair exists), so no ANSI division guard is
+    needed.  All-pairs state is bounded by the contracted entity
+    graph (≤25 nodes → ≤625 rows); at 100 TB the expensive stage is
+    the fact aggregation INTO the graph, and each BFS round is one
+    join + one aggregate referencing the checkpointed state once
+    (plus the anti-join — hence per-round localCheckpoint, the
+    graph_mst rule).  tests/test_graph.py proves equality with a
+    pure-Python Brandes-style replay."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    mean_w = edges.agg(F.avg("weight").alias("mw"))
+    und = (
+        edges.crossJoin(F.broadcast(mean_w))
+        .filter((F.col("weight") > F.col("mw")) & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    r = nodes.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("t"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("cnt"),
+    ).localCheckpoint()
+    for k in range(1, BC_ROUNDS + 1):
+        frontier = r.filter(F.col("dist") == k - 1)
+        ext = (
+            frontier.join(sym, frontier.t == sym.u)
+            .groupBy("s", "v")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new = ext.join(
+            r.select("s", F.col("t").alias("v")), ["s", "v"], "left_anti"
+        ).select("s", F.col("v").alias("t"), F.lit(k).alias("dist"), "cnt")
+        r = r.unionByName(new).localCheckpoint()
+    p = r.filter((F.col("dist") > 0) & (F.col("s") < F.col("t"))).select(
+        F.col("s").alias("ps"),
+        F.col("t").alias("pt"),
+        F.col("dist").alias("pd"),
+        F.col("cnt").alias("sig"),
+    )
+    r1 = r.select(
+        F.col("s").alias("ps"),
+        F.col("t").alias("mid"),
+        F.col("dist").alias("d1"),
+        F.col("cnt").alias("c1"),
+    )
+    r2 = r.select(
+        F.col("s").alias("mid2"),
+        F.col("t").alias("pt2"),
+        F.col("dist").alias("d2"),
+        F.col("cnt").alias("c2"),
+    )
+    joined = (
+        p.join(r1, "ps")
+        .join(r2, (F.col("mid") == F.col("mid2")) & (F.col("pt") == F.col("pt2")))
+        .filter(
+            (F.col("mid") != F.col("ps"))
+            & (F.col("mid") != F.col("pt"))
+            & (F.col("d1") + F.col("d2") == F.col("pd"))
+        )
+    )
+    term = F.floor(
+        F.lit(BC_SCALE) * F.col("c1") * F.col("c2") / F.col("sig") + 0.5
+    )
+    agg = joined.groupBy(F.col("mid").alias("bc_nation")).agg(
+        F.sum(term).alias("bc_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    result = nodes.join(agg, nodes.node == agg.bc_nation, "left").select(
+        F.col("node").alias("nation"),
+        F.coalesce("bc_micro", F.lit(0).cast("long")).alias("bc_micro"),
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+    )
+    return tether_cache(result, edges)
+
+
+QUERIES["graph_betweenness"] = graph_betweenness
+
+
+def _betweenness_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, BC_ROUNDS + 1):
+        rounds.append(
+            f" n{k} AS MATERIALIZED (SELECT f.s, a.v AS t,"
+            "   CAST(SUM(f.cnt) AS BIGINT) AS cnt"
+            f"   FROM {prev} f JOIN sym a ON f.t = a.u"
+            f"   WHERE f.dist = {k - 1} AND NOT EXISTS ("
+            f"     SELECT 1 FROM {prev} r WHERE r.s = f.s AND r.t = a.v)"
+            "   GROUP BY 1, 2),"
+            f" r{k} AS MATERIALIZED (SELECT * FROM {prev}"
+            f"   UNION ALL SELECT s, t, {k} AS dist, cnt FROM n{k})"
+        )
+        prev = f"r{k}"
+    return (
+        f"WITH edges AS ({_SQL_EDGES}),"
+        " sparse AS (SELECT src, dst FROM edges"
+        "   WHERE weight > (SELECT avg(weight) FROM edges)"
+        "   AND src <> dst),"
+        " und AS (SELECT DISTINCT least(src, dst) AS a,"
+        "   greatest(src, dst) AS b FROM sparse),"
+        " sym AS (SELECT a AS u, b AS v FROM und"
+        "   UNION ALL SELECT b, a FROM und),"
+        " nodes AS (SELECT DISTINCT u AS node FROM sym),"
+        " r0 AS MATERIALIZED (SELECT node AS s, node AS t, 0 AS dist,"
+        "   CAST(1 AS BIGINT) AS cnt FROM nodes),"
+        + ",".join(rounds)
+        + f", p AS (SELECT s AS ps, t AS pt, dist AS pd, cnt AS sig"
+        f"   FROM {prev} WHERE dist > 0 AND s < t),"
+        " agg AS (SELECT b1.t AS bc_nation,"
+        f"   CAST(SUM(CAST(floor({BC_SCALE} * b1.cnt * b2.cnt / p.sig + 0.5)"
+        "     AS BIGINT)) AS BIGINT) AS bc_micro,"
+        "   CAST(count(*) AS BIGINT) AS n_pairs"
+        f"   FROM p JOIN {prev} b1 ON b1.s = p.ps"
+        f"   JOIN {prev} b2 ON b2.s = b1.t AND b2.t = p.pt"
+        "   WHERE b1.t <> p.ps AND b1.t <> p.pt"
+        "   AND b1.dist + b2.dist = p.pd"
+        "   GROUP BY 1)"
+        " SELECT node AS nation,"
+        "   COALESCE(bc_micro, CAST(0 AS BIGINT)) AS bc_micro,"
+        "   COALESCE(n_pairs, CAST(0 AS BIGINT)) AS n_pairs"
+        " FROM nodes LEFT JOIN agg ON nodes.node = agg.bc_nation"
+    )
+
+
+ORACLES["graph_betweenness"] = _betweenness_oracle()

@@ -1910,3 +1910,115 @@ SELECT n_train, n_cal, n_test, a AS intercept, b AS slope, q90, coverage,
   floor(2 * q90 * 1e6 + 0.5) / 1e6 AS mean_width
 FROM p CROSS JOIN q CROSS JOIN c
 """
+
+
+SHAP_PROBE_MOD = 7  # deterministic probe slice: vec_id % 7 == 0
+
+
+def ml_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAP attribution for the closed-form ridge model — for a
+    linear model with the independent-features baseline, the Shapley
+    value of feature j on row x is EXACTLY phi_j = beta_j * (x_j -
+    mean(x_j)), and pred = base + sum(phi) with base = beta0 +
+    sum(beta_j * mean_j).  This is the model-explainability readout a
+    scoring pipeline ships next to every batch prediction.
+
+    Training reuses ml_ridge_normal_eq's machinery verbatim: one
+    mergeable-moments pass, Cramer 3x3 solve (lambda=0.1 keeps the
+    determinant >= lambda^3 > 0 — ANSI-safe), so DuckDB replays the
+    fit exactly.  Attribution is then MAP-ONLY: the 1-row (beta,
+    means) table broadcasts onto the probe slice (vec_id %
+    SHAP_PROBE_MOD = 0 — a deterministic sample, not a bounded
+    broadcast; the full-corpus variant is the same plan), zero
+    additional shuffles — this is how per-row explanation jobs stay
+    linear at 100 TB.  Outputs rounded 1e-6 on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x1"),
+        F.col("embedding").getItem(1).cast("double").alias("x2"),
+        F.col("embedding").getItem(2).cast("double").alias("y"),
+    ).persist()
+    lam = float(RIDGE_L2)
+    m = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    a00, a01, a02 = F.col("n") + lam, F.col("s1"), F.col("s2")
+    a11, a12, a22 = F.col("s11") + lam, F.col("s12"), F.col("s22") + lam
+    b0, b1, b2 = F.col("sy"), F.col("s1y"), F.col("s2y")
+
+    def det3(c00, c01, c02, c10, c11, c12, c20, c21, c22):
+        return (
+            c00 * (c11 * c22 - c12 * c21)
+            - c01 * (c10 * c22 - c12 * c20)
+            + c02 * (c10 * c21 - c11 * c20)
+        )
+
+    det = det3(a00, a01, a02, a01, a11, a12, a02, a12, a22)
+    beta = m.select(
+        (det3(b0, a01, a02, b1, a11, a12, b2, a12, a22) / det).alias("b0"),
+        (det3(a00, b0, a02, a01, b1, a12, a02, b2, a22) / det).alias("b1"),
+        (det3(a00, a01, b0, a01, a11, b1, a02, a12, b2) / det).alias("b2"),
+        (F.col("s1") / F.col("n")).alias("xm1"),
+        (F.col("s2") / F.col("n")).alias("xm2"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    probes = feats.filter(F.col("vec_id") % SHAP_PROBE_MOD == 0)
+    out = probes.crossJoin(F.broadcast(beta)).select(
+        "vec_id",
+        r6(
+            F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+        ).alias("pred"),
+        r6(
+            F.col("b0") + F.col("b1") * F.col("xm1") + F.col("b2") * F.col("xm2")
+        ).alias("base"),
+        r6(F.col("b1") * (F.col("x1") - F.col("xm1"))).alias("phi_x1"),
+        r6(F.col("b2") * (F.col("x2") - F.col("xm2"))).alias("phi_x2"),
+    )
+    return tether_cache(out, feats)
+
+
+def _shap_oracle() -> str:
+    lam = float(RIDGE_L2)
+
+    def det3(c):
+        return (
+            f"({c[0]} * ({c[4]} * {c[8]} - {c[5]} * {c[7]})"
+            f" - {c[1]} * ({c[3]} * {c[8]} - {c[5]} * {c[6]})"
+            f" + {c[2]} * ({c[3]} * {c[7]} - {c[4]} * {c[6]}))"
+        )
+
+    a = ["(n + {l})", "s1", "s2", "s1", "(s11 + {l})", "s12", "s2", "s12", "(s22 + {l})"]
+    a = [x.format(l=lam) for x in a]
+    b = ["sy", "s1y", "s2y"]
+    det = det3(a)
+    d0 = det3([b[0], a[1], a[2], b[1], a[4], a[5], b[2], a[7], a[8]])
+    d1 = det3([a[0], b[0], a[2], a[3], b[1], a[5], a[6], b[2], a[8]])
+    d2 = det3([a[0], a[1], b[0], a[3], a[4], b[1], a[6], a[7], b[2]])
+    return f"""
+WITH f AS (SELECT vec_id, embedding[1]::DOUBLE AS x1,
+    embedding[2]::DOUBLE AS x2, embedding[3]::DOUBLE AS y FROM embeddings),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+    sum(y) AS sy, sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+    sum(x2 * x2) AS s22, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y FROM f),
+beta AS (SELECT {d0} / {det} AS b0, {d1} / {det} AS b1, {d2} / {det} AS b2,
+    s1 / n AS xm1, s2 / n AS xm2 FROM m)
+SELECT vec_id,
+  floor((b0 + b1 * x1 + b2 * x2) * 1e6 + 0.5) / 1e6 AS pred,
+  floor((b0 + b1 * xm1 + b2 * xm2) * 1e6 + 0.5) / 1e6 AS base,
+  floor((b1 * (x1 - xm1)) * 1e6 + 0.5) / 1e6 AS phi_x1,
+  floor((b2 * (x2 - xm2)) * 1e6 + 0.5) / 1e6 AS phi_x2
+FROM f CROSS JOIN beta WHERE vec_id % {SHAP_PROBE_MOD} = 0
+"""
+
+
+QUERIES["ml_shap_linear"] = ml_shap_linear
+ORACLES["ml_shap_linear"] = _shap_oracle()

@@ -2231,3 +2231,56 @@ SELECT event_type, n_exact, n_hit, est_hll,
     AS rel_err
 FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# rel_gaps_islands — gaps-and-islands activity-streak detection: per
+# user, group DISTINCT active days into maximal consecutive runs with
+# the classic day − row_number() constant-per-island key, then report
+# streak counts and the deterministically-picked longest streak
+# (length DESC, start day ASC tie-break — rule 5).  One distinct
+# shuffle on (user, day) followed by user-partitioned windows; island
+# state is per-user-bounded, no self-joins, so the plan is the same at
+# 100 TB (the window never sees more rows than the user's active
+# days).  Day key: epoch-µs integer division (rule 1 — never float).
+def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 1000 div 86400000000")
+    days = ev.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = grp.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day")
+    )
+    ranked = streaks.withColumn("rk", F.row_number().over(w2))
+    return ranked.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max(F.when(F.col("rk") == 1, F.col("len"))).alias("longest_streak"),
+        F.max(F.when(F.col("rk") == 1, F.col("start_day"))).alias(
+            "longest_start_day"
+        ),
+    )
+
+
+QUERIES["rel_gaps_islands"] = rel_gaps_islands
+ORACLES["rel_gaps_islands"] = """
+WITH days AS (SELECT DISTINCT user_id,
+    epoch_us(ts) // 86400000000 AS day FROM events),
+grp AS (SELECT user_id, day,
+    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days),
+streaks AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+    min(day) AS start_day FROM grp GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY len DESC, start_day) AS rk FROM streaks)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+  CAST(count(*) AS BIGINT) AS n_streaks,
+  MAX(CASE WHEN rk = 1 THEN len END) AS longest_streak,
+  MAX(CASE WHEN rk = 1 THEN start_day END) AS longest_start_day
+FROM ranked GROUP BY 1
+"""

@@ -47,6 +47,12 @@ NAMES = [
     "graph_shortest_path",
     "ml_kmeans_lloyd",
     "ns_curriculum_order",
+    # late r6: contracted-graph solvers (10x facts, same 25-node
+    # entity graph — the fact aggregation is the scaling stage) and
+    # the basket-bounded association-rule pair join.
+    "graph_scc",
+    "graph_betweenness",
+    "rel_assoc_rules",
 ]
 
 
@@ -260,6 +266,9 @@ def main() -> None:
 
     spark = get_spark(app_name="dta-spark-scale-probe")
     queries = operators.all_queries()
+    names = NAMES
+    if "--only" in sys.argv:  # probe a subset: --only name1,name2
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
     out = {}
     for sf_dir, tag in [(BASE, "sf0.1"), (OUT, "sf1")]:
         for t in ("documents", "customer", "orders", "lineitem",
@@ -268,7 +277,7 @@ def main() -> None:
         spark.range(32).repartition(32).mapInPandas(
             lambda it: it, "id long"
         ).count()
-        for name in NAMES:
+        for name in names:
             best = None
             rows = None
             for _ in range(2):

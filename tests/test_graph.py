@@ -198,3 +198,65 @@ def test_scc_equals_python_mutual_reachability(spark, sf_dir):
         sizes[lbl] = sizes.get(lbl, 0) + 1
     want = {n: (want_label[n], sizes[want_label[n]]) for n in nodes}
     assert got == want
+
+
+def test_betweenness_equals_python_brandes(spark, sf_dir):
+    """graph_betweenness must equal a pure-Python BFS sigma/dist
+    computation with the same per-term micro-unit rounding."""
+    import math
+    from collections import deque
+
+    from decision_tree_analytics_spark.operators.graph import (
+        BC_SCALE,
+        _trade_edges,
+        graph_betweenness,
+    )
+
+    got = {
+        r.nation: (r.bc_micro, r.n_pairs)
+        for r in graph_betweenness(spark, sf_dir).collect()
+    }
+    assert got
+
+    e = _trade_edges(spark, sf_dir).collect()
+    mean_w = sum(r.weight for r in e) / len(e)
+    adj = {}
+    for r in e:
+        if r.weight > mean_w and r.src != r.dst:
+            a, b = min(r.src, r.dst), max(r.src, r.dst)
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+
+    def bfs(s):
+        dist, sig = {s: 0}, {s: 1}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sig[w] = 0
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sig[w] += sig[v]
+        return dist, sig
+
+    d, sg = {}, {}
+    for n in nodes:
+        d[n], sg[n] = bfs(n)
+
+    want = {n: [0, 0] for n in nodes}
+    for s in nodes:
+        for t in d[s]:
+            if not (s < t and d[s][t] > 0):
+                continue
+            for v in nodes:
+                if v in (s, t) or v not in d[s] or t not in d[v]:
+                    continue
+                if d[s][v] + d[v][t] == d[s][t]:
+                    want[v][0] += math.floor(
+                        BC_SCALE * sg[s][v] * sg[v][t] / sg[s][t] + 0.5
+                    )
+                    want[v][1] += 1
+    assert got == {n: tuple(w) for n, w in want.items()}

@@ -903,3 +903,55 @@ def test_curriculum_prefix_sum_stays_hierarchical(spark, sf_dir):
     assert has_broadcast_join(plan)  # both offset tables broadcast back
     assert count_shuffles(plan) == 5
     assert not has_python_eval(plan)
+
+
+def test_betweenness_final_phase_reads_checkpointed_state(spark, sf_dir):
+    # The dependency phase must run on the CHECKPOINTED ≤n² BFS state
+    # (three readers: the pair table and both self-join sides) — and
+    # the closed-form join must stay an equi-join, never a cartesian.
+    from decision_tree_analytics_spark.operators import graph as G
+
+    plan = simple_plan(G.graph_betweenness(spark, sf_dir))
+    assert plan.count("ExistingRDD") == 3  # p, r1, r2 off one checkpoint
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # mean-weight scalar
+    assert not has_python_eval(plan)
+
+
+def test_gaps_islands_two_exchanges_only(spark, sf_dir):
+    # distinct (user, day) is one exchange; every window and groupBy
+    # after it partitions by user_id (hash(user) satisfies the
+    # (user, grp) clustering), so the whole streak pipeline is TWO
+    # shuffles regardless of corpus size.
+    plan = simple_plan(R.rel_gaps_islands(spark, sf_dir))
+    assert count_shuffles(plan) == 2
+    assert "Join" not in plan  # islands need no self-join
+    assert not has_python_eval(plan)
+
+
+def test_assoc_rules_broadcast_supports_and_topk(spark, sf_dir):
+    # The distinct item table is persisted (pair join reads it twice,
+    # supports + basket count once each — IMTS/lineitem parity), the
+    # ≤25-row supports and 1-row basket count broadcast, and the
+    # top-50 lowers to TakeOrderedAndProject, never a global sort.
+    from decision_tree_analytics_spark.operators import analytics as A
+
+    plan = simple_plan(A.rel_assoc_rules(spark, sf_dir))
+    n_imts = plan.count("InMemoryTableScan")
+    assert n_imts >= 3
+    assert plan.count("lineitem") == n_imts
+    assert has_broadcast_join(plan)
+    assert uses_top_k_sort(plan)
+    assert not has_python_eval(plan)
+
+
+def test_shap_attribution_is_map_only(spark, sf_dir):
+    # One shuffle TOTAL: the single-row moments aggregate.  The
+    # attribution pass is the 1-row (beta, means) broadcast onto the
+    # probe slice — batch explanation must never shuffle the corpus.
+    from decision_tree_analytics_spark.operators import ml_inventory as M
+
+    plan = simple_plan(M.ml_shap_linear(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert not has_python_eval(plan)
