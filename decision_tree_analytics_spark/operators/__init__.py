@@ -108,6 +108,8 @@ BENCH_EXTRAS = [
     "rel_gaps_islands",
     "rel_assoc_rules",
     "ml_shap_linear",
+    "rel_ewma_trend",
+    "rel_rolling_ols",
 ]
 
 
@@ -205,14 +207,19 @@ _DRIVER_SAMPLED = {
 # after the never-sampled names so the driver's 50-query window
 # re-verifies the CURRENT code.  Once a fresh green row lands,
 # move the name back to plain _DRIVER_SAMPLED membership.
+# Order = sampling priority: 45 fresh + these 7 = 52 > the 50-query
+# driver window, so the LAST TWO miss the r6 sample and must lead
+# the r7 rotation.  The r6 semantic rewrites (khop, prefix_join) and
+# the r5 structural rebuilds outrank the two mechanical r5 fixes
+# (auc floor-idiom, psi p-guard — lowest-risk, 3-SF-green locally).
 _RECHECK_PRIORITY = [
-    "ml_feature_importance",   # r5: rows-only -> fully-oracled rebuild
-    "dedup_lsh_recall_eval",   # r5: bounded to doc_id % 4 == 0 slice
-    "ml_auc_roc",              # r5: floor-idiom rework at the score grid
-    "ml_psi_drift",            # r5: p-guard added
-    "dedup_canonical_snapshot",  # r5: footer-tag (parquet md5) identity
     "graph_khop",  # r6: linearized rounds via zero-hop self-loops
     "dedup_prefix_join",  # r6: oracle rewritten as shared-shingle equi-join
+    "ml_feature_importance",   # r5: rows-only -> fully-oracled rebuild
+    "dedup_lsh_recall_eval",   # r5: bounded to doc_id % 4 == 0 slice
+    "dedup_canonical_snapshot",  # r5: footer-tag (parquet md5) identity
+    "ml_auc_roc",              # r5: floor-idiom rework at the score grid
+    "ml_psi_drift",            # r5: p-guard added
 ]
 
 

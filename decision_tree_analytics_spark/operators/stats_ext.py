@@ -1591,3 +1591,166 @@ def _viterbi_oracle() -> str:
 
 QUERIES["rel_viterbi_states"] = rel_viterbi_states
 ORACLES["rel_viterbi_states"] = _viterbi_oracle()
+
+
+EWMA_LOOKBACK = 7  # trailing decay horizon (days)
+
+
+def rel_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA anomaly monitor: each (event_type, day) cell's revenue
+    cents vs the exponentially-weighted mean of its trailing
+    EWMA_LOOKBACK days — the classic ops-metrics spike detector.
+
+    The usual recursive EWMA is replaced by the bounded CLOSED FORM:
+    decay (3/4)^d over a ≤7-day horizon, with INTEGER weights
+    w_d = 3^d * 4^(7-d) (the common 4^7 denominator cancels in
+    num/den), so numerator and denominator are exact BIGINT sums in
+    any order — the whole computation has exactly ONE double
+    division per cell (rule 9 without needing a recurrence at all).
+    pow() only sees tiny integer args (the audited-safe subset).
+
+    Scale: the corpus collapses to the |types| x |days| grid in one
+    aggregate; the trailing-window pair join and everything after run
+    on that bounded grid.  First days emit NULL (no history) — NULL
+    propagates identically in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts div 1000) div {US_PER_DAY}").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    k = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("kday"),
+        F.col("cents").alias("kcents"),
+    )
+    d = F.col("day") - F.col("kday")
+    w = F.floor(F.pow(F.lit(3), d) * F.pow(F.lit(4), EWMA_LOOKBACK - d) + 0.5)
+    pairs = daily.join(
+        k,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("kday") >= F.col("day") - EWMA_LOOKBACK)
+        & (F.col("kday") <= F.col("day") - 1),
+        "left",
+    )
+    agg = pairs.groupBy("event_type", "day", "cents").agg(
+        F.sum(w * F.col("kcents")).alias("num"),
+        F.sum(w).alias("den"),
+    )
+    ewma = F.col("num") / F.col("den")
+    return agg.select(
+        "event_type",
+        "day",
+        "cents",
+        (F.floor(ewma * 1e6 + 0.5) / 1e6).alias("ewma_hist"),
+        F.floor(
+            (F.col("cents") - ewma) / F.nullif(ewma, F.lit(0.0)) * 1e6 + 0.5
+        ).alias("dev_ppm"),
+    )
+
+
+QUERIES["rel_ewma_trend"] = rel_ewma_trend
+ORACLES["rel_ewma_trend"] = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) // {US_PER_DAY} AS day,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+daily AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM e GROUP BY 1, 2),
+agg AS (SELECT t.event_type, t.day, t.cents,
+    CAST(SUM(CAST(floor(pow(3, t.day - k.day)
+      * pow(4, {EWMA_LOOKBACK} - (t.day - k.day)) + 0.5) AS BIGINT)
+      * k.cents) AS BIGINT) AS num,
+    CAST(SUM(CAST(floor(pow(3, t.day - k.day)
+      * pow(4, {EWMA_LOOKBACK} - (t.day - k.day)) + 0.5) AS BIGINT))
+      AS BIGINT) AS den
+  FROM daily t LEFT JOIN daily k
+    ON t.event_type = k.event_type
+    AND k.day >= t.day - {EWMA_LOOKBACK} AND k.day <= t.day - 1
+  GROUP BY 1, 2, 3)
+SELECT event_type, day, cents,
+  floor(num / den * 1e6 + 0.5) / 1e6 AS ewma_hist,
+  CAST(floor((cents - num / den) / nullif(num / den, 0.0) * 1e6 + 0.5)
+    AS BIGINT) AS dev_ppm
+FROM agg
+"""
+
+
+OLS_FRAME = 7  # rolling regression window (odd — rule 10 spirit)
+
+
+def rel_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day least-squares trend: per event type, the OLS
+    slope (and intercept) of daily revenue cents over the trailing
+    OLS_FRAME days — moving trend estimation, the regression upgrade
+    of a moving average.
+
+    Everything before the final division is INTEGER: x = day index,
+    y = integer cents, and the frame sums (sx, sy, sxy, sxx) are
+    BIGINT window sums, so slope = (n*sxy - sx*sy)/(n*sxx - sx*sx)
+    is one IEEE division of exact integers — no float-order risk.
+    The denominator n*sxx - sx^2 = n * sum((x - mean)^2) > 0 always
+    (the frame holds n >= 2 DISTINCT days), so ANSI needs no guard;
+    only full 7-row frames are emitted (boundary frames are the
+    even-length-median trap of rule 10).
+
+    Scale: one aggregate collapses the corpus to the bounded daily
+    grid; the window partitions by event_type over it."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts div 1000) div {US_PER_DAY}").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(OLS_FRAME - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("day").over(w)
+    sy = F.sum("cents").over(w)
+    sxy = F.sum(F.col("day") * F.col("cents")).over(w)
+    sxx = F.sum(F.col("day") * F.col("day")).over(w)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "cents",
+            n.alias("n"),
+            (F.floor(slope * 1e6 + 0.5) / 1e6).alias("slope7"),
+            (F.floor(intercept * 1e6 + 0.5) / 1e6).alias("intercept7"),
+        )
+        .filter(F.col("n") == OLS_FRAME)
+        .select(
+            "event_type", "day", "cents", "slope7", "intercept7"
+        )
+    )
+
+
+QUERIES["rel_rolling_ols"] = rel_rolling_ols
+ORACLES["rel_rolling_ols"] = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) // {US_PER_DAY} AS day,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+daily AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM e GROUP BY 1, 2),
+win AS (SELECT event_type, day, cents,
+    CAST(count(*) OVER w AS BIGINT) AS n,
+    CAST(sum(day) OVER w AS BIGINT) AS sx,
+    CAST(sum(cents) OVER w AS BIGINT) AS sy,
+    CAST(sum(day * cents) OVER w AS BIGINT) AS sxy,
+    CAST(sum(day * day) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN {OLS_FRAME - 1} PRECEDING AND CURRENT ROW))
+SELECT event_type, day, cents,
+  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+    AS slope7,
+  floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e6
+    + 0.5) / 1e6 AS intercept7
+FROM win WHERE n = {OLS_FRAME}
+"""

@@ -955,3 +955,27 @@ def test_shap_attribution_is_map_only(spark, sf_dir):
     assert count_shuffles(plan) == 1
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert not has_python_eval(plan)
+
+
+def test_ewma_trend_grid_join_broadcasts(spark, sf_dir):
+    # The corpus collapses to the daily grid in one aggregate; the
+    # trailing-window pair join runs broadcast on that bounded grid
+    # (never a sort-merge of the corpus) — two exchanges total.
+    from decision_tree_analytics_spark.operators import stats_ext as S
+
+    plan = simple_plan(S.rel_ewma_trend(spark, sf_dir))
+    assert count_shuffles(plan) == 2
+    assert has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
+    assert not has_python_eval(plan)
+
+
+def test_rolling_ols_two_exchanges_no_join(spark, sf_dir):
+    # One aggregate to the daily grid + one event_type window — the
+    # rolling regression never self-joins.
+    from decision_tree_analytics_spark.operators import stats_ext as S
+
+    plan = simple_plan(S.rel_rolling_ols(spark, sf_dir))
+    assert count_shuffles(plan) == 2
+    assert "Join" not in plan
+    assert not has_python_eval(plan)

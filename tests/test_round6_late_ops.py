@@ -83,3 +83,94 @@ def test_gaps_islands_streaks_partition_active_days(spark, sf_dir):
         longest = min((-ln, st) for st, ln in streaks)
         want[u] = (len(ds), len(streaks), -longest[0], longest[1])
     assert got == want
+
+
+def _daily_cents(spark, sf_dir):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            "value",
+        )
+        .collect()
+    )
+    daily = {}
+    for r in rows:
+        k = (r.event_type, r.day)
+        daily[k] = daily.get(k, 0) + math.floor(r.value * 100 + 0.5)
+    return daily
+
+
+def test_ewma_trend_matches_python_closed_form(spark, sf_dir):
+    import math
+
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        EWMA_LOOKBACK,
+        rel_ewma_trend,
+    )
+
+    got = {
+        (r.event_type, r.day): (r.cents, r.ewma_hist, r.dev_ppm)
+        for r in rel_ewma_trend(spark, sf_dir).collect()
+    }
+    assert got
+    daily = _daily_cents(spark, sf_dir)
+    for (et, day), cents in daily.items():
+        num = den = 0
+        for d in range(1, EWMA_LOOKBACK + 1):
+            if (et, day - d) in daily:
+                w = 3**d * 4 ** (EWMA_LOOKBACK - d)
+                num += w * daily[(et, day - d)]
+                den += w
+        if den == 0:
+            assert got[(et, day)] == (cents, None, None)
+        else:
+            ewma = num / den
+            assert got[(et, day)] == (
+                cents,
+                math.floor(ewma * 1e6 + 0.5) / 1e6,
+                math.floor((cents - ewma) / ewma * 1e6 + 0.5),
+            )
+
+
+def test_rolling_ols_matches_python_closed_form(spark, sf_dir):
+    import math
+
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        OLS_FRAME,
+        rel_rolling_ols,
+    )
+
+    got = {
+        (r.event_type, r.day): (r.cents, r.slope7, r.intercept7)
+        for r in rel_rolling_ols(spark, sf_dir).collect()
+    }
+    assert got
+    daily = _daily_cents(spark, sf_dir)
+    series = {}
+    for (et, day), cents in sorted(daily.items()):
+        series.setdefault(et, []).append((day, cents))
+    want = {}
+    for et, pts in series.items():
+        for i in range(OLS_FRAME - 1, len(pts)):
+            frame = pts[i - OLS_FRAME + 1 : i + 1]
+            n = len(frame)
+            sx = sum(d for d, _ in frame)
+            sy = sum(c for _, c in frame)
+            sxy = sum(d * c for d, c in frame)
+            sxx = sum(d * d for d, _ in frame)
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            inter = (sy - slope * sx) / n
+            want[(et, pts[i][0])] = (
+                pts[i][1],
+                math.floor(slope * 1e6 + 0.5) / 1e6,
+                math.floor(inter * 1e6 + 0.5) / 1e6,
+            )
+    assert got == want
