@@ -53,6 +53,10 @@ NAMES = [
     "graph_scc",
     "graph_betweenness",
     "rel_assoc_rules",
+    "graph_mst",
+    "rel_viterbi_states",
+    "ns_quality_model",
+    "ml_isotonic_calibration",
 ]
 
 
@@ -115,6 +119,23 @@ def generate() -> None:
     COPY (SELECT vec_id + r * {mv} AS vec_id, embedding, label
       FROM read_parquet('{BASE}/embeddings.parquet'), range(10) t(r)
       ORDER BY vec_id) TO '{OUT}/embeddings.parquet' (FORMAT parquet)""")
+    _generate_events(con)
+
+
+def _generate_events(con) -> None:
+    """events: 10 replicas with offset event/user ids, timestamps
+    preserved — per-user structure and the daily grid stay identical,
+    each day just carries 10x the rows (real growth shape for the
+    grid-collapsing time-series queries)."""
+    me, mu = con.sql(
+        f"SELECT max(event_id)+1, max(user_id)+1"
+        f" FROM read_parquet('{BASE}/events.parquet')"
+    ).fetchone()
+    con.execute(f"""
+    COPY (SELECT event_id + r * {me} AS event_id, ts,
+        user_id + r * {mu} AS user_id, event_type, value, props
+      FROM read_parquet('{BASE}/events.parquet'), range(10) t(r)
+      ORDER BY event_id) TO '{OUT}/events.parquet' (FORMAT parquet)""")
 
 
 SKEW_OUT = os.path.join(
