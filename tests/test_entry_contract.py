@@ -58,3 +58,29 @@ def test_driver_sampled_names_exist_and_rotate_first():
     if True in flags:
         first = flags.index(True)
         assert all(flags[first:]), "sampled query enumerated before a fresh one"
+
+
+def test_driver_verified_keys_loader():
+    """The auto-rotation loader counts hash-green and clean rows-only
+    (err == 'no_oracle') rows, and rejects real error rows (r02's
+    unhashable-array traceback must NOT count as verified)."""
+    from decision_tree_analytics_spark import operators as O
+
+    ks = O._driver_verified_keys()
+    # r1-r5 curated history reproduces exactly from the files.
+    assert ks == O._DRIVER_SAMPLED
+    assert "q14_approx_distinct" in ks  # rows-only, err == 'no_oracle'
+    assert "rel_approx_quantile" in ks  # r02 errored, r03 clean row wins
+
+
+def test_all_queries_enumeration_is_fresh_first():
+    """Never-driver-verified queries enumerate before verified ones,
+    with _RECHECK_PRIORITY promoted between the two blocks."""
+    from decision_tree_analytics_spark import operators as O
+
+    names = list(O.all_queries())
+    sampled = O._DRIVER_SAMPLED | O._driver_verified_keys()
+    n_fresh = sum(1 for k in names if k not in sampled)
+    assert all(k not in sampled for k in names[:n_fresh])
+    promoted = names[n_fresh : n_fresh + len(O._RECHECK_PRIORITY)]
+    assert promoted == [k for k in O._RECHECK_PRIORITY if k in names]
