@@ -1,0 +1,81 @@
+"""Multi-executor shuffle validation — the one scale claim local[n]
+cannot make: local[n] threads share one JVM and one block manager, so
+"the shuffle works" is never actually exercised across process
+boundaries.  ``local-cluster[2,4,1024]`` spawns two REAL executor
+JVMs with real block-manager shuffle, remote broadcast distribution,
+per-executor Python/Arrow worker pools, and remote localCheckpoint
+blocks.  This test runs one representative query per physical path on
+that mini-cluster and hash-compares each against the DuckDB oracle —
+identical results under real multi-JVM execution.
+
+Runs in a SUBPROCESS: pytest's session fixture owns the in-process
+JVM gateway, and one process can hold only one SparkContext."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+# One query per distinct physical path crossing executor boundaries:
+CLUSTER_QUERIES = [
+    "q11_hash_agg",  # map-side partial agg -> real exchange
+    "q07_broadcast_dim_join",  # broadcast shipped to a REMOTE executor
+    "q06_inner_join",  # shuffle hash join across JVMs
+    "dedup_minhash_lsh_pairs",  # wide explode/groupBy shuffle
+    "graph_scc",  # per-round localCheckpoint blocks on remote executors
+    "udf_grouped_zscore",  # Arrow Python workers per executor JVM
+    "rel_gaps_islands",  # window over a real hash partitioning
+    "skew_salted_join",  # salted join spread across executors
+]
+
+_DRIVER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo_tests!r})
+# Executor python workers are SEPARATE processes in local-cluster
+# (unlike local[n], which masks both of these): they need the
+# interpreter pinned AND the repo on PYTHONPATH, or pickled Arrow
+# UDFs die with ModuleNotFoundError and the executors churn-restart
+# until the master kills the app (observed live).
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+from pyspark.sql import SparkSession
+from tests.oracle_harness import compare, duckdb_connection
+from decision_tree_analytics_spark import operators
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .getOrCreate()
+)
+qs = operators.all_queries()
+osql = operators.all_oracles()
+con = duckdb_connection({sf!r})
+for name in {names!r}:
+    compare(qs[name](spark, {sf!r}), con, osql[name], name)
+    print("CLUSTER-MATCH", name, flush=True)
+spark.stop()
+print("ALL-OK")
+"""
+
+
+def test_queries_match_oracle_on_real_multi_jvm_cluster(sf_dir):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _DRIVER.format(
+        repo=repo, repo_tests=repo, sf=sf_dir, names=CLUSTER_QUERIES
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0 and "ALL-OK" in proc.stdout, (
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
+    for name in CLUSTER_QUERIES:
+        assert f"CLUSTER-MATCH {name}" in proc.stdout
