@@ -27,6 +27,8 @@ CLUSTER_QUERIES = [
     "udf_grouped_zscore",  # Arrow Python workers per executor JVM
     "rel_gaps_islands",  # window over a real hash partitioning
     "skew_salted_join",  # salted join spread across executors
+    "stream_windowed_counts",  # streaming state stores on remote executors
+    "graph_betweenness",  # 6-round checkpointed BFS state across JVMs
 ]
 
 _DRIVER = r"""
