@@ -204,7 +204,27 @@ def skew_probe() -> None:
         os.path.join(SKEW_OUT, "events.parquet")
     ):
         generate_skew()
-    spark = get_spark(app_name="dta-spark-skew-probe")
+    if "--cluster" in sys.argv:
+        # Real 2-JVM executors (tests/test_local_cluster.py gotchas:
+        # pin the interpreter + repo path for the executor workers).
+        repo = os.path.dirname(os.path.abspath(__file__))
+        os.environ["PYSPARK_PYTHON"] = sys.executable
+        os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+        os.environ["PYTHONPATH"] = (
+            repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local-cluster[2,8,4096]")
+            .appName("dta-spark-skew-probe-cluster")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.executorEnv.PYTHONPATH", repo)
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="dta-spark-skew-probe")
     load_table(spark, SKEW_OUT, "events").count()  # warm FS cache
     tier = (
         F.when(F.col("user_events") >= HEAVY_USER_EVENTS, "heavy")
