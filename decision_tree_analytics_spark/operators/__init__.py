@@ -13,6 +13,7 @@ Each operator module exports:
 import glob as _glob
 import json as _json
 import os as _os
+import re as _re
 
 from decision_tree_analytics_spark.operators import (  # noqa: F401
     analytics,
@@ -205,43 +206,40 @@ _DRIVER_SAMPLED = {
     "tpch_q9_product_type_profit", "udf_dtw_profile", "udf_holt_smooth",
 }
 
-# Queries whose code was MATERIALLY REWRITTEN after their driver
-# CORRECTNESS row was recorded (r3/r4 rows certified older
-# definitions — VERDICT r5 item 2 / ADVICE r5).  Enumerated right
-# after the never-sampled names so the driver's 50-query window
-# re-verifies the CURRENT code.  Once a fresh green row lands,
-# move the name back to plain _DRIVER_SAMPLED membership.
-# Order = sampling priority: 45 fresh + these 7 = 52 > the 50-query
-# driver window, so the LAST TWO miss the r6 sample and must lead
-# the r7 rotation.  The r6 semantic rewrites (khop, prefix_join) and
-# the r5 structural rebuilds outrank the two mechanical r5 fixes
-# (auc floor-idiom, psi p-guard — lowest-risk, 3-SF-green locally).
-_RECHECK_PRIORITY = [
-    "graph_khop",  # r6: linearized rounds via zero-hop self-loops
-    "dedup_prefix_join",  # r6: oracle rewritten as shared-shingle equi-join
-    "ml_feature_importance",   # r5: rows-only -> fully-oracled rebuild
-    "dedup_lsh_recall_eval",   # r5: bounded to doc_id % 4 == 0 slice
-    "dedup_canonical_snapshot",  # r5: footer-tag (parquet md5) identity
-    "ml_auc_roc",              # r5: floor-idiom rework at the score grid
-    "ml_psi_drift",            # r5: p-guard added
-]
+# Queries whose code was MATERIALLY REWRITTEN after their last driver
+# CORRECTNESS row (so the recorded verification certifies stale code).
+# Enumerated right after the never-sampled names so the driver's
+# 50-query window re-verifies the CURRENT code.  Once a fresh green
+# row lands the zero-churn loader demotes the name automatically —
+# remove it here on the next rotation refresh.  r8 state: EMPTY — all
+# seven r5/r6 rewrites came back hash-green in CORRECTNESS_r07.
+_RECHECK_PRIORITY = []
 
 
-def _driver_verified_keys():
-    """Names already externally verified by a driver CORRECTNESS row —
-    hash-green, or a clean rows-only check (err == 'no_oracle'; a real
-    error string, like r02's unhashable-array traceback, does NOT
-    count).  Auto-loading every CORRECTNESS_r*.json at the repo root
-    makes the per-round sample rotation ZERO-CHURN: the moment the
-    driver drops a new file, the next round's enumeration moves the
-    newly verified names behind the never-sampled ones.  The static
-    _DRIVER_SAMPLED set above stays as the curated r1–r5 history and
-    the fallback if the files are absent (e.g. a bare checkout)."""
-    out = set()
-    root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
+def _driver_verified_rounds(root=None):
+    """name -> LATEST round whose driver CORRECTNESS row verified it.
+
+    A row counts as verified when hash-green, or a clean rows-only
+    check (err == 'no_oracle'); a real error string (like r02's
+    unhashable-array traceback) does NOT count.  Auto-loading every
+    CORRECTNESS_r*.json at the repo root makes the per-round sample
+    rotation ZERO-CHURN: the moment the driver drops a new file, the
+    next round's enumeration demotes the newly verified names.
+    Keeping the round number (not just membership) lets all_queries()
+    order verified names STALEST-FIRST, so the driver's 50-sample
+    window continuously re-checks the longest-unverified fifth of the
+    contract (VERDICT r7 item 3).  ``root`` is injectable for tests;
+    defaults to the repo root."""
+    out = {}
+    if root is None:
+        root = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
     for f in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(f) as fh:
                 rows = _json.load(fh)
@@ -253,24 +251,46 @@ def _driver_verified_keys():
             if isinstance(r, dict) and (
                 r.get("hash_match") is True or r.get("err") == "no_oracle"
             ):
-                out.add(name)
+                out[name] = max(out.get(name, 0), rnd)
     return out
 
 
+def _driver_verified_keys(root=None):
+    """Set view of :func:`_driver_verified_rounds` (back-compat)."""
+    return set(_driver_verified_rounds(root))
+
+
 def all_queries():
+    """Contract enumeration, in driver-sampling priority order:
+
+    1. never-driver-verified queries (new additions) — module order;
+    2. ``_RECHECK_PRIORITY`` — verified names whose code was
+       materially rewritten since their row;
+    3. everything else, ordered by last-verified round ASCENDING
+       (stalest verification first), ties broken by module order.
+
+    The driver samples the first 50 names, so this ordering makes the
+    per-round sample verify new code first and then continuously
+    re-check the stalest slice of the contract.
+    """
     out = {}
     for m in ALL_MODULES:
         overlap = set(out) & set(m.QUERIES)
         if overlap:
             raise RuntimeError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    sampled = _DRIVER_SAMPLED | _driver_verified_keys()
-    fresh = {k: v for k, v in out.items() if k not in sampled}
-    for k in _RECHECK_PRIORITY:
-        if k in out and k not in fresh:
-            fresh[k] = out[k]
-    fresh.update((k, v) for k, v in out.items() if k in sampled)
-    return fresh
+    rounds = _driver_verified_rounds()
+    # Bare-checkout fallback: the curated r1-r5 history counts as
+    # verified (round 0 == maximally stale) even without the files.
+    sampled = _DRIVER_SAMPLED | set(rounds)
+    order = {k: i for i, k in enumerate(out)}
+    fresh = [k for k in out if k not in sampled]
+    recheck = [k for k in _RECHECK_PRIORITY if k in out and k not in fresh]
+    rest = sorted(
+        (k for k in out if k in sampled and k not in set(recheck)),
+        key=lambda k: (rounds.get(k, 0), order[k]),
+    )
+    return {k: out[k] for k in (*fresh, *recheck, *rest)}
 
 
 def all_oracles():

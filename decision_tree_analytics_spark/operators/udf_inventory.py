@@ -37,7 +37,10 @@ from pyspark.sql.types import (
 )
 
 from decision_tree_analytics_spark.operators.multimodal import with_binary_payload
-from decision_tree_analytics_spark.sources.tables import load_table
+from decision_tree_analytics_spark.sources.tables import (
+    load_table,
+    size_aware_parallelism,
+)
 
 _ZSCORE_SCHEMA = StructType(
     [
@@ -181,8 +184,14 @@ def ns_text_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of corpus tokenization at any scale."""
     d = load_table(spark, sf_dir, "documents")
     # Single-file input = one partition = one core for a CPU-bound
-    # Python stage; spread it first (same rule as the MinHash explode).
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # Python stage; spread it first — but SIZE-AWARE: each Arrow task
+    # pays a fixed worker round-trip, so the partition count follows
+    # the input bytes (unbounded at corpus scale, a handful at test
+    # scale) instead of defaultParallelism (r7 bench drift: 32 tasks
+    # for 1.5 MB was pure per-task overhead).
+    d = d.repartition(
+        size_aware_parallelism(spark, sf_dir, "documents"), "doc_id"
+    )
     return d.select("doc_id", "text").mapInPandas(_subword_batch, _SUBWORD_SCHEMA)
 
 

@@ -11,8 +11,8 @@ Usage:
     python scale_probe.py            # generate if missing, then time
     python scale_probe.py --generate # force regeneration
     python scale_probe.py --skew     # skewed-join probe (salted vs
-                                     # unsalted vs AQE, 1M-row events
-                                     # with one user owning half)
+                                     # unsalted vs AQE, 5M-row events
+                                     # with the hot user owning 90%)
 """
 from __future__ import annotations
 

@@ -29,6 +29,10 @@ CLUSTER_QUERIES = [
     "skew_salted_join",  # salted join spread across executors
     "stream_windowed_counts",  # streaming state stores on remote executors
     "graph_betweenness",  # 6-round checkpointed BFS state across JVMs
+    "graph_mst",  # matrix-squaring loop: each round references the
+    # previous matrix TWICE, so per-round localCheckpoint is the only
+    # thing preventing 2^rounds recomputation — exercises checkpoint
+    # block cleanup under real remote block managers (VERDICT r7#6)
 ]
 
 _DRIVER = r"""
