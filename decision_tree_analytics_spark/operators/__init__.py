@@ -115,6 +115,12 @@ BENCH_EXTRAS = [
     "ml_shap_linear",
     "rel_ewma_trend",
     "rel_rolling_ols",
+    "rel_gini",
+    "rel_theil_sen",
+    "rel_changepoint",
+    "graph_closeness",
+    "ml_brier_decomposition",
+    "src_schema_merge",
 ]
 
 

@@ -948,3 +948,140 @@ def _betweenness_oracle() -> str:
 
 
 ORACLES["graph_betweenness"] = _betweenness_oracle()
+
+
+CLOSENESS_SQUARINGS = 5  # min-plus closure after 2^5 = 32 hops ≥ any path
+
+
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness and harmonic centrality of every nation in the FULL
+    undirected trade graph under the integer inverse-affinity cost
+    (graph_shortest_path's metric): which nations sit 'closest' to the
+    whole network through strong trade links.  Harmonic centrality is
+    the disconnected-safe variant (unreached nodes contribute 0
+    instead of poisoning the sum).
+
+    All-pairs distances come from CLOSENESS_SQUARINGS unrolled
+    min-plus matrix squarings — D ← min_mid(D[a,mid] + D[mid,b]) —
+    each one self-join + groupBy-min over the CONTRACTED ≤25-node
+    graph (graph_mst's cut-property machinery in the (min, +)
+    semiring instead of (min, max)).  Each squaring references the
+    previous matrix TWICE, so per-round localCheckpoint is mandatory
+    (the doubling-lineage gotcha) and the oracle's chained CTEs are
+    AS MATERIALIZED for the same reason.
+
+    Determinism: costs are BIGINT micro-units clamped ≥ 1 (at corpus
+    scales where an edge weight exceeds SP_COST_SCALE the floor would
+    hit 0 and break d > 0), distances are exact BIGINT min-plus sums,
+    the harmonic sum Σ(1e12 div d) is exact BIGINT integer division
+    on both engines, and closeness = n_reach·1e9/Σd is the only IEEE
+    op, nullif-guarded (rule 8).  At 100 TB the expensive stage is
+    the fact aggregation into the contracted graph — one shuffle,
+    map-side combined — exactly as graph_mst documents."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    cost = F.greatest(
+        F.floor(F.lit(float(SP_COST_SCALE)) / F.col("w").cast("double") + 0.5).cast(
+            "long"
+        ),
+        F.lit(1).cast("long"),
+    )
+    bd = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), cost.alias("d")
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), cost.alias("d"))
+    )
+    self_loops = (
+        bd.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("d"),
+        )
+    )
+    m = bd.unionByName(self_loops).localCheckpoint()
+    for _ in range(CLOSENESS_SQUARINGS):
+        l = m.select(
+            F.col("src").alias("ls"), F.col("dst").alias("mid"), F.col("d").alias("ld")
+        )
+        r = m.select(
+            F.col("dst").alias("rd"), F.col("src").alias("mid"), F.col("d").alias("rdist")
+        )
+        m = (
+            l.join(r, "mid")
+            .groupBy("ls", "rd")
+            .agg(F.min(F.col("ld") + F.col("rdist")).alias("d"))
+            .select(F.col("ls").alias("src"), F.col("rd").alias("dst"), "d")
+            .localCheckpoint()
+        )
+    reach = m.filter(F.col("src") != F.col("dst"))
+    agg = reach.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reach"),
+        F.sum("d").cast("long").alias("sum_dist_micro"),
+        F.sum(F.expr("1000000000000 div d")).cast("long").alias("harmonic_micro"),
+    )
+    closeness = (
+        F.col("n_reach").cast("double")
+        * 1e9
+        / F.nullif(F.col("sum_dist_micro").cast("double"), F.lit(0.0))
+    )
+    result = agg.select(
+        F.col("src").alias("nation"),
+        "n_reach",
+        "sum_dist_micro",
+        "harmonic_micro",
+        (F.floor(closeness * 1e6 + 0.5) / 1e6).alias("closeness"),
+    )
+    return tether_cache(result, edges)
+
+
+QUERIES["graph_closeness"] = graph_closeness
+
+
+def _closeness_oracle() -> str:
+    sq = []
+    prev = "m0"
+    for i in range(1, CLOSENESS_SQUARINGS + 1):
+        sq.append(
+            f" m{i} AS MATERIALIZED (SELECT l.src, r.dst,"
+            "   min(l.d + r.d) AS d"
+            f"   FROM {prev} l JOIN {prev} r ON l.dst = r.src"
+            "   GROUP BY 1, 2)"
+        )
+        prev = f"m{i}"
+    return (
+        f"WITH edges AS ({_SQL_EDGES}),"
+        " und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,"
+        "   CAST(sum(weight) AS BIGINT) AS w FROM edges"
+        "   WHERE src <> dst GROUP BY 1, 2),"
+        " bde AS (SELECT a AS src, b AS dst,"
+        f"   greatest(CAST(floor({SP_COST_SCALE}.0 / CAST(w AS DOUBLE) + 0.5)"
+        "     AS BIGINT), 1) AS d FROM und"
+        "   UNION ALL SELECT b, a,"
+        f"   greatest(CAST(floor({SP_COST_SCALE}.0 / CAST(w AS DOUBLE) + 0.5)"
+        "     AS BIGINT), 1) FROM und),"
+        " m0 AS MATERIALIZED (SELECT src, dst, d FROM bde"
+        "   UNION ALL SELECT DISTINCT src, src, CAST(0 AS BIGINT) FROM bde),"
+        + ",".join(sq)
+        + " SELECT src AS nation,"
+        " CAST(count(*) AS BIGINT) AS n_reach,"
+        " CAST(sum(d) AS BIGINT) AS sum_dist_micro,"
+        " CAST(sum(1000000000000 // d) AS BIGINT) AS harmonic_micro,"
+        " floor(CAST(count(*) AS DOUBLE) * 1e9"
+        "   / nullif(CAST(sum(d) AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6"
+        "   AS closeness"
+        f" FROM {prev} WHERE src <> dst GROUP BY src"
+    )
+
+
+ORACLES["graph_closeness"] = _closeness_oracle()

@@ -320,3 +320,64 @@ ORACLES = {
         " GROUP BY o_orderstatus"
     ),
 }
+
+
+def src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the customer
+    table — v1 written BEFORE the c_mktsegment column existed (even
+    custkeys), v2 written after (odd custkeys) — read together with
+    ``mergeSchema``, so v1 rows surface the evolved column as NULL.
+    This is the 100 TB reality of any long-lived dataset (old and new
+    writer fleets coexist in one directory tree); the oracle rebuilds
+    the same world from the base table with a CASE, so a reader that
+    dropped, misordered, or backfilled the evolved column wrong breaks
+    the hash.
+
+    mergeSchema is a FOOTER-ONLY pass (one ranged read per file, the
+    same metadata parquet readers already fetch) — no data scan to
+    reconcile schemas.  The fixture is written once per testdata
+    generation (footer-tag identity, self-healing on partial writes);
+    the read is a plain schema-merged scan + one mergeable aggregate."""
+    base = _fixture_dir(sf_dir, "customer", "evo")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    if not (
+        os.path.exists(os.path.join(v1, "_SUCCESS"))
+        and os.path.exists(os.path.join(v2, "_SUCCESS"))
+    ):
+        c = load_table(spark, sf_dir, "customer")
+        c.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_acctbal"
+        ).write.mode("overwrite").parquet(v1)
+        c.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ).write.mode("overwrite").parquet(v2)
+    df = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return (
+        df.select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("<pre-evolution>")).alias(
+                "segment"
+            ),
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + 0.5).alias("bal_cents"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+    )
+
+
+QUERIES["src_schema_merge"] = src_schema_merge
+ORACLES["src_schema_merge"] = (
+    "SELECT CASE WHEN c_custkey % 2 = 0 THEN '<pre-evolution>'"
+    "   ELSE c_mktsegment END AS segment,"
+    " CAST(count(*) AS BIGINT) AS n_customers,"
+    " CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    "   AS sum_bal_cents,"
+    " CAST(min(c_custkey) AS BIGINT) AS min_key,"
+    " CAST(max(c_custkey) AS BIGINT) AS max_key"
+    " FROM customer GROUP BY 1"
+)

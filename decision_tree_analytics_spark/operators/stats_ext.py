@@ -1754,3 +1754,568 @@ SELECT event_type, day, cents,
     + 0.5) / 1e6 AS intercept7
 FROM win WHERE n = {OLS_FRAME}
 """
+
+
+def rel_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer order spend within each market
+    segment — the inequality/concentration audit run before weighting
+    or rebalancing a corpus (identical math to token-count inequality
+    across domains in a training mix).
+
+    Closed form on the ascending-rank decomposition:
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with i the 1-based rank.  Spend
+    is integer cents, so Σx and Σ(i·x) are exact BIGINTs (bounded:
+    rank ≤ |segment| and cents·rank ≈ 2e15 at sf1, < 2^63; at ~1e8+
+    customers/segment rescale cents→dollars first), and the Gini is
+    two IEEE divisions of exact integers — no float-order anywhere.
+    Rank ties broken by c_custkey (rule 5; equal spends contribute
+    the same Σ(i·x) under any permutation of tied ranks, so the
+    tie-break only pins the plan, not the value).
+
+    Scale: orders aggregate per customer (one custkey shuffle,
+    map-side combined), the rank window shuffles per segment, and the
+    final aggregate is |segments| rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("spend"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    ranked = spend.select(
+        "c_mktsegment", "spend", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").cast("long").alias("total_cents"),
+        F.sum(F.col("i") * F.col("spend")).cast("long").alias("six"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("six")
+        / (F.col("n_customers") * F.col("total_cents")).cast("double")
+        - (F.col("n_customers") + F.lit(1)).cast("double")
+        / F.col("n_customers").cast("double")
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "total_cents",
+        (F.floor(gini * 1e6 + 0.5) / 1e6).alias("gini"),
+    )
+
+
+QUERIES["rel_gini"] = rel_gini
+ORACLES["rel_gini"] = """
+WITH spend AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (SELECT c_mktsegment, spend,
+    row_number() OVER (PARTITION BY c_mktsegment
+      ORDER BY spend, c_custkey) AS i
+  FROM spend),
+agg AS (SELECT c_mktsegment,
+    CAST(count(*) AS BIGINT) AS n_customers,
+    CAST(sum(spend) AS BIGINT) AS total_cents,
+    CAST(sum(i * spend) AS BIGINT) AS six
+  FROM ranked GROUP BY 1)
+SELECT c_mktsegment, n_customers, total_cents,
+  floor((2.0 * six / CAST(n_customers * total_cents AS DOUBLE)
+    - CAST(n_customers + 1 AS DOUBLE) / CAST(n_customers AS DOUBLE))
+    * 1e6 + 0.5) / 1e6 AS gini
+FROM agg
+"""
+
+
+def rel_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation (0..10000 points) — the standard market-concentration
+    index, and the shape of per-source share-of-corpus audits.
+
+    Determinism (rule 9): each supplier's squared share is ONE
+    division of exact BIGINT cents followed by one multiply, then
+    floor-scaled to an integer at 1e12 — the per-nation total is an
+    exact BIGINT sum of those integers (shares² sum to ≤ 1, so the
+    total is ≤ 1e12), and the final index is a single /100.0.
+
+    Scale: revenue aggregates per supplier (one suppkey shuffle,
+    map-side combined); supplier→nation is a broadcast dim join; the
+    share window runs over |suppliers-per-nation| bounded groups."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).alias("cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    tot = F.sum("rev").over(Window.partitionBy("nation"))
+    share = F.col("rev").cast("double") / tot.cast("double")
+    term = F.floor(share * share * 1e12 + 0.5).cast("long")
+    return (
+        rev.select("nation", "rev", term.alias("t"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+            (F.floor(F.sum("t").cast("double") / 100.0 + 0.5) / 1e6).alias(
+                "hhi"
+            ),
+        )
+    )
+
+
+QUERIES["rel_hhi"] = rel_hhi
+ORACLES["rel_hhi"] = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS rev
+  FROM lineitem li
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, li.l_suppkey),
+terms AS (SELECT nation, rev,
+    CAST(floor((CAST(rev AS DOUBLE)
+        / CAST(sum(rev) OVER (PARTITION BY nation) AS DOUBLE))
+      * (CAST(rev AS DOUBLE)
+        / CAST(sum(rev) OVER (PARTITION BY nation) AS DOUBLE))
+      * 1e12 + 0.5) AS BIGINT) AS t
+  FROM rev)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+  CAST(sum(rev) AS BIGINT) AS rev_cents,
+  floor(CAST(sum(t) AS DOUBLE) / 100.0 + 0.5) / 1e6 AS hhi
+FROM terms GROUP BY nation
+"""
+
+
+def rel_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily revenue grid:
+    the MEDIAN of all pairwise slopes (and the median-residual
+    intercept) — the outlier-proof alternative to OLS trend, standard
+    for drift monitoring where a single anomalous day wrecks the
+    least-squares fit.
+
+    Pair generation is the bounded-grid rule: the corpus collapses to
+    ≤366 daily rows FIRST, pairs are grid², never corpus² (30 days →
+    435 pairs at any corpus size).  Each slope is one IEEE division of
+    exact BIGINT diffs (Δcents/Δdays).  The median avoids the engine
+    interpolation trap (rule 10) by explicit rank selection: average
+    the elements at ranks (n+1) div 2 and n div 2 + 1 (identical when
+    n is odd), ordered by (slope, day_a, day_b) — a unique tie-break
+    (rule 5), and averaging two doubles is a single identical IEEE op.
+    The intercept repeats the trick on per-day residuals
+    y_i − slope·x_i with x rebased to day − min(day)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts div 1000) div {US_PER_DAY}").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+    )
+    daily = e.groupBy("day").agg(F.sum("cents").cast("long").alias("y"))
+    mn = daily.agg(F.min("day").alias("d0"))
+    grid = daily.crossJoin(F.broadcast(mn)).select(
+        (F.col("day") - F.col("d0")).cast("long").alias("x"), "y"
+    )
+    a = grid.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = grid.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
+        "xa",
+        "xb",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("slope"),
+    )
+    wp = Window.orderBy("slope", "xa", "xb")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.expr("(np + 1) div 2"))
+        | (F.col("rn") == F.expr("np div 2 + 1"))
+    ).agg(
+        (F.sum("slope") / F.count(F.lit(1))).alias("ts_slope"),
+        F.min("np").cast("long").alias("n_pairs"),
+    )
+    resid = grid.crossJoin(F.broadcast(med)).select(
+        "ts_slope",
+        "n_pairs",
+        (F.col("y").cast("double") - F.col("ts_slope") * F.col("x").cast("double")).alias("r"),
+        "x",
+    )
+    wr = Window.orderBy("r", "x")
+    rr = resid.select(
+        "ts_slope",
+        "n_pairs",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    return rr.filter(
+        (F.col("rn") == F.expr("(nd + 1) div 2"))
+        | (F.col("rn") == F.expr("nd div 2 + 1"))
+    ).agg(
+        F.min("nd").cast("long").alias("n_days"),
+        F.min("n_pairs").cast("long").alias("n_pairs"),
+        (F.floor(F.min("ts_slope") * 1e6 + 0.5) / 1e6).alias(
+            "ts_slope_cents_per_day"
+        ),
+        (F.floor((F.sum("r") / F.count(F.lit(1))) * 100 + 0.5) / 100).alias(
+            "ts_intercept_cents"
+        ),
+    )
+
+
+QUERIES["rel_theil_sen"] = rel_theil_sen
+ORACLES["rel_theil_sen"] = f"""
+WITH e AS (SELECT epoch_us(ts) // {US_PER_DAY} AS day,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y FROM e GROUP BY 1),
+grid AS (SELECT CAST(day - (SELECT min(day) FROM daily) AS BIGINT) AS x, y
+  FROM daily),
+pairs AS (SELECT a.x AS xa, b.x AS xb,
+    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM grid a JOIN grid b ON a.x < b.x),
+ranked AS (SELECT slope,
+    row_number() OVER (ORDER BY slope, xa, xb) AS rn,
+    count(*) OVER () AS np
+  FROM pairs),
+med AS (SELECT sum(slope) / count(*) AS ts_slope,
+    CAST(min(np) AS BIGINT) AS n_pairs
+  FROM ranked WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1),
+resid AS (SELECT m.ts_slope, m.n_pairs,
+    CAST(g.y AS DOUBLE) - m.ts_slope * CAST(g.x AS DOUBLE) AS r, g.x
+  FROM grid g CROSS JOIN med m),
+rr AS (SELECT ts_slope, n_pairs, r,
+    row_number() OVER (ORDER BY r, x) AS rn, count(*) OVER () AS nd
+  FROM resid)
+SELECT CAST(min(nd) AS BIGINT) AS n_days,
+  CAST(min(n_pairs) AS BIGINT) AS n_pairs,
+  floor(min(ts_slope) * 1e6 + 0.5) / 1e6 AS ts_slope_cents_per_day,
+  floor((sum(r) / count(*)) * 100 + 0.5) / 100 AS ts_intercept_cents
+FROM rr WHERE rn = (nd + 1) // 2 OR rn = nd // 2 + 1
+"""
+
+
+def rel_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline mean-shift changepoint over the daily revenue grid:
+    the split k maximizing the weighted between-segment gap
+    G_k = (n_L·n_R/n)·(mean_L − mean_R)² — the single-changepoint
+    likelihood score (constant-variance Gaussian), the batch
+    counterpart of stream_cusum.
+
+    Every candidate split's score derives from exact BIGINT prefix
+    sums (one cumulative window over the ≤366-row grid), means are in
+    dollars (cents/100 folded into one division), and each score is
+    the same short IEEE expression on both engines — so the argmax
+    ordering is identical; ties break on the earlier day (rule 5).
+    Scale: one corpus-collapsing aggregate, then window + rank over
+    the bounded grid."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(ts div 1000) div {US_PER_DAY}").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"),
+    )
+    daily = e.groupBy("day").agg(F.sum("cents").cast("long").alias("y"))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        F.sum("y").over(wc).cast("long").alias("s"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("k"),
+        F.sum("y").over(wall).cast("long").alias("t"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+    ).filter(F.col("k") < F.col("nd"))
+    mean_l = F.col("s").cast("double") / (100.0 * F.col("k").cast("double"))
+    mean_r = (F.col("t") - F.col("s")).cast("double") / (
+        100.0 * (F.col("nd") - F.col("k")).cast("double")
+    )
+    weight = (F.col("k") * (F.col("nd") - F.col("k"))).cast("double") / F.col(
+        "nd"
+    ).cast("double")
+    scored = pre.select(
+        "day",
+        "k",
+        "nd",
+        mean_l.alias("ml"),
+        mean_r.alias("mr"),
+        (weight * (mean_l - mean_r) * (mean_l - mean_r)).alias("score"),
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("day").asc())
+    best = scored.select(
+        "*", F.row_number().over(wr).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("day").cast("long").alias("last_left_day"),
+        F.col("k").alias("n_left"),
+        (F.col("nd") - F.col("k")).cast("long").alias("n_right"),
+        (F.floor(F.col("ml") * 100 + 0.5) / 100).alias("mean_left_dollars"),
+        (F.floor(F.col("mr") * 100 + 0.5) / 100).alias("mean_right_dollars"),
+        (F.floor(F.col("score") * 100 + 0.5) / 100).alias("gap_score"),
+    )
+
+
+QUERIES["rel_changepoint"] = rel_changepoint
+ORACLES["rel_changepoint"] = f"""
+WITH e AS (SELECT epoch_us(ts) // {US_PER_DAY} AS day,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS y FROM e GROUP BY 1),
+pre AS (SELECT day,
+    CAST(sum(y) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+    CAST(sum(y) OVER () AS BIGINT) AS t,
+    CAST(count(*) OVER () AS BIGINT) AS nd
+  FROM daily),
+scored AS (SELECT day, k, nd,
+    CAST(s AS DOUBLE) / (100.0 * CAST(k AS DOUBLE)) AS ml,
+    CAST(t - s AS DOUBLE) / (100.0 * CAST(nd - k AS DOUBLE)) AS mr,
+    (CAST(k * (nd - k) AS DOUBLE) / CAST(nd AS DOUBLE))
+      * (CAST(s AS DOUBLE) / (100.0 * CAST(k AS DOUBLE))
+         - CAST(t - s AS DOUBLE) / (100.0 * CAST(nd - k AS DOUBLE)))
+      * (CAST(s AS DOUBLE) / (100.0 * CAST(k AS DOUBLE))
+         - CAST(t - s AS DOUBLE) / (100.0 * CAST(nd - k AS DOUBLE)))
+      AS score
+  FROM pre WHERE k < nd),
+best AS (SELECT *, row_number() OVER (ORDER BY score DESC, day ASC) AS rn
+  FROM scored)
+SELECT CAST(day AS BIGINT) AS last_left_day, k AS n_left,
+  CAST(nd - k AS BIGINT) AS n_right,
+  floor(ml * 100 + 0.5) / 100 AS mean_left_dollars,
+  floor(mr * 100 + 0.5) / 100 AS mean_right_dollars,
+  floor(score * 100 + 0.5) / 100 AS gap_score
+FROM best WHERE rn = 1
+"""
+
+
+def ml_mcc_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected classifier agreement over ml_confusion_matrix's
+    cells (y = returned, p = discount ≥ 0.06): Matthews correlation,
+    Cohen's kappa, and balanced accuracy — the metrics that stay
+    honest under class imbalance, where raw accuracy flatters the
+    majority-class predictor.
+
+    Determinism: the four cells are exact BIGINT counts from ONE
+    mergeable conditional-aggregate pass; every pairwise product
+    (tp·tn, marginal·marginal, n²) stays < 2^63 at ≤3e9 rows; the MCC
+    denominator multiplies four IEEE sqrt()s — sqrt is CORRECTLY
+    ROUNDED by IEEE 754 (unlike ln/exp, which this repo bans), so
+    both engines produce the identical double.  Degenerate margins
+    (an all-one-class slice) nullif to NULL rather than raise under
+    ANSI (rule 8)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.when(F.col("l_discount") >= 0.06, 1).otherwise(0).alias("p"),
+    )
+    cells = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y") * F.col("p")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("p")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("p"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("p"))).cast("long").alias("tn"),
+    )
+    num = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("double")
+    den = (
+        F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fn")).cast("double"))
+    )
+    po = (F.col("tp") + F.col("tn")).cast("double") / F.col("n").cast("double")
+    pe = (
+        (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+        + (F.col("fn") + F.col("tn")) * (F.col("fp") + F.col("tn"))
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    tpr = F.col("tp").cast("double") / F.nullif(
+        (F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)
+    )
+    tnr = F.col("tn").cast("double") / F.nullif(
+        (F.col("tn") + F.col("fp")).cast("double"), F.lit(0.0)
+    )
+    return cells.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.floor(num / F.nullif(den, F.lit(0.0)) * 1e6 + 0.5) / 1e6).alias(
+            "mcc"
+        ),
+        (
+            F.floor(
+                (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("kappa"),
+        (F.floor((tpr + tnr) / 2.0 * 1e6 + 0.5) / 1e6).alias("balanced_acc"),
+    )
+
+
+QUERIES["ml_mcc_kappa"] = ml_mcc_kappa
+ORACLES["ml_mcc_kappa"] = """
+WITH c AS (SELECT
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+    CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS p
+  FROM lineitem),
+cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y * p) AS BIGINT) AS tp,
+    CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+    CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+    CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+  FROM c)
+SELECT n, tp, fp, fn, tn,
+  floor(CAST(tp * tn - fp * fn AS DOUBLE)
+    / nullif(sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+      * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)), 0.0)
+    * 1e6 + 0.5) / 1e6 AS mcc,
+  floor((CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE)
+      - CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)
+        / CAST(n * n AS DOUBLE))
+    / nullif(1.0 - CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+        AS DOUBLE) / CAST(n * n AS DOUBLE), 0.0)
+    * 1e6 + 0.5) / 1e6 AS kappa,
+  floor((CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)
+      + CAST(tn AS DOUBLE) / nullif(CAST(tn + fp AS DOUBLE), 0.0)) / 2.0
+    * 1e6 + 0.5) / 1e6 AS balanced_acc
+FROM cells
+"""
+
+
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy reliability/resolution/uncertainty
+    decomposition over the 10-bin calibration grid — the probabilistic
+    extension of ml_calibration_bins (which reports per-bin gaps; this
+    reports the corpus-level attribution: how much error is
+    miscalibration vs how much discrimination the score recovers).
+
+    FULLY integer until the final divisions: the score s = discount·10
+    is carried as the exact integer disc_m = floor(discount·100+0.5) ∈
+    0..10, so the Brier numerator Σ(disc_m − 10y)² and every bin's
+    (n_k, Σdisc_m, Σy) are exact BIGINTs from one groupBy pass.
+    Per-bin decomposition terms are floor-scaled to 1e9 integers
+    before the 10-row sum (rule 9's round-then-sum).  Bin 9 pools the
+    two top scores, so the decomposition identity carries a small
+    within-bin variance residual — reported as decomp_gap (exactly 0
+    only when scores are constant within every bin)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("dm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).cast("long").alias("y"),
+    )
+    bins = li.select(
+        F.least(F.col("dm"), F.lit(9)).alias("bin"), "dm", "y"
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("dm").cast("long").alias("sd"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("dm") - 10 * F.col("y")) * (F.col("dm") - 10 * F.col("y")))
+        .cast("long")
+        .alias("sq"),
+    )
+    wall = Window.partitionBy()
+    n = F.sum("nk").over(wall).cast("long")
+    ypos = F.sum("sy").over(wall).cast("long")
+    sbar = F.col("sd").cast("double") / (10.0 * F.col("nk").cast("double"))
+    ybar_k = F.col("sy").cast("double") / F.col("nk").cast("double")
+    ybar = ypos.cast("double") / n.cast("double")
+    rel_t = F.floor(
+        F.col("nk").cast("double") * (sbar - ybar_k) * (sbar - ybar_k) * 1e9
+        + 0.5
+    ).cast("long")
+    res_t = F.floor(
+        F.col("nk").cast("double") * (ybar_k - ybar) * (ybar_k - ybar) * 1e9
+        + 0.5
+    ).cast("long")
+    terms = bins.select(
+        "nk",
+        "sq",
+        n.alias("n"),
+        ypos.alias("ypos"),
+        rel_t.alias("rel_t"),
+        res_t.alias("res_t"),
+    )
+    agg = terms.groupBy("n", "ypos").agg(
+        F.sum("sq").cast("long").alias("ssq"),
+        F.sum("rel_t").cast("long").alias("srel"),
+        F.sum("res_t").cast("long").alias("sres"),
+    )
+    brier = agg["ssq"].cast("double") / (100.0 * agg["n"].cast("double"))
+    rel = agg["srel"].cast("double") / 1e9 / agg["n"].cast("double")
+    res = agg["sres"].cast("double") / 1e9 / agg["n"].cast("double")
+    yb = agg["ypos"].cast("double") / agg["n"].cast("double")
+    unc = yb * (F.lit(1.0) - yb)
+    return agg.select(
+        F.col("n"),
+        (F.floor(brier * 1e6 + 0.5) / 1e6).alias("brier"),
+        (F.floor(rel * 1e6 + 0.5) / 1e6).alias("reliability"),
+        (F.floor(res * 1e6 + 0.5) / 1e6).alias("resolution"),
+        (F.floor(unc * 1e6 + 0.5) / 1e6).alias("uncertainty"),
+        (F.floor((brier - (rel - res + unc)) * 1e6 + 0.5) / 1e6).alias(
+            "decomp_gap"
+        ),
+    )
+
+
+QUERIES["ml_brier_decomposition"] = ml_brier_decomposition
+ORACLES["ml_brier_decomposition"] = """
+WITH c AS (SELECT
+    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dm,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+bins AS (SELECT least(dm, 9) AS bin,
+    CAST(count(*) AS BIGINT) AS nk,
+    CAST(sum(dm) AS BIGINT) AS sd,
+    CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum((dm - 10 * y) * (dm - 10 * y)) AS BIGINT) AS sq
+  FROM c GROUP BY 1),
+terms AS (SELECT nk, sq,
+    CAST(sum(nk) OVER () AS BIGINT) AS n,
+    CAST(sum(sy) OVER () AS BIGINT) AS ypos,
+    CAST(floor(CAST(nk AS DOUBLE)
+      * (CAST(sd AS DOUBLE) / (10.0 * CAST(nk AS DOUBLE))
+         - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+      * (CAST(sd AS DOUBLE) / (10.0 * CAST(nk AS DOUBLE))
+         - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+      * 1e9 + 0.5) AS BIGINT) AS rel_t,
+    CAST(floor(CAST(nk AS DOUBLE)
+      * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+         - CAST(sum(sy) OVER () AS DOUBLE) / CAST(sum(nk) OVER () AS DOUBLE))
+      * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+         - CAST(sum(sy) OVER () AS DOUBLE) / CAST(sum(nk) OVER () AS DOUBLE))
+      * 1e9 + 0.5) AS BIGINT) AS res_t
+  FROM bins),
+agg AS (SELECT n, ypos,
+    CAST(sum(sq) AS BIGINT) AS ssq,
+    CAST(sum(rel_t) AS BIGINT) AS srel,
+    CAST(sum(res_t) AS BIGINT) AS sres
+  FROM terms GROUP BY 1, 2)
+SELECT n,
+  floor(CAST(ssq AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+    AS brier,
+  floor(CAST(srel AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS reliability,
+  floor(CAST(sres AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS resolution,
+  floor((CAST(ypos AS DOUBLE) / CAST(n AS DOUBLE))
+    * (1.0 - CAST(ypos AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+    AS uncertainty,
+  floor((CAST(ssq AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))
+    - (CAST(srel AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+       - CAST(sres AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+       + (CAST(ypos AS DOUBLE) / CAST(n AS DOUBLE))
+         * (1.0 - CAST(ypos AS DOUBLE) / CAST(n AS DOUBLE))))
+    * 1e6 + 0.5) / 1e6 AS decomp_gap
+FROM agg
+"""

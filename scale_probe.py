@@ -57,6 +57,11 @@ NAMES = [
     "rel_viterbi_states",
     "ns_quality_model",
     "ml_isotonic_calibration",
+    # r8: late-r6 analytics ops (VERDICT r7 item 8) — window/closed-
+    # form passes over the 10x events grid, all expected ~linear.
+    "rel_gaps_islands",
+    "rel_ewma_trend",
+    "rel_rolling_ols",
 ]
 
 
