@@ -121,6 +121,11 @@ BENCH_EXTRAS = [
     "graph_closeness",
     "ml_brier_decomposition",
     "src_schema_merge",
+    "ml_learning_curve",
+    "ml_threshold_tuning",
+    "graph_kcore",
+    "rel_funnel_latency",
+    "ns_boilerplate_prefix",
 ]
 
 

@@ -2284,3 +2284,72 @@ SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
   MAX(CASE WHEN rk = 1 THEN start_day END) AS longest_start_day
 FROM ranked GROUP BY 1
 """
+
+
+def rel_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution for the signup→purchase funnel:
+    per converting user, the time from FIRST signup to the FIRST
+    purchase after it, summarized as p25/p50/p90 — rel_funnel reports
+    who converts; this reports how long conversion takes (the metric
+    that actually drives funnel work).
+
+    One conditional aggregate collapses signups per user; the fact
+    stream then joins that per-user table ONCE on user_id (both sides
+    already keyed, one co-partitioned shuffle) and a min-aggregate
+    picks the first qualifying purchase; the percentile runs on the
+    collapsed per-user latencies.  Latencies are exact integer µs, and
+    Spark's exact ``percentile`` ≡ DuckDB's ``quantile_cont`` (both
+    interpolate at rank p·(n−1); interpolation between exact integers
+    is the identical single IEEE op on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ts_us)).alias("t_signup")
+    )
+    purch = (
+        ev.select("user_id", F.col("event_type"), ts_us.alias("t"))
+        .join(per_user, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("t") > F.col("t_signup"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("t") - F.col("t_signup")).cast("long").alias("latency_us")
+        )
+    )
+    return purch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        (F.floor(F.percentile("latency_us", 0.25) * 1e6 + 0.5) / 1e6).alias(
+            "p25_us"
+        ),
+        (F.floor(F.percentile("latency_us", 0.5) * 1e6 + 0.5) / 1e6).alias(
+            "p50_us"
+        ),
+        (F.floor(F.percentile("latency_us", 0.9) * 1e6 + 0.5) / 1e6).alias(
+            "p90_us"
+        ),
+        F.min("latency_us").cast("long").alias("min_us"),
+        F.max("latency_us").cast("long").alias("max_us"),
+    )
+
+
+QUERIES["rel_funnel_latency"] = rel_funnel_latency
+ORACLES["rel_funnel_latency"] = """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup
+  FROM events GROUP BY user_id),
+conv AS (
+  SELECT e.user_id,
+    CAST(min(epoch_us(e.ts) - p.t_signup) AS BIGINT) AS latency_us
+  FROM events e JOIN per_user p ON e.user_id = p.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > p.t_signup
+  GROUP BY e.user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+  floor(quantile_cont(latency_us, 0.25) * 1e6 + 0.5) / 1e6 AS p25_us,
+  floor(quantile_cont(latency_us, 0.5) * 1e6 + 0.5) / 1e6 AS p50_us,
+  floor(quantile_cont(latency_us, 0.9) * 1e6 + 0.5) / 1e6 AS p90_us,
+  CAST(min(latency_us) AS BIGINT) AS min_us,
+  CAST(max(latency_us) AS BIGINT) AS max_us
+FROM conv
+"""

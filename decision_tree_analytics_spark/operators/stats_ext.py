@@ -2319,3 +2319,291 @@ SELECT n,
     * 1e6 + 0.5) / 1e6 AS decomp_gap
 FROM agg
 """
+
+
+LC_BUCKETS = 16  # 15 cumulative train fractions + 1 held-out test bucket
+
+
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-scaling learning curve — the 'does more data help'
+    diagnostic every training pipeline runs before buying more
+    compute: fit y = a + b·x (extendedprice dollars on quantity) on
+    cumulative 1/16th fractions of the corpus and report each model's
+    held-out MSE.
+
+    ONE corpus pass total, regardless of how many fractions: rows
+    hash into LC_BUCKETS md5 buckets (content-derived, rule 6); each
+    bucket reduces to its exact BIGINT moment vector (n, Σx, Σy, Σxy,
+    Σx², Σy²) in one mergeable aggregate; cumulative window sums over
+    the bucket grid materialize every training fraction's moments;
+    the OLS closed form and the held-out MSE are pure arithmetic on
+    those moments — MSE(a,b) = E[y²] − 2aE[y] − 2bE[xy] + a² +
+    2abE[x] + b²E[x²], so 'score 15 models on the test set' costs a
+    15-row broadcast join, not 15 corpus passes.  At 100 TB: still
+    one pass + a 16-row grid.
+
+    Determinism: y is integer DOLLARS (cents would push Σy² past
+    2^63); moments are exact BIGINTs CAST to double before the closed
+    form, so both engines run the identical short IEEE sequence
+    (rule 9).  The denominator n·Σx² − (Σx)² = n·Var(x)·n > 0 on any
+    fraction holding ≥2 distinct quantities (the 1/16 md5 buckets of
+    a TPC-H-shaped corpus always do; a degenerate fraction NULLs via
+    nullif rather than raising, rule 8)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % LC_BUCKETS
+        ).alias("bucket"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") + 0.5).alias("y"),
+    )
+    mom = li.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    test = mom.filter(F.col("bucket") == LC_BUCKETS - 1).select(
+        F.col("n").alias("tn"),
+        F.col("sx").alias("tsx"),
+        F.col("sy").alias("tsy"),
+        F.col("sxy").alias("tsxy"),
+        F.col("sxx").alias("tsxx"),
+        F.col("syy").alias("tsyy"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        mom.filter(F.col("bucket") < LC_BUCKETS - 1)
+        .select(
+            (F.col("bucket") + 1).cast("long").alias("frac_16ths"),
+            F.sum("n").over(wc).cast("long").alias("n"),
+            F.sum("sx").over(wc).cast("long").alias("sx"),
+            F.sum("sy").over(wc).cast("long").alias("sy"),
+            F.sum("sxy").over(wc).cast("long").alias("sxy"),
+            F.sum("sxx").over(wc).cast("long").alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    fitted = cum.select(
+        "frac_16ths",
+        F.col("n").alias("n_train"),
+        slope.alias("b"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / nd
+        ).alias("a"),
+    )
+    tnd = F.col("tn").cast("double")
+    mse = (
+        F.col("tsyy").cast("double") / tnd
+        - 2.0 * F.col("a") * F.col("tsy").cast("double") / tnd
+        - 2.0 * F.col("b") * F.col("tsxy").cast("double") / tnd
+        + F.col("a") * F.col("a")
+        + 2.0 * F.col("a") * F.col("b") * F.col("tsx").cast("double") / tnd
+        + F.col("b") * F.col("b") * F.col("tsxx").cast("double") / tnd
+    )
+    return fitted.crossJoin(F.broadcast(test)).select(
+        "frac_16ths",
+        "n_train",
+        (F.floor(F.col("b") * 1e6 + 0.5) / 1e6).alias("slope"),
+        (F.floor(F.col("a") * 100 + 0.5) / 100).alias("intercept"),
+        (F.floor(mse * 100 + 0.5) / 100).alias("test_mse"),
+    )
+
+
+QUERIES["ml_learning_curve"] = ml_learning_curve
+ORACLES["ml_learning_curve"] = f"""
+WITH rows_b AS (SELECT
+    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+        || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % {LC_BUCKETS}
+      AS bucket,
+    CAST(l_quantity AS BIGINT) AS x,
+    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+mom AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM rows_b GROUP BY 1),
+test AS (SELECT n AS tn, sx AS tsx, sy AS tsy, sxy AS tsxy, sxx AS tsxx,
+    syy AS tsyy FROM mom WHERE bucket = {LC_BUCKETS - 1}),
+cum AS (SELECT CAST(bucket + 1 AS BIGINT) AS frac_16ths,
+    CAST(sum(n) OVER w AS BIGINT) AS n,
+    CAST(sum(sx) OVER w AS BIGINT) AS sx,
+    CAST(sum(sy) OVER w AS BIGINT) AS sy,
+    CAST(sum(sxy) OVER w AS BIGINT) AS sxy,
+    CAST(sum(sxx) OVER w AS BIGINT) AS sxx
+  FROM mom WHERE bucket < {LC_BUCKETS - 1}
+  WINDOW w AS (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+fitted AS (SELECT frac_16ths, n AS n_train,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS b,
+    (CAST(sy AS DOUBLE)
+      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+        * CAST(sx AS DOUBLE))
+      / CAST(n AS DOUBLE) AS a
+  FROM cum)
+SELECT frac_16ths, n_train,
+  floor(b * 1e6 + 0.5) / 1e6 AS slope,
+  floor(a * 100 + 0.5) / 100 AS intercept,
+  floor((CAST(tsyy AS DOUBLE) / CAST(tn AS DOUBLE)
+    - 2.0 * a * CAST(tsy AS DOUBLE) / CAST(tn AS DOUBLE)
+    - 2.0 * b * CAST(tsxy AS DOUBLE) / CAST(tn AS DOUBLE)
+    + a * a
+    + 2.0 * a * b * CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE)
+    + b * b * CAST(tsxx AS DOUBLE) / CAST(tn AS DOUBLE)) * 100 + 0.5) / 100
+    AS test_mse
+FROM fitted CROSS JOIN test
+"""
+
+
+def ml_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep for the discount→returned classifier:
+    for EVERY candidate threshold on the 11-point score grid, the full
+    confusion matrix, precision/recall/F1, and a best-F1 flag — the
+    operating-point selection pass run after training any scorer
+    (ml_auc_roc integrates over thresholds; this picks one).
+
+    One corpus pass: rows collapse onto the 11-value discount grid
+    (exact integer counts), then REVERSE-cumulative window sums
+    materialize every threshold's (tp, fp) simultaneously — the
+    sweep costs |grid| window rows, not |grid| scans.  All counts are
+    exact BIGINTs; precision/recall/F1 are nullif-guarded divisions
+    of exact integers (rules 8/9); the best flag ranks (f1 DESC,
+    threshold ASC) — rule 5 tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("dm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).cast("long").alias("y"),
+    )
+    grid = li.groupBy("dm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("y").cast("long").alias("pos_k"),
+    )
+    wrev = Window.orderBy(F.col("dm").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    swept = grid.select(
+        F.col("dm").alias("thr_m"),
+        F.sum("pos_k").over(wrev).cast("long").alias("tp"),
+        (F.sum("n_k").over(wrev) - F.sum("pos_k").over(wrev))
+        .cast("long")
+        .alias("fp"),
+        (F.sum("pos_k").over(wall) - F.sum("pos_k").over(wrev))
+        .cast("long")
+        .alias("fn"),
+        (
+            F.sum("n_k").over(wall)
+            - F.sum("pos_k").over(wall)
+            - (F.sum("n_k").over(wrev) - F.sum("pos_k").over(wrev))
+        )
+        .cast("long")
+        .alias("tn"),
+    )
+    prec = F.col("tp").cast("double") / F.nullif(
+        (F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)
+    )
+    rec = F.col("tp").cast("double") / F.nullif(
+        (F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)
+    )
+    f1 = (
+        2.0
+        * F.col("tp").cast("double")
+        / F.nullif(
+            (
+                2 * F.col("tp") + F.col("fp") + F.col("fn")
+            ).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    scored = swept.select(
+        "thr_m",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.floor(prec * 1e6 + 0.5) / 1e6).alias("precision"),
+        (F.floor(rec * 1e6 + 0.5) / 1e6).alias("recall"),
+        (F.floor(f1 * 1e6 + 0.5) / 1e6).alias("f1"),
+        f1.alias("_f1_raw"),
+    )
+    wbest = Window.orderBy(F.col("_f1_raw").desc(), F.col("thr_m").asc())
+    return scored.select(
+        "*", F.row_number().over(wbest).alias("rn")
+    ).select(
+        "thr_m",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "precision",
+        "recall",
+        "f1",
+        (F.col("rn") == 1).cast("long").alias("is_best"),
+    )
+
+
+QUERIES["ml_threshold_tuning"] = ml_threshold_tuning
+ORACLES["ml_threshold_tuning"] = """
+WITH c AS (SELECT
+    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dm,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+grid AS (SELECT dm, CAST(count(*) AS BIGINT) AS n_k,
+    CAST(sum(y) AS BIGINT) AS pos_k
+  FROM c GROUP BY 1),
+swept AS (SELECT dm AS thr_m,
+    CAST(sum(pos_k) OVER wrev AS BIGINT) AS tp,
+    CAST(sum(n_k) OVER wrev - sum(pos_k) OVER wrev AS BIGINT) AS fp,
+    CAST(sum(pos_k) OVER () - sum(pos_k) OVER wrev AS BIGINT) AS fn,
+    CAST(sum(n_k) OVER () - sum(pos_k) OVER ()
+      - (sum(n_k) OVER wrev - sum(pos_k) OVER wrev) AS BIGINT) AS tn
+  FROM grid
+  WINDOW wrev AS (ORDER BY dm DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+scored AS (SELECT thr_m, tp, fp, fn, tn,
+    floor(CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
+      * 1e6 + 0.5) / 1e6 AS precision,
+    floor(CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)
+      * 1e6 + 0.5) / 1e6 AS recall,
+    floor(2.0 * CAST(tp AS DOUBLE)
+      / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+      AS f1,
+    2.0 * CAST(tp AS DOUBLE)
+      / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0) AS _f1_raw
+  FROM swept)
+SELECT thr_m, tp, fp, fn, tn, precision, recall, f1,
+  CAST(CASE WHEN row_number() OVER (ORDER BY _f1_raw DESC, thr_m ASC) = 1
+    THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM scored
+"""

@@ -2083,3 +2083,64 @@ def _quality_model_oracle() -> str:
 
 QUERIES["ns_quality_model"] = ns_quality_model
 ORACLES["ns_quality_model"] = _quality_model_oracle()
+
+
+BOILERPLATE_PREFIX_TOKENS = 8
+BOILERPLATE_TOP_K = 20
+
+
+def ns_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-header detection: group documents by their leading
+    BOILERPLATE_PREFIX_TOKENS-token prefix and surface the TOP_K most
+    shared prefixes — the web-corpus curation pass that catches
+    templated headers/licenses/navigation chrome that survive
+    whole-document dedup (the prefix repeats, the tails differ).
+
+    Map-only prefix derivation (slice + md5, pure codegen), ONE
+    aggregate keyed on the 32-char prefix hash (never the prefix
+    text — at 100 TB the shuffle carries hashes), then a top-k rank
+    over the aggregated prefix table.  is_shared flags n_docs ≥ 2;
+    doc-id extrema give the auditor a reproducible sample.  Ordering
+    ties break on the md5 (unique key, rule 5)."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(_tokens(), 1, BOILERPLATE_PREFIX_TOKENS), " ")
+    per = (
+        d.select("doc_id", F.md5(prefix).alias("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("prefix_md5").asc())
+    return (
+        per.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= BOILERPLATE_TOP_K)
+        .select(
+            "prefix_md5",
+            "n_docs",
+            (F.col("n_docs") >= 2).cast("long").alias("is_shared"),
+            "min_doc",
+            "max_doc",
+        )
+    )
+
+
+QUERIES["ns_boilerplate_prefix"] = ns_boilerplate_prefix
+ORACLES["ns_boilerplate_prefix"] = f"""
+WITH per AS (
+  SELECT md5(array_to_string(list_slice(
+      string_split(lower(trim(text)), ' '), 1, {BOILERPLATE_PREFIX_TOKENS}),
+      ' ')) AS prefix_md5,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(min(doc_id) AS BIGINT) AS min_doc,
+    CAST(max(doc_id) AS BIGINT) AS max_doc
+  FROM documents GROUP BY 1),
+ranked AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC,
+    prefix_md5 ASC) AS rn FROM per)
+SELECT prefix_md5, n_docs,
+  CAST(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_shared,
+  min_doc, max_doc
+FROM ranked WHERE rn <= {BOILERPLATE_TOP_K}
+"""

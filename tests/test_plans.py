@@ -979,3 +979,97 @@ def test_rolling_ols_two_exchanges_no_join(spark, sf_dir):
     assert count_shuffles(plan) == 2
     assert "Join" not in plan
     assert not has_python_eval(plan)
+
+
+def test_gini_two_exchanges_partial_combined(spark, sf_dir):
+    """rel_gini: orders collapse per customer with map-side partial
+    sums (one custkey exchange shared by the agg and the join), the
+    rank window adds the segment exchange, the final aggregate
+    partial-combines — no extra shuffles hiding in the rank plan."""
+    from decision_tree_analytics_spark.operators.stats_ext import rel_gini
+    from decision_tree_analytics_spark.plans.inspect import (
+        count_shuffles,
+        simple_plan,
+    )
+
+    plan = simple_plan(rel_gini(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert count_shuffles(plan) <= 3  # custkey agg/join + segment window
+
+
+def test_hhi_dims_broadcast_one_fact_shuffle(spark, sf_dir):
+    """rel_hhi: the fact table shuffles ONCE (per-supplier revenue,
+    map-side combined); supplier and nation are broadcast dims; the
+    share window runs on the collapsed per-supplier table."""
+    from decision_tree_analytics_spark.operators.stats_ext import rel_hhi
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_broadcast_join,
+        simple_plan,
+    )
+
+    plan = simple_plan(rel_hhi(spark, sf_dir))
+    assert has_broadcast_join(plan)
+    assert "partial_sum" in plan
+
+
+def test_theil_sen_pairs_come_from_collapsed_grid(spark, sf_dir):
+    """rel_theil_sen: the corpus collapses to the daily grid BEFORE
+    pair generation (partial map-side sums feed the one wide
+    exchange); the pair join is grid-squared, expressed as a
+    broadcast nested-loop over the bounded grid — never a shuffle of
+    corpus-sized pairs."""
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        rel_theil_sen,
+    )
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(rel_theil_sen(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_learning_curve_single_fact_pass(spark, sf_dir):
+    """ml_learning_curve: ONE pass over lineitem (a single partial-
+    combined aggregate into 16 bucket rows); every fraction's model
+    and held-out MSE derive from the bucket grid, so the fact scan
+    appears exactly once and the test moments arrive by broadcast."""
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        ml_learning_curve,
+    )
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(ml_learning_curve(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2  # cum branch + test branch
+    assert "partial_sum" in plan
+
+
+def test_closeness_squarings_read_checkpointed_state(spark, sf_dir):
+    """graph_closeness: the min-plus squaring loop materializes each
+    round (localCheckpoint), so the FINAL plan reads the checkpointed
+    ≤n² matrix — the fact join appears ZERO times in it (the
+    2^rounds-lineage trap the MST docstring documents)."""
+    from decision_tree_analytics_spark.operators.graph import graph_closeness
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(graph_closeness(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan  # checkpointed matrix input
+    assert "FileScan parquet" not in plan  # no fact re-read in the readout
+
+
+def test_schema_merge_scan_carries_merged_schema(spark, sf_dir):
+    """src_schema_merge: the two-generation read is ONE scan node with
+    the union schema (mergeSchema reconciles footers at planning time,
+    not with a per-row union), followed by a single partial-combined
+    aggregate."""
+    from decision_tree_analytics_spark.operators.source_io import (
+        src_schema_merge,
+    )
+    from decision_tree_analytics_spark.plans.inspect import (
+        count_shuffles,
+        simple_plan,
+    )
+
+    plan = simple_plan(src_schema_merge(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "c_mktsegment" in plan and "c_acctbal" in plan
+    assert count_shuffles(plan) == 1

@@ -192,3 +192,157 @@ def test_schema_merge_buckets_by_writer_generation(spark, sf_dir):
     for seg, r in rows.items():
         if seg != "<pre-evolution>":
             assert r["min_key"] % 2 == 1 and r["max_key"] % 2 == 1
+
+
+def test_learning_curve_matches_numpy_per_fraction(spark, sf_dir):
+    import hashlib
+
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        LC_BUCKETS,
+        ml_learning_curve,
+    )
+
+    rows = {
+        r["frac_16ths"]: r for r in ml_learning_curve(spark, sf_dir).collect()
+    }
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") + 0.5).alias("y"),
+        )
+        .toPandas()
+    )
+    li["bucket"] = [
+        int(hashlib.md5(f"{o}-{l}".encode()).hexdigest()[:8], 16) % LC_BUCKETS
+        for o, l in zip(li["l_orderkey"], li["l_linenumber"])
+    ]
+    test = li[li["bucket"] == LC_BUCKETS - 1]
+    assert len(rows) == LC_BUCKETS - 1
+    prev_n = 0
+    for k in (1, 8, LC_BUCKETS - 1):
+        train = li[li["bucket"] < k]
+        b, a = np.polyfit(
+            train["x"].to_numpy(float), train["y"].to_numpy(float), 1
+        )
+        mse = float(
+            ((test["y"] - (a + b * test["x"])) ** 2).mean()
+        )
+        assert rows[k]["n_train"] == len(train)
+        assert abs(rows[k]["slope"] - b) < 1e-3
+        assert abs(rows[k]["intercept"] - a) < 1.0
+        assert abs(rows[k]["test_mse"] - mse) < 1e-3 * max(1.0, mse)
+    for k in sorted(rows):
+        assert rows[k]["n_train"] > prev_n
+        prev_n = rows[k]["n_train"]
+
+
+def test_kcore_converged_and_matches_python_peel(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.graph import (
+        KCORE_K,
+        graph_kcore,
+    )
+
+    out = {r["nation"]: r["core_degree"] for r in graph_kcore(spark, sf_dir).collect()}
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    adj: dict[str, set[str]] = {}
+    for r in edges:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    # python peel to the FIXED POINT (not a round cap)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    expect = {v: len(adj[v] & alive) for v in alive}
+    assert out == expect  # fixed rounds reached the true k-core
+
+
+def test_funnel_latency_matches_pandas_replay(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.relational import (
+        rel_funnel_latency,
+    )
+
+    row = rel_funnel_latency(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.expr("ts div 1000").alias("t"))
+        .toPandas()
+    )
+    lat = []
+    for _, g in ev.groupby("user_id"):
+        s = g.loc[g["event_type"] == "signup", "t"]
+        if s.empty:
+            continue
+        t0 = s.min()
+        p = g.loc[(g["event_type"] == "purchase") & (g["t"] > t0), "t"]
+        if not p.empty:
+            lat.append(int(p.min() - t0))
+    assert row["n_converted"] == len(lat)
+    assert row["min_us"] == min(lat) and row["max_us"] == max(lat)
+    assert abs(row["p50_us"] - float(np.percentile(lat, 50))) < 1.0
+
+
+def test_threshold_tuning_best_flag_is_argmax_f1(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        ml_threshold_tuning,
+    )
+
+    rows = ml_threshold_tuning(spark, sf_dir).collect()
+    assert len(rows) == 11
+    assert sum(r["is_best"] for r in rows) == 1
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == rows[0]["tp"] + rows[0][
+            "fp"
+        ] + rows[0]["fn"] + rows[0]["tn"]
+        if r["precision"] is not None and r["recall"] is not None:
+            pr = r["precision"] + r["recall"]
+            if pr > 0 and r["f1"] is not None:
+                hm = 2 * r["precision"] * r["recall"] / pr
+                assert abs(r["f1"] - hm) < 1e-4
+    best = max(rows, key=lambda r: (r["f1"] or -1, -r["thr_m"]))
+    flagged = next(r for r in rows if r["is_best"] == 1)
+    assert flagged["f1"] == best["f1"]
+    # threshold at 0 predicts everything positive: recall = 1
+    all_pos = next(r for r in rows if r["thr_m"] == 0)
+    assert all_pos["fn"] == 0 and all_pos["recall"] == 1.0
+
+
+def test_boilerplate_prefix_counts_match_pandas(spark, sf_dir):
+    import hashlib
+
+    from decision_tree_analytics_spark.operators.text import (
+        BOILERPLATE_PREFIX_TOKENS,
+        BOILERPLATE_TOP_K,
+        ns_boilerplate_prefix,
+    )
+
+    rows = ns_boilerplate_prefix(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BOILERPLATE_TOP_K
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    from collections import Counter
+
+    cnt = Counter(
+        hashlib.md5(
+            " ".join(t.lower().strip().split(" ")[:BOILERPLATE_PREFIX_TOKENS]).encode()
+        ).hexdigest()
+        for t in docs["text"]
+    )
+    for r in rows:
+        assert cnt[r["prefix_md5"]] == r["n_docs"]
+        assert r["is_shared"] == (1 if r["n_docs"] >= 2 else 0)
+    # the listing is sorted by shared-ness first
+    ns = [r["n_docs"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
