@@ -62,6 +62,21 @@ NAMES = [
     "rel_gaps_islands",
     "rel_ewma_trend",
     "rel_rolling_ols",
+    # r8 additions: rank/window stats, grid-collapsing estimators,
+    # contracted-graph solvers, one-pass model sweeps, prefix mining.
+    "rel_gini",
+    "rel_hhi",
+    "rel_theil_sen",
+    "rel_changepoint",
+    "ml_mcc_kappa",
+    "ml_brier_decomposition",
+    "ml_threshold_tuning",
+    "ml_learning_curve",
+    "graph_closeness",
+    "graph_kcore",
+    "rel_funnel_latency",
+    "ns_boilerplate_prefix",
+    "src_schema_merge",
 ]
 
 
