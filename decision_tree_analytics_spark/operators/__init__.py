@@ -126,6 +126,9 @@ BENCH_EXTRAS = [
     "graph_kcore",
     "rel_funnel_latency",
     "ns_boilerplate_prefix",
+    "sim_embedding_audit",
+    "ns_code_detect",
+    "src_csv_malformed",
 ]
 
 

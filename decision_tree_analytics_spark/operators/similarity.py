@@ -1685,3 +1685,84 @@ def _kmeans_oracle() -> str:
 
 QUERIES["ml_kmeans_lloyd"] = ml_kmeans_lloyd
 ORACLES["ml_kmeans_lloyd"] = _kmeans_oracle()
+
+
+def sim_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene audit per label: vector count, dimension
+    extrema (a ragged table breaks every downstream kernel), zero-
+    vector count, and the norm distribution (min/max/mean) — the
+    pre-flight run before building any index or training on vectors
+    (bad norms ⇒ broken cosine; zero vectors ⇒ NaN poisoning).
+
+    Determinism: each element's square is floor-scaled to an exact
+    pico-unit BIGINT on the EXPLODED rows (exploded + groupBy keeps the
+    pipeline whole-stage-codegen — the HOF-lane gotcha), so per-vector
+    norm² is an exact integer sum in any order; per-vector norms then
+    round to micro-unit BIGINTs before the per-label sums (rule 9's
+    round-then-sum), and sqrt is IEEE-correctly-rounded hence portable.
+    Scale: one explode shuffle keyed on vec_id (map-side combined),
+    then a |labels|-row aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", "label", F.size("embedding").alias("dim"),
+        F.posexplode("embedding").alias("i", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(
+            F.col("xf").cast("double") * F.col("xf").cast("double") * 1e12 + 0.5
+        ).cast("long").alias("sq_pico"),
+    )
+    per_vec = x.groupBy("vec_id", "label", "dim").agg(
+        F.sum("sq_pico").cast("long").alias("normsq_pico")
+    )
+    norm_micro = F.floor(
+        F.sqrt(F.col("normsq_pico").cast("double") / 1e12) * 1e6 + 0.5
+    ).cast("long")
+    pv = per_vec.select(
+        "label", "dim", "normsq_pico", norm_micro.alias("norm_micro")
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.sum((F.col("normsq_pico") == 0).cast("long")).cast("long").alias(
+            "n_zero"
+        ),
+        F.min("norm_micro").cast("long").alias("min_norm_micro"),
+        F.max("norm_micro").cast("long").alias("max_norm_micro"),
+        (
+            F.floor(
+                F.sum("norm_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            )
+        ).cast("long").alias("mean_norm_micro"),
+    )
+
+
+QUERIES["sim_embedding_audit"] = sim_embedding_audit
+ORACLES["sim_embedding_audit"] = """
+WITH x AS (
+  SELECT vec_id, label, len(embedding) AS dim,
+    CAST(floor(CAST(u.xf AS DOUBLE) * CAST(u.xf AS DOUBLE) * 1e12 + 0.5)
+      AS BIGINT) AS sq_pico
+  FROM embeddings, unnest(embedding) AS u(xf)),
+per_vec AS (SELECT vec_id, label, dim,
+    CAST(sum(sq_pico) AS BIGINT) AS normsq_pico
+  FROM x GROUP BY 1, 2, 3),
+pv AS (SELECT label, dim, normsq_pico,
+    CAST(floor(sqrt(CAST(normsq_pico AS DOUBLE) / 1e12) * 1e6 + 0.5)
+      AS BIGINT) AS norm_micro
+  FROM per_vec)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(min(dim) AS BIGINT) AS min_dim,
+  CAST(max(dim) AS BIGINT) AS max_dim,
+  CAST(sum(CASE WHEN normsq_pico = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  CAST(min(norm_micro) AS BIGINT) AS min_norm_micro,
+  CAST(max(norm_micro) AS BIGINT) AS max_norm_micro,
+  CAST(floor(CAST(sum(norm_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    + 0.5) AS BIGINT) AS mean_norm_micro
+FROM pv GROUP BY label
+"""

@@ -381,3 +381,81 @@ ORACLES["src_schema_merge"] = (
     " CAST(max(c_custkey) AS BIGINT) AS max_key"
     " FROM customer GROUP BY 1"
 )
+
+
+N_MALFORMED = 25
+
+_MALFORMED_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_orderpriority", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-row tolerance through the CSV reader: the fixture is the
+    orders slice plus N_MALFORMED planted type-violating lines in a
+    side file; the read runs PERMISSIVE (the 100 TB reality — a feed
+    with a handful of broken lines must load, not abort) with a
+    declared ``_corrupt_record`` column, and the query audits
+    good/corrupt counts plus an aggregate over the GOOD rows only.
+    The oracle rebuilds the same world from the base table plus the
+    planted count as a literal — a reader that silently dropped,
+    null-coerced, or double-counted bad lines breaks the hash.
+
+    Scale: write-once fixture; the read is a schema-pinned parallel
+    scan, corruption detection is per-row (no extra pass), and the
+    audit is one mergeable aggregate."""
+    base = _fixture_dir(sf_dir, "orders", "badcsv")
+    good_dir = os.path.join(base, "good")
+    bad_file = os.path.join(base, "bad.csv")
+    if not (
+        os.path.exists(os.path.join(good_dir, "_SUCCESS"))
+        and os.path.exists(bad_file)
+    ):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ).write.mode("overwrite").csv(good_dir)
+        os.makedirs(base, exist_ok=True)
+        tmp = bad_file + ".tmp"
+        with open(tmp, "w") as f:
+            for i in range(N_MALFORMED):
+                f.write(f"corrupt{i},BROKEN-PRIORITY,not_a_number_{i}\n")
+        os.replace(tmp, bad_file)  # atomic: readers never see a partial file
+    df = (
+        spark.read.schema(_MALFORMED_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv([good_dir, bad_file])
+    )
+    good = F.col("_corrupt_record").isNull()
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(good.cast("long")).cast("long").alias("n_good"),
+        F.sum((~good).cast("long")).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(good, F.floor(F.col("o_totalprice") * 100 + 0.5)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("good_price_cents"),
+        F.min(F.when(good, F.col("o_orderkey"))).cast("long").alias("min_key"),
+        F.max(F.when(good, F.col("o_orderkey"))).cast("long").alias("max_key"),
+    )
+
+
+QUERIES["src_csv_malformed"] = src_csv_malformed
+ORACLES["src_csv_malformed"] = (
+    f"SELECT CAST(count(*) + {N_MALFORMED} AS BIGINT) AS n_rows,"
+    " CAST(count(*) AS BIGINT) AS n_good,"
+    f" CAST({N_MALFORMED} AS BIGINT) AS n_corrupt,"
+    " CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    "   AS good_price_cents,"
+    " CAST(min(o_orderkey) AS BIGINT) AS min_key,"
+    " CAST(max(o_orderkey) AS BIGINT) AS max_key"
+    " FROM orders"
+)

@@ -2144,3 +2144,90 @@ SELECT prefix_md5, n_docs,
   min_doc, max_doc
 FROM ranked WHERE rn <= {BOILERPLATE_TOP_K}
 """
+
+
+CODE_SYMBOLS = "[;{}()=<>\\[\\]|&#]"  # char-class only (regex rule 7)
+CODE_FLAG_PPM = 20_000  # symbol ratio above 2% chars flags 'code-like'
+
+
+def ns_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection per source: symbol-character ratio,
+    digit ratio, and code-like flags — the corpus-routing pass that
+    sends code to a code pipeline and keeps prose filters from eating
+    JSON/XML/source fragments (natural-language quality rules fire
+    falsely on code).
+
+    Ratios come from length-difference counting (length(text) −
+    length(regexp_replace(text, class, ''))) with CHAR-CLASS-ONLY
+    patterns — the regex subset identical in Java regex and RE2/DuckDB
+    (rule 7; DuckDB needs the explicit 'g' flag).  Per-doc ratios are
+    floor-scaled to integer ppm before the per-source sums (rule 9),
+    and the n_chars denominator is nullif-guarded (rule 8).  Map-only
+    per-doc scoring, one bounded aggregate — zero joins at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    symbols = n_chars - F.length(F.regexp_replace(F.col("text"), CODE_SYMBOLS, ""))
+    digits = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    sym_ppm = F.floor(
+        symbols.cast("double")
+        / F.nullif(n_chars.cast("double"), F.lit(0.0))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    dig_ppm = F.floor(
+        digits.cast("double")
+        / F.nullif(n_chars.cast("double"), F.lit(0.0))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    per = d.select(
+        "source",
+        F.coalesce(sym_ppm, F.lit(0)).alias("sym_ppm"),
+        F.coalesce(dig_ppm, F.lit(0)).alias("dig_ppm"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("sym_ppm") >= CODE_FLAG_PPM).cast("long"))
+        .cast("long")
+        .alias("n_code_like"),
+        F.floor(
+            F.sum("sym_ppm").cast("double") / F.count(F.lit(1)).cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("mean_sym_ppm"),
+        F.floor(
+            F.sum("dig_ppm").cast("double") / F.count(F.lit(1)).cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("mean_dig_ppm"),
+        F.max("sym_ppm").cast("long").alias("max_sym_ppm"),
+    )
+
+
+QUERIES["ns_code_detect"] = ns_code_detect
+ORACLES["ns_code_detect"] = f"""
+WITH per AS (
+  SELECT source,
+    coalesce(CAST(floor(
+      CAST(len(text) - len(regexp_replace(text, '{CODE_SYMBOLS}', '', 'g'))
+        AS DOUBLE)
+      / nullif(CAST(len(text) AS DOUBLE), 0.0) * 1e6 + 0.5) AS BIGINT), 0)
+      AS sym_ppm,
+    coalesce(CAST(floor(
+      CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+        AS DOUBLE)
+      / nullif(CAST(len(text) AS DOUBLE), 0.0) * 1e6 + 0.5) AS BIGINT), 0)
+      AS dig_ppm
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN sym_ppm >= {CODE_FLAG_PPM} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_code_like,
+  CAST(floor(CAST(sum(sym_ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+    AS BIGINT) AS mean_sym_ppm,
+  CAST(floor(CAST(sum(dig_ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+    AS BIGINT) AS mean_dig_ppm,
+  CAST(max(sym_ppm) AS BIGINT) AS max_sym_ppm
+FROM per GROUP BY source
+"""

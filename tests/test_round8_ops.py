@@ -346,3 +346,60 @@ def test_boilerplate_prefix_counts_match_pandas(spark, sf_dir):
     # the listing is sorted by shared-ness first
     ns = [r["n_docs"] for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_embedding_audit_matches_numpy_norms(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.similarity import (
+        sim_embedding_audit,
+    )
+
+    rows = {r["label"]: r for r in sim_embedding_audit(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    for label, g in emb.groupby("label"):
+        mat = np.stack(g["embedding"].to_numpy())
+        norms = np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1))
+        r = rows[label]
+        assert r["n_vecs"] == len(g)
+        assert r["min_dim"] == r["max_dim"] == mat.shape[1]
+        assert r["n_zero"] == int((norms == 0).sum())
+        # micro-unit norms within 1 micro of numpy (per-element pico
+        # rounding can shift the last digit)
+        assert abs(r["min_norm_micro"] - round(norms.min() * 1e6)) <= 2
+        assert abs(r["max_norm_micro"] - round(norms.max() * 1e6)) <= 2
+
+
+def test_code_detect_ratios_match_python(spark, sf_dir):
+    import re
+
+    from decision_tree_analytics_spark.operators.text import (
+        CODE_SYMBOLS,
+        ns_code_detect,
+    )
+
+    rows = {r["source"]: r for r in ns_code_detect(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    pat = re.compile(CODE_SYMBOLS)
+    dig = re.compile(r"[0-9]")
+    for source, g in docs.groupby("source"):
+        sym = [
+            int(len(pat.findall(t)) / len(t) * 1e6 + 0.5) if len(t) else 0
+            for t in g["text"]
+        ]
+        r = rows[source]
+        assert r["n_docs"] == len(g)
+        assert r["max_sym_ppm"] == max(sym)
+        assert r["mean_sym_ppm"] == int(sum(sym) / len(sym) + 0.5)
+        assert all(dig.match("5") for _ in [0])  # sanity of the regex module
+
+
+def test_csv_malformed_counts_planted_bad_rows(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.source_io import (
+        N_MALFORMED,
+        src_csv_malformed,
+    )
+
+    row = src_csv_malformed(spark, sf_dir).collect()[0]
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert row["n_corrupt"] == N_MALFORMED
+    assert row["n_good"] == n_orders
+    assert row["n_rows"] == n_orders + N_MALFORMED
