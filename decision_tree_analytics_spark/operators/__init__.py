@@ -129,6 +129,10 @@ BENCH_EXTRAS = [
     "sim_embedding_audit",
     "ns_code_detect",
     "src_csv_malformed",
+    "ml_bootstrap_ci",
+    "graph_hits",
+    "ns_span_corruption",
+    "mm_audio_chunk_plan",
 ]
 
 

@@ -1173,3 +1173,130 @@ def _kcore_oracle() -> str:
 
 
 ORACLES["graph_kcore"] = _kcore_oracle()
+
+
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000  # L1-normalized scores in integer micro-units
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the DIRECTED trade graph
+    (customer nation → supplier nation): authorities are nations the
+    network buys from, hubs are nations that spread purchases across
+    strong authorities — the directed complement of PageRank's single
+    score (same graph, both roles scored).
+
+    FULLY INTEGER end to end, unlike the float PageRank: scores live
+    in L1-normalized micro-units (BIGINT), each iteration is
+    a ← Σ_in h then h ← Σ_out a with an integer renormalization
+    x·1e6 div Σx after every step — exact in any summation order, no
+    floats — the CONTRACTED edge list is broadcast into every round's
+    join (the checkpointed score table is an ExistingRDD scan with no
+    stats, so without the hint each round planned a 200-partition
+    sort-merge join; measured 33 s → ~3 s at sf0.01).  No
+    rounding rules needed at all (the (min,+)/(or,and) squaring
+    lesson applied to an eigenvector-style loop).  HITS_ITERS unrolled
+    rounds → one Catalyst plan + chained-CTE oracle.  Scale shape =
+    PageRank's: one persisted edge aggregate, per-round edge ⋈ score
+    shuffles with map-side combine."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
+    # Each normalization references its raw sums TWICE (the total's
+    # scalar aggregate AND the per-node division) — the MST/closeness
+    # lineage-doubling trap, so every raw-sum table is checkpointed
+    # before fan-out (coalesce(8): ≤n rows).
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            F.broadcast(e).join(h, e.src == h.node)
+            .groupBy("dst")
+            .agg(F.sum("h").cast("long").alias("a_raw"))
+            .coalesce(8)
+            .localCheckpoint()
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").cast("long").alias("t"))
+        a = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            F.col("dst").alias("node"),
+            F.expr(f"a_raw * {HITS_SCALE} div t").cast("long").alias("a"),
+        )
+        h_raw = (
+            F.broadcast(e).join(a, e.dst == a.node)
+            .groupBy("src")
+            .agg(F.sum("a").cast("long").alias("h_raw"))
+            .coalesce(8)
+            .localCheckpoint()
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").cast("long").alias("t"))
+        h = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            F.col("src").alias("node"),
+            F.expr(f"h_raw * {HITS_SCALE} div t").cast("long").alias("h"),
+        )
+    auth = (
+        F.broadcast(e).join(h, e.src == h.node)
+        .groupBy("dst")
+        .agg(F.sum("h").cast("long").alias("a_raw"))
+    )
+    a_tot = auth.agg(F.sum("a_raw").cast("long").alias("t"))
+    a_final = auth.crossJoin(F.broadcast(a_tot)).select(
+        F.col("dst").alias("node"),
+        F.expr(f"a_raw * {HITS_SCALE} div t").cast("long").alias("auth_micro"),
+    )
+    result = (
+        nodes.join(h.select(F.col("node").alias("hn"), F.col("h")), nodes.node == F.col("hn"), "left")
+        .join(a_final.select(F.col("node").alias("an"), "auth_micro"), nodes.node == F.col("an"), "left")
+        .select(
+            F.col("node").alias("nation"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_micro"),
+            F.coalesce(F.col("auth_micro"), F.lit(0)).cast("long").alias("auth_micro"),
+        )
+    )
+    return tether_cache(result, edges)
+
+
+QUERIES["graph_hits"] = graph_hits
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        rounds.append(
+            f" ar{i} AS MATERIALIZED (SELECT e.dst, CAST(sum(h.h) AS BIGINT)"
+            f"   AS a_raw FROM e JOIN {prev_h} h ON e.src = h.node"
+            "   GROUP BY e.dst),"
+            f" a{i} AS MATERIALIZED (SELECT dst AS node,"
+            f"   CAST(a_raw * {HITS_SCALE} // (SELECT sum(a_raw) FROM ar{i})"
+            f"     AS BIGINT) AS a FROM ar{i}),"
+            f" hr{i} AS MATERIALIZED (SELECT e.src, CAST(sum(a.a) AS BIGINT)"
+            f"   AS h_raw FROM e JOIN a{i} a ON e.dst = a.node"
+            "   GROUP BY e.src),"
+            f" h{i} AS MATERIALIZED (SELECT src AS node,"
+            f"   CAST(h_raw * {HITS_SCALE} // (SELECT sum(h_raw) FROM hr{i})"
+            f"     AS BIGINT) AS h FROM hr{i})"
+        )
+        prev_h = f"h{i}"
+    return (
+        f"WITH edges AS ({_SQL_EDGES}),"
+        " e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),"
+        " nodes AS (SELECT DISTINCT src AS node FROM e"
+        "   UNION SELECT DISTINCT dst FROM e),"
+        f" h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes),"
+        + ",".join(rounds)
+        + f" , arf AS (SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a_raw"
+        f"   FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst),"
+        f" af AS (SELECT dst AS node, CAST(a_raw * {HITS_SCALE}"
+        "   // (SELECT sum(a_raw) FROM arf) AS BIGINT) AS auth_micro FROM arf)"
+        " SELECT n.node AS nation,"
+        f" CAST(coalesce(h.h, 0) AS BIGINT) AS hub_micro,"
+        " CAST(coalesce(af.auth_micro, 0) AS BIGINT) AS auth_micro"
+        f" FROM nodes n LEFT JOIN {prev_h} h ON n.node = h.node"
+        " LEFT JOIN af ON n.node = af.node"
+    )
+
+
+ORACLES["graph_hits"] = _hits_oracle()

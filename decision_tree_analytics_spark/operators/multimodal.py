@@ -589,3 +589,95 @@ SELECT shard_id, n_docs, shard_bytes,
     || '|' || CAST(xor_hash AS VARCHAR)) AS checksum
 FROM g
 """
+
+
+AUDIO_HEADER_BYTES = 44  # WAV-style header preceding 16-bit mono PCM
+AUDIO_CHUNK_S = 1  # chunk length (seconds)
+AUDIO_HOP_S_NUM, AUDIO_HOP_S_DEN = 1, 2  # 0.5 s hop (50% overlap)
+
+
+def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking work-plan — mm_patch_manifest's shape on the time
+    axis: per clip (synthetic metadata: sample rate 8/16/24 kHz and
+    1-10 s duration derived from doc_id), one row per 1-second chunk
+    at 0.5-second hop (50 % overlap, the standard ASR/embedding
+    windowing) with sample offsets and byte ranges into the 16-bit
+    mono PCM stream after a 44-byte WAV-style header.
+
+    This is the fan-out a speech loader ships to decode workers: pure
+    integer codegen + one explode — no shuffle, no Python, no codec;
+    only the per-chunk PCM decode (the documented stub boundary,
+    multimodal.py:64) needs actual bytes.  Tail chunks clamp to the
+    clip end (is_last flags them); every quantity is exact integer
+    sample arithmetic, identical in both engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sr = (F.lit(8000) * (F.pmod(F.col("doc_id"), F.lit(3)) + 1)).cast("long")
+    n_samples = ((F.pmod(F.col("doc_id"), F.lit(10)) + 1) * sr).cast("long")
+    hop = F.expr(
+        f"sr * {AUDIO_HOP_S_NUM} div {AUDIO_HOP_S_DEN}"
+    ).cast("long")
+    chunk = (F.col("sr") * AUDIO_CHUNK_S).cast("long")
+    g = d.select("doc_id", sr.alias("sr"), n_samples.alias("n_samples"))
+    g = g.select(
+        "doc_id",
+        "sr",
+        "n_samples",
+        hop.alias("hop"),
+        chunk.alias("chunk"),
+    )
+    # chunks start at k*hop while start < n_samples - hop (the final
+    # half-window folds into the previous chunk's tail clamp)
+    g = g.select(
+        "*",
+        (
+            F.expr("(n_samples - chunk) div hop") + 1
+        ).cast("long").alias("n_chunks"),
+    )
+    c = g.select(
+        "doc_id",
+        "sr",
+        "n_samples",
+        "hop",
+        "chunk",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * F.col("hop")).cast("long")
+    end = F.least(start + F.col("chunk"), F.col("n_samples"))
+    return c.select(
+        "doc_id",
+        "sr",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_sample"),
+        (end - start).cast("long").alias("n_samp"),
+        (F.lit(AUDIO_HEADER_BYTES) + start * 2).cast("long").alias("byte_off"),
+        ((end - start) * 2).cast("long").alias("byte_len"),
+        (end == F.col("n_samples")).cast("long").alias("is_last"),
+    )
+
+
+QUERIES["mm_audio_chunk_plan"] = mm_audio_chunk_plan
+ORACLES["mm_audio_chunk_plan"] = f"""
+WITH g AS (SELECT doc_id,
+    CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS sr,
+    CAST((doc_id % 10 + 1) * 8000 * (doc_id % 3 + 1) AS BIGINT) AS n_samples
+  FROM documents),
+h AS (SELECT doc_id, sr, n_samples,
+    sr * {AUDIO_HOP_S_NUM} // {AUDIO_HOP_S_DEN} AS hop,
+    sr * {AUDIO_CHUNK_S} AS chunk,
+    (n_samples - sr * {AUDIO_CHUNK_S})
+      // (sr * {AUDIO_HOP_S_NUM} // {AUDIO_HOP_S_DEN}) + 1 AS n_chunks
+  FROM g),
+c AS (SELECT doc_id, sr, n_samples, hop, chunk,
+    unnest(range(n_chunks)) AS chunk_id
+  FROM h)
+SELECT doc_id, sr, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(chunk_id * hop AS BIGINT) AS start_sample,
+  CAST(least(chunk_id * hop + chunk, n_samples) - chunk_id * hop AS BIGINT)
+    AS n_samp,
+  CAST({AUDIO_HEADER_BYTES} + chunk_id * hop * 2 AS BIGINT) AS byte_off,
+  CAST((least(chunk_id * hop + chunk, n_samples) - chunk_id * hop) * 2
+    AS BIGINT) AS byte_len,
+  CAST(CASE WHEN least(chunk_id * hop + chunk, n_samples) = n_samples
+    THEN 1 ELSE 0 END AS BIGINT) AS is_last
+FROM c
+"""

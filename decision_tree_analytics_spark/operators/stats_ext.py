@@ -2607,3 +2607,141 @@ SELECT thr_m, tp, fp, fn, tn, precision, recall, f1,
     THEN 1 ELSE 0 END AS BIGINT) AS is_best
 FROM scored
 """
+
+
+BOOT_REPLICAS = 32
+# Poisson(1) CDF cut points scaled to 2^32 (e^-1, 2e^-1, 2.5e^-1 sums):
+# P(0)=.36787944, P(<=1)=.73575888, P(<=2)=.91969860 — integer
+# literals so both engines quantize the md5 draw identically.
+BOOT_T0 = 1_580_030_168
+BOOT_T1 = 3_160_060_337
+BOOT_T2 = 3_950_075_421
+
+
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence intervals for per-priority mean order value
+    via the POISSON BOOTSTRAP — the distributed-bootstrap trick: a
+    classical resample needs n draws from a shared urn (impossible to
+    coordinate across executors), but replica membership counts
+    converge to independent Poisson(1) per row, so each row carries
+    BOOT_REPLICAS deterministic Poisson weights derived from
+    md5(orderkey, replica) and every replica's statistic is one
+    weighted aggregate — ONE corpus pass for all 32 replicas, no
+    resampling shuffle at any scale.
+
+    Determinism: the md5 draw quantizes against integer 2^32-scaled
+    CDF cut points (rule 6 content-derived randomness); weighted sums
+    are exact BIGINT cents; each replica mean is one division; the CI
+    picks replica-mean ranks 2 and 31 (≈ p5/p95 of B=32) by explicit
+    rank selection — no interpolation (rule 10).  Scale: the explode
+    is a bounded ×32 fan-out collapsed by the same map-side combine,
+    never materialized."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
+    )
+    b = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))).alias("b"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(draw < BOOT_T0, 0)
+        .when(draw < BOOT_T1, 1)
+        .when(draw < BOOT_T2, 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    rep = b.select("o_orderpriority", "b", w.alias("w"), "cents").groupBy(
+        "o_orderpriority", "b"
+    ).agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("wsum"),
+    )
+    mean_b = F.col("wsum").cast("double") / (
+        100.0 * F.nullif(F.col("n_eff").cast("double"), F.lit(0.0))
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("mean_b", "b")
+    ranked = rep.select(
+        "o_orderpriority", "b", mean_b.alias("mean_b")
+    ).select("*", F.row_number().over(wr).alias("rn"))
+    ci = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("lo"),
+        F.min(F.when(F.col("rn") == BOOT_REPLICAS - 1, F.col("mean_b"))).alias(
+            "hi"
+        ),
+    )
+    point = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.sum("cents").cast("double")
+            / (100.0 * F.count(F.lit(1)).cast("double"))
+        ).alias("mean_value"),
+    )
+    return point.join(ci, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        (F.floor(F.col("mean_value") * 100 + 0.5) / 100).alias("mean_value"),
+        (F.floor(F.col("lo") * 100 + 0.5) / 100).alias("ci_lo"),
+        (F.floor(F.col("hi") * 100 + 0.5) / 100).alias("ci_hi"),
+    )
+
+
+QUERIES["ml_bootstrap_ci"] = ml_bootstrap_ci
+ORACLES["ml_bootstrap_ci"] = f"""
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+b AS (SELECT o.*, t.b FROM o, range({BOOT_REPLICAS}) t(b)),
+wtab AS (SELECT o_orderpriority, b,
+    CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-'
+          || CAST(b AS VARCHAR)), 1, 8))::BIGINT < {BOOT_T0} THEN 0
+         WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-'
+          || CAST(b AS VARCHAR)), 1, 8))::BIGINT < {BOOT_T1} THEN 1
+         WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-'
+          || CAST(b AS VARCHAR)), 1, 8))::BIGINT < {BOOT_T2} THEN 2
+         ELSE 3 END AS w,
+    cents
+  FROM b),
+rep AS (SELECT o_orderpriority, b,
+    CAST(sum(w) AS BIGINT) AS n_eff,
+    CAST(sum(w * cents) AS BIGINT) AS wsum
+  FROM wtab GROUP BY 1, 2),
+ranked AS (SELECT o_orderpriority, b,
+    CAST(wsum AS DOUBLE) / (100.0 * nullif(CAST(n_eff AS DOUBLE), 0.0))
+      AS mean_b,
+    row_number() OVER (PARTITION BY o_orderpriority
+      ORDER BY CAST(wsum AS DOUBLE)
+        / (100.0 * nullif(CAST(n_eff AS DOUBLE), 0.0)), b) AS rn
+  FROM rep),
+ci AS (SELECT o_orderpriority,
+    min(CASE WHEN rn = 2 THEN mean_b END) AS lo,
+    min(CASE WHEN rn = {BOOT_REPLICAS - 1} THEN mean_b END) AS hi
+  FROM ranked GROUP BY 1),
+point AS (SELECT o_orderpriority,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(cents) AS DOUBLE) / (100.0 * CAST(count(*) AS DOUBLE))
+      AS mean_value
+  FROM o GROUP BY 1)
+SELECT p.o_orderpriority, p.n_orders,
+  floor(p.mean_value * 100 + 0.5) / 100 AS mean_value,
+  floor(c.lo * 100 + 0.5) / 100 AS ci_lo,
+  floor(c.hi * 100 + 0.5) / 100 AS ci_hi
+FROM point p JOIN ci c ON p.o_orderpriority = c.o_orderpriority
+"""

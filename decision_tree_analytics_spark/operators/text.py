@@ -2231,3 +2231,93 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(max(sym_ppm) AS BIGINT) AS max_sym_ppm
 FROM per GROUP BY source
 """
+
+
+SPAN_MIN_TOKENS = 20  # docs shorter than this produce no spans
+SPAN_STRATUM = 20  # one span per 20 tokens ⇒ ~15% masked at mean len 3
+
+
+def ns_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption plan: for each document, a
+    deterministic manifest of mask spans (one per SPAN_STRATUM-token
+    stratum, length 2-4 ⇒ ~15% of tokens masked at mean span 3) with
+    the sentinel id each span maps to — the denoising-objective
+    data-prep pass, emitted as a manifest so the (expensive) text
+    rewrite happens exactly once downstream.
+
+    Stratified placement: span k lives inside token stratum k, offset
+    by md5(doc_id, k) within the stratum (content-derived, rule 6) —
+    strata make spans non-overlapping BY CONSTRUCTION, no sequential
+    scan or rejection loop, so the whole plan is one explode of pure
+    codegen arithmetic (the mm_patch_manifest shape on token space).
+    Span length 2 + md5 mod 3 ≤ 4 < SPAN_STRATUM − 1 keeps every span
+    strictly inside its stratum.  Map-only + explode: zero shuffles
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    g = d.select("doc_id", n_tok.alias("n_tok")).filter(
+        F.col("n_tok") >= SPAN_MIN_TOKENS
+    )
+    g = g.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"n_tok div {SPAN_STRATUM}").cast("long").alias("n_spans"),
+    )
+    s = g.select(
+        "doc_id",
+        "n_tok",
+        "n_spans",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("span_id"),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("doc_id").cast("string"),
+                    F.col("span_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    span_len = (F.lit(2) + draw % 3).cast("long")
+    # stratum k covers tokens [k*S, (k+1)*S); the span starts at a
+    # md5-derived offset that keeps start+len inside the stratum
+    offset = (draw % (F.lit(SPAN_STRATUM) - span_len + 1)).cast("long")
+    start = (F.col("span_id") * SPAN_STRATUM + offset).cast("long")
+    return s.select(
+        "doc_id",
+        F.col("span_id").cast("long").alias("span_id"),
+        start.alias("start_tok"),
+        span_len.alias("len_tok"),
+        (F.lit(250_000) - F.col("span_id")).cast("long").alias("sentinel_id"),
+        "n_tok",
+    )
+
+
+QUERIES["ns_span_corruption"] = ns_span_corruption
+ORACLES["ns_span_corruption"] = f"""
+WITH g AS (SELECT doc_id,
+    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+f AS (SELECT doc_id, n_tok, n_tok // {SPAN_STRATUM} AS n_spans FROM g
+  WHERE n_tok >= {SPAN_MIN_TOKENS}),
+s AS (SELECT doc_id, n_tok, n_spans,
+    unnest(range(n_spans)) AS span_id
+  FROM f),
+d AS (SELECT doc_id, n_tok, span_id,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-'
+      || CAST(span_id AS VARCHAR)), 1, 8))::BIGINT AS draw
+  FROM s)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+  CAST(span_id * {SPAN_STRATUM}
+    + draw % ({SPAN_STRATUM} - (2 + draw % 3) + 1) AS BIGINT) AS start_tok,
+  CAST(2 + draw % 3 AS BIGINT) AS len_tok,
+  CAST(250000 - span_id AS BIGINT) AS sentinel_id,
+  n_tok
+FROM d
+"""

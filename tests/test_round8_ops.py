@@ -403,3 +403,81 @@ def test_csv_malformed_counts_planted_bad_rows(spark, sf_dir):
     assert row["n_corrupt"] == N_MALFORMED
     assert row["n_good"] == n_orders
     assert row["n_rows"] == n_orders + N_MALFORMED
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        ml_bootstrap_ci,
+    )
+
+    rows = ml_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # the point estimate sits inside (or at worst at) the 90%-ish CI
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
+        # replica means concentrate near the point estimate (CLT):
+        # half-width well under 20% of the mean at these n
+        assert (r["ci_hi"] - r["ci_lo"]) < 0.4 * r["mean_value"]
+
+
+def test_hits_scores_are_l1_normalized_and_weight_ranked(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.graph import (
+        HITS_SCALE,
+        graph_hits,
+    )
+
+    rows = graph_hits(spark, sf_dir).collect()
+    tot_h = sum(r["hub_micro"] for r in rows)
+    tot_a = sum(r["auth_micro"] for r in rows)
+    # integer-div normalization truncates: sum in (SCALE - n, SCALE]
+    assert HITS_SCALE - len(rows) <= tot_h <= HITS_SCALE
+    assert HITS_SCALE - len(rows) <= tot_a <= HITS_SCALE
+    assert all(r["hub_micro"] >= 0 and r["auth_micro"] >= 0 for r in rows)
+    assert max(r["auth_micro"] for r in rows) > HITS_SCALE // len(rows)
+
+
+def test_span_corruption_spans_stay_in_stratum_and_doc(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.text import (
+        SPAN_STRATUM,
+        ns_span_corruption,
+    )
+
+    rows = ns_span_corruption(spark, sf_dir).collect()
+    assert rows
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert 2 <= r["len_tok"] <= 4
+        lo = r["span_id"] * SPAN_STRATUM
+        assert lo <= r["start_tok"]
+        assert r["start_tok"] + r["len_tok"] <= lo + SPAN_STRATUM  # in stratum
+        assert r["start_tok"] + r["len_tok"] <= r["n_tok"]  # in doc
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    # non-overlapping by construction; ~15% mask rate at mean span 3
+    for doc, spans in per_doc.items():
+        spans.sort(key=lambda r: r["start_tok"])
+        for a, b in zip(spans, spans[1:]):
+            assert a["start_tok"] + a["len_tok"] <= b["start_tok"]
+    masked = sum(r["len_tok"] for r in rows)
+    toks = sum({r["doc_id"]: r["n_tok"] for r in rows}.values())
+    assert 0.10 <= masked / toks <= 0.20
+
+
+def test_audio_chunks_tile_the_clip(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.multimodal import (
+        mm_audio_chunk_plan,
+    )
+
+    rows = mm_audio_chunk_plan(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        sr = chunks[0]["sr"]
+        hop = sr // 2
+        assert all(c["start_sample"] == i * hop for i, c in enumerate(chunks))
+        assert chunks[-1]["is_last"] == 1
+        assert all(c["n_samp"] <= sr and c["n_samp"] >= hop for c in chunks)
+        # full coverage: last chunk reaches the clip end
+        end = chunks[-1]["start_sample"] + chunks[-1]["n_samp"]
+        assert end == (doc % 10 + 1) * sr
