@@ -77,6 +77,13 @@ NAMES = [
     "rel_funnel_latency",
     "ns_boilerplate_prefix",
     "src_schema_merge",
+    "sim_embedding_audit",
+    "ns_code_detect",
+    "src_csv_malformed",
+    "ml_bootstrap_ci",
+    "graph_hits",
+    "ns_span_corruption",
+    "mm_audio_chunk_plan",
 ]
 
 
