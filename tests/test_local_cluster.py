@@ -33,6 +33,9 @@ CLUSTER_QUERIES = [
     # previous matrix TWICE, so per-round localCheckpoint is the only
     # thing preventing 2^rounds recomputation — exercises checkpoint
     # block cleanup under real remote block managers (VERDICT r7#6)
+    "graph_hits",  # broadcast-hinted joins against checkpointed
+    # (stats-free ExistingRDD) state: the explicit F.broadcast must
+    # ship the edge list to REMOTE executors every round
 ]
 
 _DRIVER = r"""
