@@ -133,6 +133,7 @@ BENCH_EXTRAS = [
     "graph_hits",
     "ns_span_corruption",
     "mm_audio_chunk_plan",
+    "src_python_datasource",
 ]
 
 

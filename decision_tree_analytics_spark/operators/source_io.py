@@ -459,3 +459,93 @@ ORACLES["src_csv_malformed"] = (
     " CAST(max(o_orderkey) AS BIGINT) AS max_key"
     " FROM orders"
 )
+
+
+PYDS_PARTITIONS = 8
+PYDS_ROWS_PER_PART = 2000
+
+
+def _pyds_row(trade_id: int):
+    """One synthetic trade — md5-derived so DuckDB reproduces it
+    verbatim (rule 6).  Shared by the reader and the pytest replay."""
+    import hashlib
+
+    h = hashlib.md5(f"trade-{trade_id}".encode()).hexdigest()
+    amount_cents = int(h[:8], 16) % 1_000_000
+    tag = "TAG_" + str(int(h[8:10], 16) % 4)
+    return (trade_id, trade_id // PYDS_ROWS_PER_PART, amount_cents, tag)
+
+
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Python DataSource API under the oracle gate: a custom
+    partition-parallel source (``DataSourceReader.partitions`` +
+    per-partition ``read``) generating deterministic synthetic trades,
+    aggregated per tag.  This is the extension point for reading
+    systems Spark has no built-in connector for (internal services,
+    bespoke formats) — the contract that matters at 100 TB is that
+    ``partitions()`` declares independent slices and each executor
+    reads ONLY its slice (no driver funnel), which is exactly what the
+    planner is handed here.
+
+    Rows derive from md5(trade_id) (rule 6), so the DuckDB oracle
+    regenerates the identical table from range() + md5 — a reader that
+    dropped a partition, duplicated a slice, or mangled types breaks
+    the hash.  The source is registered per session (the driver's
+    vanilla session included); registration is idempotent."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _TradesReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(PYDS_PARTITIONS)]
+
+        def read(self, partition):
+            base = partition.value * PYDS_ROWS_PER_PART
+            for i in range(PYDS_ROWS_PER_PART):
+                yield _pyds_row(base + i)
+
+    class SyntheticTradesDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_trades"
+
+        def schema(self):
+            return (
+                "trade_id bigint, part_id bigint,"
+                " amount_cents bigint, tag string"
+            )
+
+        def reader(self, schema):
+            return _TradesReader()
+
+    spark.dataSource.register(SyntheticTradesDataSource)
+    df = spark.read.format("synthetic_trades").load()
+    return df.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.countDistinct("part_id").cast("long").alias("n_parts"),
+        F.sum("amount_cents").cast("long").alias("sum_cents"),
+        F.min("trade_id").cast("long").alias("min_id"),
+        F.max("trade_id").cast("long").alias("max_id"),
+    )
+
+
+QUERIES["src_python_datasource"] = src_python_datasource
+ORACLES["src_python_datasource"] = f"""
+WITH t AS (
+  SELECT r.trade_id,
+    r.trade_id // {PYDS_ROWS_PER_PART} AS part_id,
+    ('0x' || substr(md5('trade-' || CAST(r.trade_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 1000000 AS amount_cents,
+    'TAG_' || CAST(('0x' || substr(md5('trade-'
+      || CAST(r.trade_id AS VARCHAR)), 9, 2))::BIGINT % 4 AS VARCHAR) AS tag
+  FROM range({PYDS_PARTITIONS * PYDS_ROWS_PER_PART}) r(trade_id))
+SELECT tag, CAST(count(*) AS BIGINT) AS n_trades,
+  CAST(count(DISTINCT part_id) AS BIGINT) AS n_parts,
+  CAST(sum(amount_cents) AS BIGINT) AS sum_cents,
+  CAST(min(trade_id) AS BIGINT) AS min_id,
+  CAST(max(trade_id) AS BIGINT) AS max_id
+FROM t GROUP BY tag
+"""

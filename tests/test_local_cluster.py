@@ -36,6 +36,9 @@ CLUSTER_QUERIES = [
     "graph_hits",  # broadcast-hinted joins against checkpointed
     # (stats-free ExistingRDD) state: the explicit F.broadcast must
     # ship the edge list to REMOTE executors every round
+    "src_python_datasource",  # Spark 4 Python DataSource: the reader
+    # classes must cloudpickle to REMOTE executor python workers and
+    # each executor must read only its declared partitions
 ]
 
 _DRIVER = r"""

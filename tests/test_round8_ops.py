@@ -481,3 +481,31 @@ def test_audio_chunks_tile_the_clip(spark, sf_dir):
         # full coverage: last chunk reaches the clip end
         end = chunks[-1]["start_sample"] + chunks[-1]["n_samp"]
         assert end == (doc % 10 + 1) * sr
+
+
+def test_python_datasource_generates_every_partition_once(spark, sf_dir):
+    from collections import Counter
+
+    from decision_tree_analytics_spark.operators.source_io import (
+        PYDS_PARTITIONS,
+        PYDS_ROWS_PER_PART,
+        _pyds_row,
+        src_python_datasource,
+    )
+
+    rows = {r["tag"]: r for r in src_python_datasource(spark, sf_dir).collect()}
+    total = PYDS_PARTITIONS * PYDS_ROWS_PER_PART
+    expect = Counter()
+    sums: Counter = Counter()
+    for tid in range(total):
+        _, _, cents, tag = _pyds_row(tid)
+        expect[tag] += 1
+        sums[tag] += cents
+    assert sum(r["n_trades"] for r in rows.values()) == total
+    for tag, r in rows.items():
+        assert r["n_trades"] == expect[tag]
+        assert r["sum_cents"] == sums[tag]
+        assert r["n_parts"] >= 1
+    # id range proves no partition was dropped or duplicated
+    assert min(r["min_id"] for r in rows.values()) == 0
+    assert max(r["max_id"] for r in rows.values()) == total - 1
