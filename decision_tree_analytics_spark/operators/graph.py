@@ -1180,11 +1180,14 @@ HITS_SCALE = 1_000_000  # L1-normalized scores in integer micro-units
 
 
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS hubs-and-authorities over the DIRECTED trade graph
-    (customer nation → supplier nation): authorities are nations the
-    network buys from, hubs are nations that spread purchases across
-    strong authorities — the directed complement of PageRank's single
-    score (same graph, both roles scored).
+    """WEIGHTED HITS hubs-and-authorities over the DIRECTED trade
+    graph (customer nation → supplier nation, weight = trade volume):
+    authorities are nations the network buys heavily from, hubs are
+    nations that spread large purchases across strong authorities —
+    the directed complement of PageRank's single score.  Weights are
+    essential here: the nation graph is near-complete, so UNWEIGHTED
+    HITS converges to the exactly-uniform vector (measured — every
+    score identical at sf0.01) and says nothing.
 
     FULLY INTEGER end to end, unlike the float PageRank: scores live
     in L1-normalized micro-units (BIGINT), each iteration is
@@ -1200,7 +1203,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank's: one persisted edge aggregate, per-round edge ⋈ score
     shuffles with map-side combine."""
     edges = _trade_edges(spark, sf_dir).persist()
-    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", F.col("weight").cast("long").alias("w")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -1215,7 +1220,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_raw = (
             F.broadcast(e).join(h, e.src == h.node)
             .groupBy("dst")
-            .agg(F.sum("h").cast("long").alias("a_raw"))
+            .agg(F.sum(F.col("h") * F.col("w")).cast("long").alias("a_raw"))
             .coalesce(8)
             .localCheckpoint()
         )
@@ -1227,7 +1232,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         h_raw = (
             F.broadcast(e).join(a, e.dst == a.node)
             .groupBy("src")
-            .agg(F.sum("a").cast("long").alias("h_raw"))
+            .agg(F.sum(F.col("a") * F.col("w")).cast("long").alias("h_raw"))
             .coalesce(8)
             .localCheckpoint()
         )
@@ -1239,7 +1244,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     auth = (
         F.broadcast(e).join(h, e.src == h.node)
         .groupBy("dst")
-        .agg(F.sum("h").cast("long").alias("a_raw"))
+        .agg(F.sum(F.col("h") * F.col("w")).cast("long").alias("a_raw"))
     )
     a_tot = auth.agg(F.sum("a_raw").cast("long").alias("t"))
     a_final = auth.crossJoin(F.broadcast(a_tot)).select(
@@ -1266,13 +1271,15 @@ def _hits_oracle() -> str:
     prev_h = "h0"
     for i in range(1, HITS_ITERS + 1):
         rounds.append(
-            f" ar{i} AS MATERIALIZED (SELECT e.dst, CAST(sum(h.h) AS BIGINT)"
+            f" ar{i} AS MATERIALIZED (SELECT e.dst,"
+            f"   CAST(sum(h.h * e.w) AS BIGINT)"
             f"   AS a_raw FROM e JOIN {prev_h} h ON e.src = h.node"
             "   GROUP BY e.dst),"
             f" a{i} AS MATERIALIZED (SELECT dst AS node,"
             f"   CAST(a_raw * {HITS_SCALE} // (SELECT sum(a_raw) FROM ar{i})"
             f"     AS BIGINT) AS a FROM ar{i}),"
-            f" hr{i} AS MATERIALIZED (SELECT e.src, CAST(sum(a.a) AS BIGINT)"
+            f" hr{i} AS MATERIALIZED (SELECT e.src,"
+            f"   CAST(sum(a.a * e.w) AS BIGINT)"
             f"   AS h_raw FROM e JOIN a{i} a ON e.dst = a.node"
             "   GROUP BY e.src),"
             f" h{i} AS MATERIALIZED (SELECT src AS node,"
@@ -1282,12 +1289,13 @@ def _hits_oracle() -> str:
         prev_h = f"h{i}"
     return (
         f"WITH edges AS ({_SQL_EDGES}),"
-        " e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),"
+        " e AS MATERIALIZED (SELECT src, dst, CAST(weight AS BIGINT) AS w"
+        "   FROM edges WHERE src <> dst),"
         " nodes AS (SELECT DISTINCT src AS node FROM e"
         "   UNION SELECT DISTINCT dst FROM e),"
         f" h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes),"
         + ",".join(rounds)
-        + f" , arf AS (SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a_raw"
+        + f" , arf AS (SELECT e.dst, CAST(sum(h.h * e.w) AS BIGINT) AS a_raw"
         f"   FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst),"
         f" af AS (SELECT dst AS node, CAST(a_raw * {HITS_SCALE}"
         "   // (SELECT sum(a_raw) FROM arf) AS BIGINT) AS auth_micro FROM arf)"
