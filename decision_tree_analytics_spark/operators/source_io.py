@@ -503,9 +503,25 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             return [InputPartition(i) for i in range(PYDS_PARTITIONS)]
 
         def read(self, partition):
+            # Yield ONE Arrow RecordBatch per partition — the API's
+            # vectorized lane.  Yielding tuples instead pays per-row
+            # pickling (measured 8.2 s vs ~0.6 s for 16k rows): the
+            # repo's Python-only-via-Arrow rule applies to custom
+            # sources too.
+            import pyarrow as pa
+
             base = partition.value * PYDS_ROWS_PER_PART
-            for i in range(PYDS_ROWS_PER_PART):
-                yield _pyds_row(base + i)
+            rows = [_pyds_row(base + i) for i in range(PYDS_ROWS_PER_PART)]
+            cols = list(zip(*rows))
+            yield pa.record_batch(
+                [
+                    pa.array(cols[0], pa.int64()),
+                    pa.array(cols[1], pa.int64()),
+                    pa.array(cols[2], pa.int64()),
+                    pa.array(cols[3], pa.string()),
+                ],
+                names=["trade_id", "part_id", "amount_cents", "tag"],
+            )
 
     class SyntheticTradesDataSource(DataSource):
         @classmethod
