@@ -134,6 +134,8 @@ BENCH_EXTRAS = [
     "ns_span_corruption",
     "mm_audio_chunk_plan",
     "src_python_datasource",
+    "rel_hhi",
+    "ml_mcc_kappa",
 ]
 
 
@@ -230,9 +232,11 @@ _DRIVER_SAMPLED = {
 # Enumerated right after the never-sampled names so the driver's
 # 50-query window re-verifies the CURRENT code.  Once a fresh green
 # row lands the zero-churn loader demotes the name automatically —
-# remove it here on the next rotation refresh.  r8 state: EMPTY — all
-# seven r5/r6 rewrites came back hash-green in CORRECTNESS_r07.
-_RECHECK_PRIORITY = []
+# remove it here on the next rotation refresh.  r9 state: graph_hits
+# (weights rescaled to ppm on both sides — the ADVICE r8 overflow
+# bound) and ml_bootstrap_ci (NULL-ordering pin in the replica rank)
+# were materially rewritten after their r8 rows.
+_RECHECK_PRIORITY = ["graph_hits", "ml_bootstrap_ci"]
 
 
 def _driver_verified_rounds(root=None):

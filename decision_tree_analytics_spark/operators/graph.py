@@ -1193,7 +1193,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     in L1-normalized micro-units (BIGINT), each iteration is
     a ← Σ_in h then h ← Σ_out a with an integer renormalization
     x·1e6 div Σx after every step — exact in any summation order, no
-    floats — the CONTRACTED edge list is broadcast into every round's
+    floats.  OVERFLOW BOUND (ADVICE r8): edge weights are first
+    rescaled to parts-per-million of the total (w·1e6 div Σw,
+    zero-ppm edges dropped on both sides), so Σw ≤ 1e6 and every
+    raw sum obeys a_raw ≤ max(h)·Σw ≤ 1e6·1e6 = 1e12 — the renorm
+    product a_raw·1e6 ≤ 1e18 < 2^63 at ANY corpus size (raw
+    lineitem-count weights put a_raw·1e6 at ~6e18 by sf1, one order
+    from the ANSI overflow cliff) — the CONTRACTED edge list is
+    broadcast into every round's
     join (the checkpointed score table is an ExistingRDD scan with no
     stats, so without the hint each round planned a 200-partition
     sort-merge join; measured 33 s → ~3 s at sf0.01).  No
@@ -1203,8 +1210,20 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank's: one persisted edge aggregate, per-round edge ⋈ score
     shuffles with map-side combine."""
     edges = _trade_edges(spark, sf_dir).persist()
-    e = edges.filter(F.col("src") != F.col("dst")).select(
-        "src", "dst", F.col("weight").cast("long").alias("w")
+    e_raw = edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", F.col("weight").cast("long").alias("wl")
+    )
+    w_tot = e_raw.agg(F.sum("wl").cast("long").alias("wt"))
+    e = (
+        e_raw.crossJoin(F.broadcast(w_tot))
+        .select(
+            "src",
+            "dst",
+            F.expr(f"wl * {HITS_SCALE} div wt").cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .coalesce(8)
+        .localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -1289,8 +1308,11 @@ def _hits_oracle() -> str:
         prev_h = f"h{i}"
     return (
         f"WITH edges AS ({_SQL_EDGES}),"
-        " e AS MATERIALIZED (SELECT src, dst, CAST(weight AS BIGINT) AS w"
-        "   FROM edges WHERE src <> dst),"
+        " e AS MATERIALIZED (SELECT * FROM (SELECT src, dst,"
+        f"   CAST(weight * {HITS_SCALE}"
+        "     // (SELECT sum(weight) FROM edges WHERE src <> dst)"
+        "     AS BIGINT) AS w"
+        "   FROM edges WHERE src <> dst) WHERE w > 0),"
         " nodes AS (SELECT DISTINCT src AS node FROM e"
         "   UNION SELECT DISTINCT dst FROM e),"
         f" h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes),"
