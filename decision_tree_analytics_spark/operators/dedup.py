@@ -1614,3 +1614,84 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
     AS removed_frac
 FROM fl GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------------------
+# r9: URL/domain-level dedup with per-domain keep-quotas (VERDICT r8
+# item 7 — the CommonCrawl front-door shape)
+# ------------------------------------------------------------------
+
+URL_DOMAIN_QUOTA = 8  # keepers per domain after URL dedup
+
+
+def dedup_url_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global URL-level dedup + per-domain keep-quota — the first gate
+    a web-scale crawl passes: normalize each document to a URL key
+    (domain = ``source``, path = content md5 — the content-derived
+    stand-in for a real normalized path, rule 6), keep the best
+    variant per URL (n_chars DESC, doc_id ASC — rule 5), then cap each
+    domain at URL_DOMAIN_QUOTA keepers so no single domain floods the
+    training mix.
+
+    ONE-EXCHANGE plan (locked in tests/test_plans.py): both passes run
+    on the SAME hashpartitioning(source).  The per-URL keep-first is a
+    sorted-neighborhood lag() inside the source partition (url ASC,
+    n_chars DESC, doc_id ASC — the first row of every url run is the
+    keeper), and because filter() preserves the child's partitioning,
+    the per-domain quota window (same partition key, different sort)
+    reuses the exchange and only adds a sort.  At 100 TB: one shuffle
+    on the domain key, two in-partition sorts, no join, no broadcast —
+    skewed mega-domains are exactly the rows the quota discards, and
+    a salt-by-url prefix would co-locate them if one domain outgrew a
+    partition.  Output: one row per unique URL with its domain rank
+    and keep flag."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.col("text")).alias("url_md5"),
+    )
+    w_url = Window.partitionBy("source").orderBy(
+        F.col("url_md5").asc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    first_of_url = (
+        F.lag("url_md5").over(w_url).isNull()
+        | (F.lag("url_md5").over(w_url) != F.col("url_md5"))
+    )
+    keepers = d.withColumn("is_url_keeper", first_of_url).filter(
+        F.col("is_url_keeper")
+    )
+    w_dom = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return keepers.select(
+        "doc_id",
+        "source",
+        "url_md5",
+        F.row_number().over(w_dom).cast("long").alias("domain_rank"),
+    ).select(
+        "doc_id",
+        "source",
+        "url_md5",
+        "domain_rank",
+        (F.col("domain_rank") <= URL_DOMAIN_QUOTA).cast("long").alias("is_kept"),
+    )
+
+
+QUERIES["dedup_url_quota"] = dedup_url_quota
+ORACLES["dedup_url_quota"] = f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+    CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS url_md5
+  FROM documents),
+per_url AS (SELECT *, row_number() OVER (PARTITION BY source, url_md5
+    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM base),
+keep AS (SELECT doc_id, source, url_md5, n_chars FROM per_url WHERE rn = 1),
+ranked AS (SELECT doc_id, source, url_md5,
+    row_number() OVER (PARTITION BY source
+      ORDER BY n_chars DESC, doc_id ASC) AS domain_rank
+  FROM keep)
+SELECT doc_id, source, url_md5, CAST(domain_rank AS BIGINT) AS domain_rank,
+  CAST(CASE WHEN domain_rank <= {URL_DOMAIN_QUOTA} THEN 1 ELSE 0 END
+    AS BIGINT) AS is_kept
+FROM ranked
+"""

@@ -2678,7 +2678,14 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_b = F.col("wsum").cast("double") / (
         100.0 * F.nullif(F.col("n_eff").cast("double"), F.lit(0.0))
     )
-    wr = Window.partitionBy("o_orderpriority").orderBy("mean_b", "b")
+    # NULL-ordering pin (ADVICE r8): mean_b is NULL when a replica's
+    # Poisson weights are all zero (probability e^-n_orders — never at
+    # shipped SFs, but Spark orders NULLs FIRST asc while DuckDB
+    # defaults NULLS LAST).  Ranking on coalesce(mean_b, -inf) pins
+    # both engines to the same order without touching the output value.
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        F.coalesce(F.col("mean_b"), F.lit(-1e308)).asc(), "b"
+    )
     ranked = rep.select(
         "o_orderpriority", "b", mean_b.alias("mean_b")
     ).select("*", F.row_number().over(wr).alias("rn"))
@@ -2727,8 +2734,8 @@ ranked AS (SELECT o_orderpriority, b,
     CAST(wsum AS DOUBLE) / (100.0 * nullif(CAST(n_eff AS DOUBLE), 0.0))
       AS mean_b,
     row_number() OVER (PARTITION BY o_orderpriority
-      ORDER BY CAST(wsum AS DOUBLE)
-        / (100.0 * nullif(CAST(n_eff AS DOUBLE), 0.0)), b) AS rn
+      ORDER BY coalesce(CAST(wsum AS DOUBLE)
+        / (100.0 * nullif(CAST(n_eff AS DOUBLE), 0.0)), -1e308), b) AS rn
   FROM rep),
 ci AS (SELECT o_orderpriority,
     min(CASE WHEN rn = 2 THEN mean_b END) AS lo,
@@ -2744,4 +2751,364 @@ SELECT p.o_orderpriority, p.n_orders,
   floor(c.lo * 100 + 0.5) / 100 AS ci_lo,
   floor(c.hi * 100 + 0.5) / 100 AS ci_hi
 FROM point p JOIN ci c ON p.o_orderpriority = c.o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------
+# r9: CUPED variance-reduced A/B readout
+# ------------------------------------------------------------------
+
+CUPED_CUT_DAY = 19738  # pre-period = days [19723, 19738), post = rest
+
+
+def rel_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B experiment readout — the standard
+    variance-reduction trick for online experiments: per user, the
+    experiment metric Y (post-period purchase value) is adjusted by
+    the PRE-period covariate X (the same user's pre-experiment spend),
+    Y' = Y − θ(X − X̄) with the pooled θ = cov(X,Y)/var(X), removing
+    the between-user variance the assignment didn't cause.
+
+    Determinism: per-user X/Y are exact BIGINT cent sums (one
+    conditional-aggregation pass over events, pre/post split on the
+    integer epoch-day key `ts div 1000 div 86400000000` — the µs-exact
+    rule-1 idiom); the moment sums Σx, Σy, Σx², Σxy are exact BIGINTs
+    (bounded: cents ≤ ~1e6/user ⇒ x·y ≤ 1e12, Σ ≤ 1e12·|users| — fine
+    through sf100, rescale to dollars beyond); θ combines them in
+    DOUBLE with one identical expression tree (rule 9), and each
+    user's adjusted metric is floor-quantized to BIGINT micro-dollars
+    BEFORE the per-arm sum so the aggregation order can't matter.
+    Arms via md5(user_id) parity (rule 6).  Scale: two aggregates and
+    a broadcast of one scalar row — map-side combinable everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 1000 div 86400000000")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_p & (day < CUPED_CUT_DAY), cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(is_p & (day >= CUPED_CUT_DAY), cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        "user_id",
+        "x",
+        "y",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    theta = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    xbar = F.col("sx").cast("double") / nd
+    glob = mom.select(theta.alias("theta"), xbar.alias("xbar"))
+    adj = per_user.crossJoin(F.broadcast(glob)).select(
+        "arm",
+        "y",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - F.col("theta") * (F.col("x").cast("double") - F.col("xbar"))
+            )
+            * 1e4
+            + 0.5
+        )
+        .cast("long")
+        .alias("y_adj_tenmicro"),  # 1e-4 cents = 1e-6 dollars
+        F.floor(F.col("theta") * 1e6 + 0.5).alias("theta_q"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.floor(
+                F.sum("y").cast("double") / F.count(F.lit(1)).cast("double") + 0.5
+            )
+            / 100.0
+        ).alias("mean_y"),
+        (
+            F.floor(
+                F.sum("y_adj_tenmicro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + 0.5
+            )
+            / 1e6
+        ).alias("mean_y_adj"),
+        (F.min("theta_q") / 1e6).alias("theta"),
+    )
+
+
+QUERIES["rel_cuped"] = rel_cuped
+ORACLES["rel_cuped"] = f"""
+WITH per_user AS (SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+      AND epoch_us(ts) // 86400000000 < {CUPED_CUT_DAY}
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+      AND epoch_us(ts) // 86400000000 >= {CUPED_CUT_DAY}
+      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+armed AS (SELECT *,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+  FROM per_user),
+mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM armed),
+gl AS (SELECT
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS theta,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM mom),
+adj AS (SELECT arm, y,
+    CAST(floor((CAST(y AS DOUBLE)
+      - g.theta * (CAST(x AS DOUBLE) - g.xbar)) * 1e4 + 0.5) AS BIGINT)
+      AS y_adj_tenmicro,
+    floor(g.theta * 1e6 + 0.5) AS theta_q
+  FROM armed, gl g)
+SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+  floor(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 100.0
+    AS mean_y,
+  floor(CAST(sum(y_adj_tenmicro) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+    / 1e6 AS mean_y_adj,
+  min(theta_q) / 1e6 AS theta
+FROM adj GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------
+# r9: SPRT sequential A/B monitor (daily looks)
+# ------------------------------------------------------------------
+
+import math as _math
+
+SPRT_P0, SPRT_P1 = 0.18, 0.22  # H0/H1 purchase-rate hypotheses
+# Wald boundaries + per-observation LLR increments as INTEGER micro
+# literals rendered ONCE in Python (the ndcg precomputed-literal
+# idiom) — no libm ln() enters either engine's plan.
+SPRT_A_MICRO = round(_math.log(0.95 / 0.05) * 1e6)   # accept H1
+SPRT_B_MICRO = -SPRT_A_MICRO                          # accept H0
+SPRT_S_MICRO = round(_math.log(SPRT_P1 / SPRT_P0) * 1e6)          # success
+SPRT_F_MICRO = round(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e6)  # failure
+
+
+def ml_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential A/B monitor with DAILY looks — the
+    group-sequential test a production experimentation system actually
+    runs: per arm (md5 user parity), the cumulative log-likelihood
+    ratio of 'is this arm's purchase rate p1=0.22 rather than
+    p0=0.18' is checked once per day, stopping at the first boundary
+    crossing instead of waiting for a fixed horizon.
+
+    Fully integer: per-observation LLR increments and the Wald
+    boundaries ln((1−β)/α) are Python-rendered micro-unit literals, so
+    the whole monitor is BIGINT arithmetic — day-level success/failure
+    counts (one map-side-combinable aggregate over the corpus), a
+    ≤30-row-per-arm cumulative window, and a self-join to read the
+    stop-day state.  Scale: the ONLY per-row work is the day rollup;
+    the sequential scan runs on the contracted (arm, day) grid — at
+    100 TB the grid is still ≤ arms×days rows.  Rule 5: day is the
+    unique in-arm tie-break by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 1000 div 86400000000")
+    per_day = ev.select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm"),
+        day.alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    ).groupBy("arm", "day").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.lit(1) - F.col("x")).cast("long").alias("f"),
+    )
+    w = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_day.select(
+        "arm",
+        "day",
+        F.sum("s").over(w).cast("long").alias("cs"),
+        F.sum("f").over(w).cast("long").alias("cf"),
+    ).select(
+        "arm",
+        "day",
+        "cs",
+        "cf",
+        (F.col("cs") * SPRT_S_MICRO + F.col("cf") * SPRT_F_MICRO)
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    crossed = (F.col("llr_micro") >= SPRT_A_MICRO) | (
+        F.col("llr_micro") <= SPRT_B_MICRO
+    )
+    stop = cum.groupBy("arm").agg(
+        F.coalesce(
+            F.min(F.when(crossed, F.col("day"))), F.max("day")
+        ).alias("stop_day")
+    ).select(F.col("arm").alias("stop_arm"), "stop_day")
+    at = cum.join(
+        stop,
+        (cum.arm == F.col("stop_arm")) & (cum.day == F.col("stop_day")),
+    ).select(
+        F.col("arm"),
+        F.col("stop_day").cast("long").alias("look_day"),
+        (F.col("cs") + F.col("cf")).cast("long").alias("n_obs"),
+        F.col("llr_micro"),
+        F.when(F.col("llr_micro") >= SPRT_A_MICRO, F.lit("accept_h1"))
+        .when(F.col("llr_micro") <= SPRT_B_MICRO, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+    return at
+
+
+QUERIES["ml_sprt_monitor"] = ml_sprt_monitor
+ORACLES["ml_sprt_monitor"] = f"""
+WITH per_day AS (SELECT
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+    epoch_us(ts) // 86400000000 AS day,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS s,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT)
+      AS f
+  FROM events GROUP BY 1, 2),
+cum AS (SELECT arm, day,
+    CAST(sum(s) OVER (PARTITION BY arm ORDER BY day
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+    CAST(sum(f) OVER (PARTITION BY arm ORDER BY day
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cf
+  FROM per_day),
+scored AS (SELECT arm, day, cs, cf,
+    CAST(cs * {SPRT_S_MICRO} + cf * {SPRT_F_MICRO} AS BIGINT) AS llr_micro
+  FROM cum),
+stop AS (SELECT arm,
+    coalesce(min(CASE WHEN llr_micro >= {SPRT_A_MICRO}
+        OR llr_micro <= {SPRT_B_MICRO} THEN day END), max(day)) AS stop_day
+  FROM scored GROUP BY 1)
+SELECT s.arm, CAST(t.stop_day AS BIGINT) AS look_day,
+  CAST(s.cs + s.cf AS BIGINT) AS n_obs, s.llr_micro,
+  CASE WHEN s.llr_micro >= {SPRT_A_MICRO} THEN 'accept_h1'
+       WHEN s.llr_micro <= {SPRT_B_MICRO} THEN 'accept_h0'
+       ELSE 'continue' END AS decision
+FROM scored s JOIN stop t ON s.arm = t.arm AND s.day = t.stop_day
+"""
+
+
+# ------------------------------------------------------------------
+# r9: average precision (PR-AUC)
+# ------------------------------------------------------------------
+
+
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-function PR-AUC) for the
+    discount→returned classifier — the ranking metric that matters
+    under class imbalance, completing the eval suite next to
+    ml_auc_roc (ROC integral) and ml_threshold_tuning (single
+    operating point): AP = Σ_k ΔR_k · P_k over the descending score
+    grid.
+
+    FULLY INTEGER: rows collapse onto the 11-value discount grid
+    (exact counts, one pass — the ml_threshold_tuning shape), the
+    reverse-cumulative window materializes every threshold's (tp, fp)
+    simultaneously, precision/recall are BIGINT micro-units via
+    `div`, and AP = Σ(pos_k · prec_micro_k) div P sums EXACT integers
+    in any order — no float enters the plan.  Overflow bound: each
+    term ≤ pos_k·1e6 so the sum ≤ P·1e6 — safe while P < 9.2e12
+    (rel_gini-style rescale note beyond).  The 11-row window runs on
+    the contracted grid, never the corpus."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("dm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).cast("long").alias("y"),
+    )
+    grid = li.groupBy("dm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("y").cast("long").alias("pos_k"),
+    )
+    wrev = Window.orderBy(F.col("dm").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    swept = grid.select(
+        F.col("dm").alias("thr_m"),
+        "pos_k",
+        F.sum("pos_k").over(wrev).cast("long").alias("tp"),
+        (F.sum("n_k").over(wrev) - F.sum("pos_k").over(wrev))
+        .cast("long")
+        .alias("fp"),
+        F.sum("pos_k").over(wall).cast("long").alias("p_tot"),
+    )
+    scored = swept.select(
+        "thr_m",
+        "tp",
+        "fp",
+        F.expr("tp * 1000000 div (tp + fp)").cast("long").alias("prec_micro"),
+        F.expr("tp * 1000000 div p_tot").cast("long").alias("recall_micro"),
+        F.expr("pos_k * (tp * 1000000 div (tp + fp))")
+        .cast("long")
+        .alias("contrib"),
+        "p_tot",
+    )
+    return scored.select(
+        "thr_m",
+        "tp",
+        "fp",
+        "prec_micro",
+        "recall_micro",
+        (F.sum("contrib").over(wall).cast("long") / F.lit(1)).cast("long").alias("_c"),
+        "p_tot",
+    ).select(
+        "thr_m",
+        "tp",
+        "fp",
+        "prec_micro",
+        "recall_micro",
+        F.expr("_c div p_tot").cast("long").alias("ap_micro"),
+    )
+
+
+QUERIES["ml_pr_auc"] = ml_pr_auc
+ORACLES["ml_pr_auc"] = """
+WITH li AS (SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dm,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+grid AS (SELECT dm, CAST(count(*) AS BIGINT) AS n_k,
+    CAST(sum(y) AS BIGINT) AS pos_k
+  FROM li GROUP BY 1),
+swept AS (SELECT dm AS thr_m, pos_k,
+    CAST(sum(pos_k) OVER (ORDER BY dm DESC ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS tp,
+    CAST(sum(n_k) OVER (ORDER BY dm DESC ROWS UNBOUNDED PRECEDING)
+      - sum(pos_k) OVER (ORDER BY dm DESC ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS fp,
+    CAST(sum(pos_k) OVER () AS BIGINT) AS p_tot
+  FROM grid),
+scored AS (SELECT thr_m, tp, fp,
+    CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS prec_micro,
+    CAST(tp * 1000000 // p_tot AS BIGINT) AS recall_micro,
+    CAST(pos_k * (tp * 1000000 // (tp + fp)) AS BIGINT) AS contrib,
+    p_tot
+  FROM swept)
+SELECT thr_m, tp, fp, prec_micro, recall_micro,
+  CAST(CAST(sum(contrib) OVER () AS BIGINT) // p_tot AS BIGINT) AS ap_micro
+FROM scored
 """

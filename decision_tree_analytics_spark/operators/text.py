@@ -2321,3 +2321,313 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
   n_tok
 FROM d
 """
+
+
+# ------------------------------------------------------------------
+# r9: cross-generation manifest diff (VERDICT r8 item 6)
+# ------------------------------------------------------------------
+
+# Generation membership + qualification policy.  Each generation is a
+# deterministic md5-bucket crawl slice with its own quality gate and
+# tier thresholds — g2 adds the bucket-0 docs g1 was missing, drops
+# bucket-1, tightens the token gate 20→25, and moves the high-tier cut
+# 60→70, so every diff category is populated by construction.
+MDIFF_BUCKETS = 20
+MDIFF_G1_GATE, MDIFF_G2_GATE = 20, 25
+MDIFF_G1_HIGH, MDIFF_G2_HIGH = 60, 70
+
+
+def ns_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-manifest generation diff — the dataset-versioning audit
+    every production pipeline runs between crawl/policy generations:
+    per source domain, how many documents were added, removed, or
+    REQUALIFIED (present in both generations but in a different
+    quality tier), and the net token delta the next training run will
+    see.
+
+    Built on the snap_row_diff pattern (operators/cdc.py:253): the two
+    generations are materialized as independent sub-plans and FULL
+    OUTER joined on doc_id — the shape that generalizes to two
+    physically separate manifest tables (here both derive from the
+    same corpus with different md5-bucket membership + gates, so the
+    oracle can rebuild each side exactly).  Scale: the join key is the
+    8-byte doc_id, classification is pure column arithmetic on the
+    joined row, and the per-source rollup is one map-side-combinable
+    aggregate — identical cost profile to snap_row_diff at any corpus
+    size.  All counts/deltas are exact BIGINTs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .cast("long")
+        .alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % MDIFF_BUCKETS
+        ).alias("bucket"),
+    )
+    g1 = d.filter(
+        (F.col("bucket") != 0) & (F.col("n_tok") >= MDIFF_G1_GATE)
+    ).select(
+        F.col("doc_id").alias("id1"),
+        F.col("source").alias("src1"),
+        F.col("n_tok").alias("tok1"),
+        F.when(F.col("n_tok") >= MDIFF_G1_HIGH, F.lit("high"))
+        .otherwise(F.lit("mid"))
+        .alias("tier1"),
+    )
+    g2 = d.filter(
+        (F.col("bucket") != 1) & (F.col("n_tok") >= MDIFF_G2_GATE)
+    ).select(
+        F.col("doc_id").alias("id2"),
+        F.col("source").alias("src2"),
+        F.col("n_tok").alias("tok2"),
+        F.when(F.col("n_tok") >= MDIFF_G2_HIGH, F.lit("high"))
+        .otherwise(F.lit("mid"))
+        .alias("tier2"),
+    )
+    j = g1.join(g2, g1.id1 == g2.id2, "full_outer")
+    return (
+        j.select(
+            F.coalesce("src2", "src1").alias("source"),
+            F.when(F.col("id1").isNull(), 1).otherwise(0).cast("long").alias("added"),
+            F.when(F.col("id2").isNull(), 1).otherwise(0).cast("long").alias("removed"),
+            F.when(
+                F.col("id1").isNotNull()
+                & F.col("id2").isNotNull()
+                & (F.col("tier1") != F.col("tier2")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("requalified"),
+            F.when(
+                F.col("id1").isNotNull()
+                & F.col("id2").isNotNull()
+                & (F.col("tier1") == F.col("tier2")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("unchanged"),
+            (F.coalesce("tok2", F.lit(0)) - F.coalesce("tok1", F.lit(0)))
+            .cast("long")
+            .alias("tok_delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("added").cast("long").alias("docs_added"),
+            F.sum("removed").cast("long").alias("docs_removed"),
+            F.sum("requalified").cast("long").alias("docs_requalified"),
+            F.sum("unchanged").cast("long").alias("docs_unchanged"),
+            F.sum("tok_delta").cast("long").alias("token_delta"),
+        )
+    )
+
+
+QUERIES["ns_manifest_diff"] = ns_manifest_diff
+ORACLES["ns_manifest_diff"] = f"""
+WITH d AS (SELECT doc_id, source,
+    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % {MDIFF_BUCKETS} AS bucket
+  FROM documents),
+g1 AS (SELECT doc_id AS id1, source AS src1, n_tok AS tok1,
+    CASE WHEN n_tok >= {MDIFF_G1_HIGH} THEN 'high' ELSE 'mid' END AS tier1
+  FROM d WHERE bucket <> 0 AND n_tok >= {MDIFF_G1_GATE}),
+g2 AS (SELECT doc_id AS id2, source AS src2, n_tok AS tok2,
+    CASE WHEN n_tok >= {MDIFF_G2_HIGH} THEN 'high' ELSE 'mid' END AS tier2
+  FROM d WHERE bucket <> 1 AND n_tok >= {MDIFF_G2_GATE}),
+j AS (SELECT * FROM g1 FULL OUTER JOIN g2 ON g1.id1 = g2.id2)
+SELECT coalesce(src2, src1) AS source,
+  CAST(sum(CASE WHEN id1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_added,
+  CAST(sum(CASE WHEN id2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+  CAST(sum(CASE WHEN id1 IS NOT NULL AND id2 IS NOT NULL
+    AND tier1 <> tier2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_requalified,
+  CAST(sum(CASE WHEN id1 IS NOT NULL AND id2 IS NOT NULL
+    AND tier1 = tier2 THEN 1 ELSE 0 END) AS BIGINT) AS docs_unchanged,
+  CAST(sum(coalesce(tok2, 0) - coalesce(tok1, 0)) AS BIGINT) AS token_delta
+FROM j GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------
+# r9: tokenizer vocabulary coverage (OOV rate)
+# ------------------------------------------------------------------
+
+OOV_VOCAB_TOP_N = 256  # fixed top-K vocabulary — broadcast-bounded
+
+
+def ns_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus's own
+    top-{OOV_VOCAB_TOP_N} token vocabulary — the tokenizer-coverage
+    audit run before fixing a vocab for training (a lang whose OOV ppm
+    is high will fragment into bytes/UNKs and train poorly).
+
+    Scale: the vocabulary is top-K by construction
+    (TakeOrderedAndProject, count DESC / token ASC unique tie-break —
+    rule 5), so the membership join broadcasts a CONSTANT-bounded
+    frame, never O(corpus); token explosion is the one wide stage,
+    PERSISTED because both the vocab build and the membership join
+    consume it (the BM25 exchange-reuse lesson — Catalyst does not
+    share a scan across branches), and the per-lang rollup is
+    map-side combinable.  oov_ppm is integer micro-units via BIGINT
+    div (rule 3)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_TOKEN_REGEX), 0
+            )
+        ).alias("tok"),
+    ).persist()
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(OOV_VOCAB_TOP_N)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    result = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )
+    return tether_cache(result, toks)
+
+
+QUERIES["ns_oov_rate"] = ns_oov_rate
+ORACLES["ns_oov_rate"] = rf"""
+WITH toks AS (SELECT lang,
+    unnest(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS tok
+  FROM documents),
+vocab AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+  ORDER BY n DESC, tok ASC LIMIT {OOV_VOCAB_TOP_N}),
+j AS (SELECT t.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (tok))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(oov) AS BIGINT) AS n_oov,
+  CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+FROM j GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------
+# r9: chat-template assembly accounting (SFT data prep)
+# ------------------------------------------------------------------
+
+CHAT_PROMPT_CHARS = 120  # chars routed to the user turn
+CHAT_SYSTEM = "You are a helpful assistant."
+# Fixed per-example template skeleton (ChatML-style).  Rendered ONCE
+# as a Python literal so both engines count the identical overhead.
+CHAT_SKELETON = (
+    "<|im_start|>system\n" + CHAT_SYSTEM + "<|im_end|>\n"
+    "<|im_start|>user\n<|im_end|>\n"
+    "<|im_start|>assistant\n<|im_end|>\n"
+)
+CHAT_MAX_TOKENS = 256  # context budget for the truncation flag
+
+
+def ns_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template assembly accounting — the SFT-data-prep pass that
+    turns raw documents into single-turn chat examples (first
+    CHAT_PROMPT_CHARS chars → user turn, remainder → assistant turn,
+    fixed ChatML skeleton) and reports, per language: example count,
+    content tokens, template-overhead tokens, and how many examples
+    would truncate at a CHAT_MAX_TOKENS context.
+
+    The overhead is counted from the CHAT_SKELETON literal (same
+    Python-rendered constant embedded in both plans — the ndcg
+    precomputed-literal idiom), so no engine tokenizes template
+    markup.  Map-only until the per-lang rollup: substring split +
+    regex token counts per row, one aggregate — at 100 TB this is the
+    same plan.  overhead_ppm is integer micro-units via BIGINT div
+    (rule 3); substring is character-based in BOTH engines (UTF-8
+    safe)."""
+    import re as _re_mod
+
+    skel_tokens = len(_re_mod.findall(r"\w+|[^\w\s]", CHAT_SKELETON))
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.substring(F.col("text"), 1, CHAT_PROMPT_CHARS)),
+                F.lit(_TOKEN_REGEX),
+                0,
+            )
+        )
+        .cast("long")
+        .alias("prompt_toks"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.substring(F.col("text"), CHAT_PROMPT_CHARS + 1, 1_000_000)),
+                F.lit(_TOKEN_REGEX),
+                0,
+            )
+        )
+        .cast("long")
+        .alias("completion_toks"),
+    ).select(
+        "lang",
+        "prompt_toks",
+        "completion_toks",
+        (F.col("prompt_toks") + F.col("completion_toks") + F.lit(skel_tokens))
+        .cast("long")
+        .alias("total_toks"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_examples"),
+        F.sum(F.col("prompt_toks") + F.col("completion_toks"))
+        .cast("long")
+        .alias("content_tokens"),
+        (F.count(F.lit(1)) * skel_tokens).cast("long").alias("overhead_tokens"),
+        F.sum(F.when(F.col("total_toks") > CHAT_MAX_TOKENS, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.expr(
+            f"CAST(count(1) * {skel_tokens} * 1000000"
+            f" div (sum(prompt_toks + completion_toks)"
+            f"      + count(1) * {skel_tokens}) AS BIGINT)"
+        ).alias("overhead_ppm"),
+    )
+
+
+def _chat_template_oracle() -> str:
+    import re as _re_mod
+
+    skel_tokens = len(_re_mod.findall(r"\w+|[^\w\s]", CHAT_SKELETON))
+    return rf"""
+WITH per_doc AS (SELECT lang,
+    CAST(len(regexp_extract_all(
+      lower(substr(text, 1, {CHAT_PROMPT_CHARS})), '\w+|[^\w\s]'))
+      AS BIGINT) AS prompt_toks,
+    CAST(len(regexp_extract_all(
+      lower(substr(text, {CHAT_PROMPT_CHARS + 1}, 1000000)), '\w+|[^\w\s]'))
+      AS BIGINT) AS completion_toks
+  FROM documents),
+t AS (SELECT lang, prompt_toks, completion_toks,
+    prompt_toks + completion_toks + {skel_tokens} AS total_toks
+  FROM per_doc)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_examples,
+  CAST(sum(prompt_toks + completion_toks) AS BIGINT) AS content_tokens,
+  CAST(count(*) * {skel_tokens} AS BIGINT) AS overhead_tokens,
+  CAST(sum(CASE WHEN total_toks > {CHAT_MAX_TOKENS} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_truncated,
+  CAST(count(*) * {skel_tokens} * 1000000
+    // (sum(prompt_toks + completion_toks) + count(*) * {skel_tokens})
+    AS BIGINT) AS overhead_ppm
+FROM t GROUP BY 1
+"""
+
+
+QUERIES["ns_chat_template"] = ns_chat_template
+ORACLES["ns_chat_template"] = _chat_template_oracle()

@@ -1073,3 +1073,77 @@ def test_schema_merge_scan_carries_merged_schema(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "c_mktsegment" in plan and "c_acctbal" in plan
     assert count_shuffles(plan) == 1
+
+
+def test_url_quota_single_exchange(spark, sf_dir):
+    """dedup_url_quota: BOTH window passes (per-URL keep-first lag +
+    per-domain quota rank) run on the SAME hashpartitioning(source) —
+    the filter between them preserves the child's partitioning, so
+    the whole op is exactly ONE shuffle, no join, no broadcast."""
+    from decision_tree_analytics_spark.operators.dedup import dedup_url_quota
+    from decision_tree_analytics_spark.plans.inspect import (
+        count_shuffles,
+        simple_plan,
+    )
+
+    plan = simple_plan(dedup_url_quota(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert "Join" not in plan
+
+
+def test_oov_rate_vocab_broadcast_and_persisted_tokens(spark, sf_dir):
+    """ns_oov_rate: the top-K vocab is a TakeOrdered-bounded frame
+    joined via broadcast (never a shuffle on the token key), and the
+    exploded token table is persisted so the vocab build and the
+    membership join share one materialization (the BM25 lesson)."""
+    from decision_tree_analytics_spark.operators.text import ns_oov_rate
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_broadcast_join,
+        simple_plan,
+    )
+
+    df = ns_oov_rate(spark, sf_dir)
+    plan = simple_plan(df)
+    assert has_broadcast_join(plan)
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_pr_auc_window_runs_on_contracted_grid(spark, sf_dir):
+    """ml_pr_auc: the corpus collapses to the 11-value discount grid
+    with map-side partial counts BEFORE any window — the sweep
+    windows run on the contracted grid, so the plan shows the partial
+    aggregation and no corpus-sized window input."""
+    from decision_tree_analytics_spark.operators.stats_ext import ml_pr_auc
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(ml_pr_auc(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    # plans print output-first: the Window must sit ABOVE (before in
+    # text) the corpus HashAggregate, i.e. it consumes the grid.
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_sprt_day_rollup_before_window(spark, sf_dir):
+    """ml_sprt_monitor: per-row work is ONE map-side-combinable
+    (arm, day) rollup; the cumulative scan runs on the contracted
+    grid (the hierarchical-prefix rule — no corpus-sized window)."""
+    from decision_tree_analytics_spark.operators.stats_ext import ml_sprt_monitor
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(ml_sprt_monitor(spark, sf_dir))
+    assert "partial_sum" in plan
+    # output-first plan text: Window above the corpus HashAggregate.
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_manifest_diff_full_outer_on_docid(spark, sf_dir):
+    """ns_manifest_diff: the two generations meet in a FULL OUTER
+    join on the 8-byte doc_id (the snap_row_diff shape) and the
+    per-source rollup partial-combines."""
+    from decision_tree_analytics_spark.operators.text import ns_manifest_diff
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(ns_manifest_diff(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "partial_sum" in plan
