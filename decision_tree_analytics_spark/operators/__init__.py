@@ -136,6 +136,16 @@ BENCH_EXTRAS = [
     "src_python_datasource",
     "rel_hhi",
     "ml_mcc_kappa",
+    # r9 additions
+    "ns_manifest_diff",
+    "dedup_url_quota",
+    "rel_cuped",
+    "ml_sprt_monitor",
+    "ml_pr_auc",
+    "ns_oov_rate",
+    "ns_chat_template",
+    "snap_compaction_plan",
+    "graph_random_walks",
 ]
 
 

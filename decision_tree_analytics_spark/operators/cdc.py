@@ -394,3 +394,83 @@ SELECT user_id, n_ops, n_deletes, op AS last_op,
   floor(value * 1e6 + 0.5) / 1e6 AS last_value
 FROM x WHERE rn = 1
 """
+
+
+# ------------------------------------------------------------------
+# r9: small-file compaction planner (lakehouse table maintenance)
+# ------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 32_768  # compaction bin capacity
+
+
+def snap_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/rewrite-data-files
+    scheduling pass every lakehouse table needs: model the physical
+    layout as one data file per (event_type, day) with its row count
+    and byte size, then greedily pack consecutive files (day order,
+    within the partition column) into COMPACT_TARGET_BYTES bins — the
+    bin id is the concat-and-cut prefix-sum assignment (the
+    ns_seq_pack idiom: bin = exclusive-prefix-bytes div target), so
+    the whole plan is two window passes, no join, no driver loop.
+
+    Output is the per-file rewrite manifest: its bin, how many files
+    the bin coalesces (n_files_in_bin > 1 ⇒ the file is worth
+    rewriting) and the bin's total bytes.  Scale: the FILE MANIFEST is
+    metadata-sized at any corpus size (files, not rows), and the one
+    corpus-sized stage is the map-side-combinable (type, day) rollup
+    that models it; sizes are exact BIGINT character sums so both
+    engines compute identical bytes (props is ASCII JSON)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 1000 div 86400000000")
+    files = ev.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(F.length("props") + F.lit(32))).cast("long").alias("bytes"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = files.select(
+        "event_type",
+        "day",
+        "n_rows",
+        "bytes",
+        F.expr(
+            f"CAST((sum(bytes) OVER (PARTITION BY event_type ORDER BY day"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)"
+            f" div {COMPACT_TARGET_BYTES} AS BIGINT)"
+        ).alias("bin_id"),
+    )
+    wbin = Window.partitionBy("event_type", "bin_id")
+    return binned.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "n_rows",
+        "bytes",
+        "bin_id",
+        F.count(F.lit(1)).over(wbin).cast("long").alias("n_files_in_bin"),
+        F.sum("bytes").over(wbin).cast("long").alias("bin_bytes"),
+    )
+
+
+QUERIES["snap_compaction_plan"] = snap_compaction_plan
+ORACLES["snap_compaction_plan"] = f"""
+WITH files AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(length(props) + 32) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2),
+binned AS (SELECT event_type, day, n_rows, bytes,
+    CAST((sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+      ROWS UNBOUNDED PRECEDING) - bytes)
+      // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+  FROM files)
+SELECT event_type, CAST(day AS BIGINT) AS day, n_rows, bytes, bin_id,
+  CAST(count(*) OVER (PARTITION BY event_type, bin_id) AS BIGINT)
+    AS n_files_in_bin,
+  CAST(sum(bytes) OVER (PARTITION BY event_type, bin_id) AS BIGINT)
+    AS bin_bytes
+FROM binned
+"""

@@ -24,7 +24,7 @@ Iteration shape (the part that matters at 100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
@@ -1330,3 +1330,117 @@ def _hits_oracle() -> str:
 
 
 ORACLES["graph_hits"] = _hits_oracle()
+
+
+# ------------------------------------------------------------------
+# r9: deterministic random-walk corpus (node2vec-style)
+# ------------------------------------------------------------------
+
+WALKS_PER_NODE = 2
+WALK_STEPS = 4
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node2vec-style walk-corpus generation over the directed trade
+    graph — the data-prep pass that turns a graph into skip-gram
+    training sentences.  WALKS_PER_NODE walks start at every node and
+    take WALK_STEPS hops; the next hop is chosen among the current
+    node's out-neighbors by md5(cur, walk, step, nbr) rank — the
+    content-derived determinism rule (rule 6) standing in for the
+    usual seeded RNG, so both engines (and any retry at any scale)
+    materialize the IDENTICAL corpus.
+
+    Scale shape: the walk state is (n_nodes × WALKS_PER_NODE) rows on
+    the CONTRACTED graph; each unrolled hop is one broadcast join
+    against the persisted edge list plus a per-walk argmin window —
+    at 100 TB the expensive stage remains the single fact aggregation
+    into the edge list (the every-graph-op invariant here).  Output:
+    (start node, walk id, step, node) rows — step 0 is the start
+    itself."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    walks = nodes.select(
+        F.col("node").alias("start_node"),
+        F.explode(F.sequence(F.lit(0), F.lit(WALKS_PER_NODE - 1))).alias(
+            "walk_id"
+        ),
+        F.col("node").alias("node"),
+    )
+    out = walks.select(
+        "start_node", "walk_id", F.lit(0).cast("long").alias("step"), "node"
+    )
+    cur = walks
+    for step in range(1, WALK_STEPS + 1):
+        cand = cur.join(F.broadcast(e), cur.node == e.src).select(
+            "start_node",
+            "walk_id",
+            F.col("dst").alias("nxt"),
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("node"),
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(step)),
+                    F.col("dst"),
+                )
+            ).alias("h"),
+        )
+        w = Window.partitionBy("start_node", "walk_id").orderBy("h")
+        cur = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("start_node", "walk_id", F.col("nxt").alias("node"))
+        )
+        out = out.unionByName(
+            cur.select(
+                "start_node",
+                "walk_id",
+                F.lit(step).cast("long").alias("step"),
+                "node",
+            )
+        )
+    return tether_cache(out, edges)
+
+
+QUERIES["graph_random_walks"] = graph_random_walks
+
+
+def _random_walks_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for i in range(1, WALK_STEPS + 1):
+        steps.append(
+            f" c{i} AS (SELECT w.start_node, w.walk_id, e.dst AS nxt,"
+            f"   md5(w.node || '-' || CAST(w.walk_id AS VARCHAR)"
+            f"     || '-' || '{i}' || '-' || e.dst) AS h"
+            f"   FROM {prev} w JOIN e ON w.node = e.src),"
+            f" w{i} AS (SELECT start_node, walk_id, nxt AS node FROM ("
+            f"   SELECT *, row_number() OVER (PARTITION BY start_node,"
+            f"     walk_id ORDER BY h) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+        prev = f"w{i}"
+    selects = [
+        "SELECT start_node, walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"
+    ] + [
+        f"SELECT start_node, walk_id, CAST({i} AS BIGINT) AS step, node"
+        f" FROM w{i}"
+        for i in range(1, WALK_STEPS + 1)
+    ]
+    return (
+        f"WITH edges AS ({_SQL_EDGES}),"
+        " e AS (SELECT src, dst FROM edges WHERE src <> dst),"
+        " nodes AS (SELECT DISTINCT src AS node FROM e"
+        "   UNION SELECT DISTINCT dst FROM e),"
+        f" w0 AS (SELECT node AS start_node, t.w AS walk_id, node"
+        f"   FROM nodes, range({WALKS_PER_NODE}) t(w)),"
+        + ",".join(steps)
+        + " " + " UNION ALL ".join(selects)
+    )
+
+
+ORACLES["graph_random_walks"] = _random_walks_oracle()

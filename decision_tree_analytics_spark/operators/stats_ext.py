@@ -3074,7 +3074,7 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "prec_micro",
         "recall_micro",
-        (F.sum("contrib").over(wall).cast("long") / F.lit(1)).cast("long").alias("_c"),
+        F.sum("contrib").over(wall).cast("long").alias("_c"),
         "p_tot",
     ).select(
         "thr_m",

@@ -84,6 +84,18 @@ NAMES = [
     "graph_hits",
     "ns_span_corruption",
     "mm_audio_chunk_plan",
+    # r9 additions: one-exchange URL/domain dedup, broadcast-vocab OOV,
+    # full-outer manifest diff, contracted-grid monitors/planners, and
+    # the broadcast-edge walk corpus — all expected ~linear (the only
+    # corpus-sized stages are map-side-combinable rollups / window
+    # passes; the graph walk shares the contracted-edge-build family).
+    "dedup_url_quota",
+    "ns_oov_rate",
+    "ns_manifest_diff",
+    "rel_cuped",
+    "ml_sprt_monitor",
+    "snap_compaction_plan",
+    "graph_random_walks",
 ]
 
 

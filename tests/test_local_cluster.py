@@ -39,6 +39,9 @@ CLUSTER_QUERIES = [
     "src_python_datasource",  # Spark 4 Python DataSource: the reader
     # classes must cloudpickle to REMOTE executor python workers and
     # each executor must read only its declared partitions
+    "graph_random_walks",  # r9: unrolled broadcast-join hops whose
+    # step windows all reuse ONE (start, walk) exchange — the
+    # exchange-reuse claim exercised under real cross-JVM shuffle
 ]
 
 _DRIVER = r"""

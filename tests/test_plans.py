@@ -1147,3 +1147,29 @@ def test_manifest_diff_full_outer_on_docid(spark, sf_dir):
     plan = simple_plan(ns_manifest_diff(spark, sf_dir))
     assert "FullOuter" in plan
     assert "partial_sum" in plan
+
+
+def test_compaction_plan_manifest_rollup_first(spark, sf_dir):
+    """snap_compaction_plan: the one corpus-sized stage is the
+    map-side-combinable (type, day) manifest rollup; both windows run
+    on the metadata-sized file manifest above it (output-first plan:
+    Windows print before the corpus HashAggregate)."""
+    from decision_tree_analytics_spark.operators.cdc import snap_compaction_plan
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(snap_compaction_plan(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_random_walks_broadcast_edges_one_walk_exchange(spark, sf_dir):
+    """graph_random_walks: every unrolled hop joins the persisted
+    edge list via BROADCAST (narrow — preserves the walk
+    partitioning), so the (start_node, walk_id) exchange the step
+    windows need happens ONCE and is reused by all later steps."""
+    from decision_tree_analytics_spark.operators.graph import graph_random_walks
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(graph_random_walks(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("hashpartitioning(start_node") <= 1

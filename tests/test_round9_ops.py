@@ -281,3 +281,84 @@ def test_chat_template_replays_in_pandas(spark, sf_dir):
         assert out.loc[lang, "overhead_ppm"] == (
             n * skel * 1_000_000 // (content + n * skel)
         )
+
+
+# ------------------------------------------------------------------
+# snap_compaction_plan
+# ------------------------------------------------------------------
+
+
+def test_compaction_plan_replays_in_pandas(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.cdc import (
+        COMPACT_TARGET_BYTES,
+        snap_compaction_plan,
+    )
+
+    out = snap_compaction_plan(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = ev["ts"] // 1000 // 86400000000
+    files = (
+        ev.assign(b=ev.props.map(lambda p: len(str(p)) + 32))
+        .groupby(["event_type", "day"])
+        .agg(n_rows=("b", "size"), bytes=("b", "sum"))
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    for et, grp in files.groupby("event_type"):
+        cum = 0
+        for r in grp.itertuples():
+            want_bin = cum // COMPACT_TARGET_BYTES
+            cum += r.bytes
+            got = out[(out.event_type == et) & (out.day == r.day)].iloc[0]
+            assert got.bin_id == want_bin
+            assert got.n_rows == r.n_rows and got.bytes == r.bytes
+    # bin stats are internally consistent
+    for (_, _), grp in out.groupby(["event_type", "bin_id"]):
+        assert (grp.n_files_in_bin == len(grp)).all()
+        assert (grp.bin_bytes == grp.bytes.sum()).all()
+
+
+# ------------------------------------------------------------------
+# graph_random_walks
+# ------------------------------------------------------------------
+
+
+def test_random_walks_replay_and_shape(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.graph import (
+        WALK_STEPS,
+        WALKS_PER_NODE,
+        _trade_edges,
+        graph_random_walks,
+    )
+
+    out = graph_random_walks(spark, sf_dir).toPandas()
+    edges = _trade_edges(spark, sf_dir).toPandas()
+    adj = {}
+    for r in edges[edges.src != edges.dst].itertuples():
+        adj.setdefault(r.src, []).append(r.dst)
+    nodes = sorted(set(edges.src) | set(edges.dst))
+    rows = set()
+    for n in nodes:
+        for w in range(WALKS_PER_NODE):
+            cur = n
+            rows.add((n, w, 0, cur))
+            for step in range(1, WALK_STEPS + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs,
+                    key=lambda d: hashlib.md5(
+                        f"{cur}-{w}-{step}-{d}".encode()
+                    ).hexdigest(),
+                )
+                rows.add((n, w, step, cur))
+    got = set(
+        out[["start_node", "walk_id", "step", "node"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == rows
+    # every (start, walk) has a full-length trajectory on this graph
+    per_walk = out.groupby(["start_node", "walk_id"]).step.max()
+    assert (per_walk == WALK_STEPS).all()
