@@ -146,6 +146,8 @@ BENCH_EXTRAS = [
     "ns_chat_template",
     "snap_compaction_plan",
     "graph_random_walks",
+    "rel_power_analysis",
+    "ns_tokenizer_fertility",
 ]
 
 

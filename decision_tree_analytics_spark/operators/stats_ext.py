@@ -3112,3 +3112,107 @@ SELECT thr_m, tp, fp, prec_micro, recall_micro,
   CAST(CAST(sum(contrib) OVER () AS BIGINT) // p_tot AS BIGINT) AS ap_micro
 FROM scored
 """
+
+
+# ------------------------------------------------------------------
+# r9: experiment power / sample-size analysis
+# ------------------------------------------------------------------
+
+# Textbook two-sided normal quantiles as integer micro literals
+# (alpha = 0.05 two-sided, power = 0.80) — Python-rendered constants,
+# no erf/quantile function enters either engine (the SPRT idiom).
+POWER_Z_ALPHA_MICRO = 1_959_964   # z_{0.975}
+POWER_Z_BETA_MICRO = 841_621      # z_{0.80}
+POWER_LIFT_PPM_GRID = [10_000, 20_000, 50_000, 100_000]  # 1%..10% rel
+
+
+def rel_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis — the pre-registration calculator the
+    experimentation suite (rel_ab_test → rel_cuped → ml_sprt_monitor)
+    needs up front: from the observed baseline conversion p (user's
+    first event is a purchase — rel_ab_test's activation metric), the
+    required per-arm sample size for each relative-lift target on the
+    grid, and the minimum detectable effect at the CURRENT corpus
+    size, via the standard two-proportion approximation
+    n = (z_a + z_b)^2 · 2p(1−p) / (p·lift)^2.
+
+    Portability: z quantiles are integer micro literals; p is one
+    division over exact BIGINT counts; every output quantizes through
+    floor(x+0.5) / floor(x·1e6 div …) so both engines round the same
+    IEEE doubles identically (rules 3/9); sqrt IS correctly-rounded
+    and therefore portable (the mcc_kappa precedent).  Scale: one
+    user-level first-event window + one scalar rollup; the lift grid
+    is a 4-literal broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    u = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    mom = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    z = (POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6
+    p = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    grid = F.explode(
+        F.array(*[F.lit(v) for v in POWER_LIFT_PPM_GRID])
+    ).alias("lift_ppm")
+    g = mom.select("n_users", "n_conv", p.alias("p"), grid)
+    lift = F.col("lift_ppm").cast("double") / 1e6
+    req = (
+        F.lit(z * z)
+        * 2.0
+        * F.col("p")
+        * (1.0 - F.col("p"))
+        / (F.col("p") * lift * (F.col("p") * lift))
+    )
+    n_arm = F.col("n_users").cast("double") / 2.0
+    mde = F.lit(z) * F.sqrt(
+        2.0 * F.col("p") * (1.0 - F.col("p")) / n_arm
+    ) / F.col("p")
+    return g.select(
+        F.col("lift_ppm").cast("long").alias("lift_ppm"),
+        "n_users",
+        F.floor(F.col("p") * 1e6 + 0.5).cast("long").alias("p_micro"),
+        F.floor(req + 0.5).cast("long").alias("required_n_per_arm"),
+        F.floor(mde * 1e6 + 0.5).cast("long").alias("mde_now_ppm"),
+    )
+
+
+QUERIES["rel_power_analysis"] = rel_power_analysis
+ORACLES["rel_power_analysis"] = f"""
+WITH u AS (SELECT user_id,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM (SELECT user_id, event_type,
+      row_number() OVER (PARTITION BY user_id
+        ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events) WHERE rn = 1),
+mom AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(conv) AS BIGINT) AS n_conv FROM u),
+g AS (SELECT n_users, n_conv,
+    CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+    unnest([{", ".join(str(v) for v in POWER_LIFT_PPM_GRID)}]) AS lift_ppm
+  FROM mom)
+SELECT CAST(lift_ppm AS BIGINT) AS lift_ppm, n_users,
+  CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS p_micro,
+  CAST(floor({(POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6}
+    * {(POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6}
+    * 2.0 * p * (1.0 - p)
+    / (p * (CAST(lift_ppm AS DOUBLE) / 1e6)
+       * (p * (CAST(lift_ppm AS DOUBLE) / 1e6))) + 0.5) AS BIGINT)
+    AS required_n_per_arm,
+  CAST(floor({(POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6}
+    * sqrt(2.0 * p * (1.0 - p) / (CAST(n_users AS DOUBLE) / 2.0)) / p
+    * 1e6 + 0.5) AS BIGINT) AS mde_now_ppm
+FROM g
+"""

@@ -2631,3 +2631,62 @@ FROM t GROUP BY 1
 
 QUERIES["ns_chat_template"] = ns_chat_template
 ORACLES["ns_chat_template"] = _chat_template_oracle()
+
+
+# ------------------------------------------------------------------
+# r9: tokenizer fertility (tokens-per-word / chars-per-token)
+# ------------------------------------------------------------------
+
+
+def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the compression diagnostic
+    read next to ns_oov_rate when fixing a tokenizer: how many
+    (BPE-ish regex) tokens the tokenizer spends per whitespace word
+    (fertility) and how many characters each token covers.  A lang
+    with high fertility + low chars/token fragments into punctuation
+    and byte-pieces and will train poorly at a fixed context length.
+
+    Map-only until the per-lang rollup (one aggregate, map-side
+    combinable — the same plan at 100 TB); ratios are integer
+    micro-units via BIGINT div (rule 3); length() counts CHARACTERS
+    in both engines (UTF-8 safe for the zh slice)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .cast("long")
+        .alias("ws_words"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_words").cast("long").alias("ws_words"),
+        F.sum("re_tokens").cast("long").alias("re_tokens"),
+        F.expr("CAST(sum(re_tokens) * 1000000 div sum(ws_words) AS BIGINT)").alias(
+            "fertility_ppm"
+        ),
+        F.expr("CAST(sum(n_chars) * 1000000 div sum(re_tokens) AS BIGINT)").alias(
+            "chars_per_token_micro"
+        ),
+    )
+
+
+QUERIES["ns_tokenizer_fertility"] = ns_tokenizer_fertility
+ORACLES["ns_tokenizer_fertility"] = r"""
+WITH per AS (SELECT lang,
+    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS ws_words,
+    CAST(len(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS BIGINT)
+      AS re_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws_words) AS BIGINT) AS ws_words,
+  CAST(sum(re_tokens) AS BIGINT) AS re_tokens,
+  CAST(sum(re_tokens) * 1000000 // sum(ws_words) AS BIGINT) AS fertility_ppm,
+  CAST(sum(n_chars) * 1000000 // sum(re_tokens) AS BIGINT)
+    AS chars_per_token_micro
+FROM per GROUP BY 1
+"""

@@ -96,6 +96,8 @@ NAMES = [
     "ml_sprt_monitor",
     "snap_compaction_plan",
     "graph_random_walks",
+    "rel_power_analysis",
+    "ns_tokenizer_fertility",
 ]
 
 

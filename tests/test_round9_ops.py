@@ -362,3 +362,70 @@ def test_random_walks_replay_and_shape(spark, sf_dir):
     # every (start, walk) has a full-length trajectory on this graph
     per_walk = out.groupby(["start_node", "walk_id"]).step.max()
     assert (per_walk == WALK_STEPS).all()
+
+
+# ------------------------------------------------------------------
+# rel_power_analysis
+# ------------------------------------------------------------------
+
+
+def test_power_analysis_replays_in_python(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        POWER_LIFT_PPM_GRID,
+        POWER_Z_ALPHA_MICRO,
+        POWER_Z_BETA_MICRO,
+        rel_power_analysis,
+    )
+
+    out = rel_power_analysis(spark, sf_dir).toPandas().set_index("lift_ppm")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    first = ev.drop_duplicates("user_id", keep="first")
+    n = len(first)
+    conv = int((first.event_type == "purchase").sum())
+    p = conv / n
+    z = (POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6
+    for lift_ppm in POWER_LIFT_PPM_GRID:
+        lift = lift_ppm / 1e6
+        req = z * z * 2.0 * p * (1.0 - p) / (p * lift * (p * lift))
+        mde = z * math.sqrt(2.0 * p * (1.0 - p) / (n / 2.0)) / p
+        row = out.loc[lift_ppm]
+        assert row["n_users"] == n
+        assert row["p_micro"] == math.floor(p * 1e6 + 0.5)
+        assert row["required_n_per_arm"] == math.floor(req + 0.5)
+        assert row["mde_now_ppm"] == math.floor(mde * 1e6 + 0.5)
+    # monotone: bigger target lift needs fewer samples
+    assert out["required_n_per_arm"].is_monotonic_decreasing
+
+
+# ------------------------------------------------------------------
+# ns_tokenizer_fertility
+# ------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_replays_in_python(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.text import (
+        ns_tokenizer_fertility,
+    )
+
+    out = ns_tokenizer_fertility(spark, sf_dir).toPandas().set_index("lang")
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    rep = {}
+    for r in docs.itertuples():
+        t = str(r.text)
+        ws = len(t.lower().strip().split(" "))
+        re_t = len(TOKEN_RE.findall(t.lower()))
+        n, w_sum, r_sum, c_sum = rep.get(r.lang, (0, 0, 0, 0))
+        rep[r.lang] = (n + 1, w_sum + ws, r_sum + re_t, c_sum + len(t))
+    for lang, (n, w_sum, r_sum, c_sum) in rep.items():
+        row = out.loc[lang]
+        assert row["n_docs"] == n
+        assert row["ws_words"] == w_sum and row["re_tokens"] == r_sum
+        assert row["fertility_ppm"] == r_sum * 1_000_000 // w_sum
+        assert row["chars_per_token_micro"] == c_sum * 1_000_000 // r_sum
+        # a BPE-ish regex never merges across whitespace: fertility >= 1
+        assert row["fertility_ppm"] >= 1_000_000
