@@ -1173,3 +1173,56 @@ def test_random_walks_broadcast_edges_one_walk_exchange(spark, sf_dir):
     plan = simple_plan(graph_random_walks(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("hashpartitioning(start_node") <= 1
+
+
+def test_cuped_is_two_rollups_plus_scalar_broadcast(spark, sf_dir):
+    """rel_cuped: per-user conditional rollup (map-side combinable) +
+    a one-row moment aggregate broadcast back — no corpus-sized
+    window, no Python, no second fact scan hiding in the plan."""
+    from decision_tree_analytics_spark.operators.stats_ext import rel_cuped
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_broadcast_join,
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(rel_cuped(spark, sf_dir))
+    assert has_broadcast_join(plan)  # the theta/xbar scalar row
+    assert "partial_sum" in plan
+    assert not has_python_eval(plan)
+    assert "Window" not in plan
+
+
+def test_power_analysis_single_user_exchange(spark, sf_dir):
+    """rel_power_analysis: ONE user-keyed exchange feeds the
+    first-event window; everything after runs on the one-row moment
+    table with the literal lift grid exploded onto it."""
+    from decision_tree_analytics_spark.operators.stats_ext import (
+        rel_power_analysis,
+    )
+    from decision_tree_analytics_spark.plans.inspect import (
+        count_shuffles,
+        simple_plan,
+    )
+
+    plan = simple_plan(rel_power_analysis(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert count_shuffles(plan) <= 2  # user window + final one-row agg
+
+
+def test_tokenizer_fertility_map_only_rollup(spark, sf_dir):
+    """ns_tokenizer_fertility: map-only token counting + ONE
+    map-side-combinable rollup — no joins, no windows, no Python."""
+    from decision_tree_analytics_spark.operators.text import (
+        ns_tokenizer_fertility,
+    )
+    from decision_tree_analytics_spark.plans.inspect import (
+        count_shuffles,
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(ns_tokenizer_fertility(spark, sf_dir))
+    assert count_shuffles(plan) == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert not has_python_eval(plan)
