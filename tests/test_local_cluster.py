@@ -42,6 +42,9 @@ CLUSTER_QUERIES = [
     "graph_random_walks",  # r9: unrolled broadcast-join hops whose
     # step windows all reuse ONE (start, walk) exchange — the
     # exchange-reuse claim exercised under real cross-JVM shuffle
+    "dedup_url_quota",  # r9: two stacked windows on one preserved
+    # hashpartitioning(source) — partitioning-preservation across a
+    # filter must hold on REAL executors, not just local[n]
 ]
 
 _DRIVER = r"""
