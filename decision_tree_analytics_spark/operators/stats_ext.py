@@ -3169,17 +3169,20 @@ def rel_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("lift_ppm")
     g = mom.select("n_users", "n_conv", p.alias("p"), grid)
     lift = F.col("lift_ppm").cast("double") / 1e6
+    # rule 8: p = 0 (a corpus with zero purchases) must yield NULL on
+    # both engines, not an ANSI double/0 error in Spark vs inf in
+    # DuckDB — nullif-guard every p-carrying denominator.
     req = (
         F.lit(z * z)
         * 2.0
         * F.col("p")
         * (1.0 - F.col("p"))
-        / (F.col("p") * lift * (F.col("p") * lift))
+        / F.nullif(F.col("p") * lift * (F.col("p") * lift), F.lit(0.0))
     )
     n_arm = F.col("n_users").cast("double") / 2.0
     mde = F.lit(z) * F.sqrt(
         2.0 * F.col("p") * (1.0 - F.col("p")) / n_arm
-    ) / F.col("p")
+    ) / F.nullif(F.col("p"), F.lit(0.0))
     return g.select(
         F.col("lift_ppm").cast("long").alias("lift_ppm"),
         "n_users",
@@ -3208,11 +3211,11 @@ SELECT CAST(lift_ppm AS BIGINT) AS lift_ppm, n_users,
   CAST(floor({(POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6}
     * {(POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6}
     * 2.0 * p * (1.0 - p)
-    / (p * (CAST(lift_ppm AS DOUBLE) / 1e6)
-       * (p * (CAST(lift_ppm AS DOUBLE) / 1e6))) + 0.5) AS BIGINT)
+    / nullif(p * (CAST(lift_ppm AS DOUBLE) / 1e6)
+       * (p * (CAST(lift_ppm AS DOUBLE) / 1e6)), 0.0) + 0.5) AS BIGINT)
     AS required_n_per_arm,
   CAST(floor({(POWER_Z_ALPHA_MICRO + POWER_Z_BETA_MICRO) / 1e6}
-    * sqrt(2.0 * p * (1.0 - p) / (CAST(n_users AS DOUBLE) / 2.0)) / p
-    * 1e6 + 0.5) AS BIGINT) AS mde_now_ppm
+    * sqrt(2.0 * p * (1.0 - p) / (CAST(n_users AS DOUBLE) / 2.0))
+    / nullif(p, 0.0) * 1e6 + 0.5) AS BIGINT) AS mde_now_ppm
 FROM g
 """

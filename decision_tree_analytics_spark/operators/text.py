@@ -2668,9 +2668,14 @@ def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(re_tokens) * 1000000 div sum(ws_words) AS BIGINT)").alias(
             "fertility_ppm"
         ),
-        F.expr("CAST(sum(n_chars) * 1000000 div sum(re_tokens) AS BIGINT)").alias(
-            "chars_per_token_micro"
-        ),
+        # rule 8: a lang slice of all-punctuation-free empty docs would
+        # zero Σre_tokens (ws_words can't — split() yields ≥1); nullif
+        # keeps ANSI Spark and DuckDB agreeing on NULL instead of
+        # erroring on one side.
+        F.expr(
+            "CAST(sum(n_chars) * 1000000 div nullif(sum(re_tokens), 0)"
+            " AS BIGINT)"
+        ).alias("chars_per_token_micro"),
     )
 
 
@@ -2686,7 +2691,7 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(ws_words) AS BIGINT) AS ws_words,
   CAST(sum(re_tokens) AS BIGINT) AS re_tokens,
   CAST(sum(re_tokens) * 1000000 // sum(ws_words) AS BIGINT) AS fertility_ppm,
-  CAST(sum(n_chars) * 1000000 // sum(re_tokens) AS BIGINT)
+  CAST(sum(n_chars) * 1000000 // nullif(sum(re_tokens), 0) AS BIGINT)
     AS chars_per_token_micro
 FROM per GROUP BY 1
 """
