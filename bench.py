@@ -87,6 +87,10 @@ def main() -> None:
     # JSON and always survive head-truncation; 2-decimal floats shrink
     # the line as extra margin.
     ordered = {n: round(timings[n], 2) for n in reversed(names)}
+    # total_s / n_queries are REPEATED after the queries dict (VERDICT
+    # r9 item 7): "value" leads the line, so head-truncation eats it —
+    # trailing copies mean the totals never have to be reconstructed
+    # from a partial tail.
     print(
         json.dumps(
             {
@@ -95,6 +99,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries": ordered,
+                "total_s": round(sum(timings.values()), 2),
+                "n_queries": len(names),
             }
         )
     )

@@ -244,11 +244,12 @@ _DRIVER_SAMPLED = {
 # Enumerated right after the never-sampled names so the driver's
 # 50-query window re-verifies the CURRENT code.  Once a fresh green
 # row lands the zero-churn loader demotes the name automatically —
-# remove it here on the next rotation refresh.  r9 state: graph_hits
-# (weights rescaled to ppm on both sides — the ADVICE r8 overflow
-# bound) and ml_bootstrap_ci (NULL-ordering pin in the replica rank)
-# were materially rewritten after their r8 rows.
-_RECHECK_PRIORITY = ["graph_hits", "ml_bootstrap_ci"]
+# remove it here on the next rotation refresh.  r10 state: EMPTY —
+# both r9 rewrites (graph_hits, ml_bootstrap_ci) came back hash-green
+# in CORRECTNESS_r09, and nothing verified has been rewritten since.
+# The stale tail is the 47 r04-verified names, so at most 3 fresh r10
+# additions keep the full tail inside the driver's 50-sample window.
+_RECHECK_PRIORITY = []
 
 
 def _driver_verified_rounds(root=None):
