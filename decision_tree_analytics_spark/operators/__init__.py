@@ -148,6 +148,10 @@ BENCH_EXTRAS = [
     "graph_random_walks",
     "rel_power_analysis",
     "ns_tokenizer_fertility",
+    # r10 additions
+    "ns_epoch_plan",
+    "snap_skipping_audit",
+    "snap_overlap_depth",
 ]
 
 

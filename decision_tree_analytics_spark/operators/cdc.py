@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import load_table
 
 BASE_MAX = 400
@@ -473,4 +474,220 @@ SELECT event_type, CAST(day AS BIGINT) AS day, n_rows, bytes, bin_id,
   CAST(sum(bytes) OVER (PARTITION BY event_type, bin_id) AS BIGINT)
     AS bin_bytes
 FROM binned
+"""
+
+
+N_HASH_FILES = 96  # hash-layout file count (fixed by design, not by data)
+CLUSTER_DAYS = 30  # clustered layout: one file per 30-day write window
+
+
+def _order_layout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map manifest (layout, file_id, min_day, max_day, n_rows)
+    for the orders table under two modeled write layouts:
+
+    * ``clustered`` — one file per ``CLUSTER_DAYS``-day window of
+      o_orderdate (date-clustered ingestion: per-file min/max on the
+      date column is tight);
+    * ``hashed`` — file = md5(o_orderkey) mod ``N_HASH_FILES``
+      (hash-distributed writes: every file spans the whole date
+      range, so date zone maps prune nothing).
+
+    The day key is epoch days (datediff from 1970-01-01 — the
+    timezone-free timestamp_ntz idiom).  Scale: the one corpus-sized
+    stage is the map-side-combinable (layout, file_id) rollup; the
+    manifest itself is file-count-sized (metadata, not rows) at any
+    corpus size, exactly like a real table format's manifest."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("day"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {N_HASH_FILES}"
+        ).alias("hash_fid"),
+    )
+    e = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("clustered").alias("layout"),
+                    F.expr(f"day div {CLUSTER_DAYS}").alias("file_id"),
+                    F.col("day"),
+                ),
+                F.struct(
+                    F.lit("hashed").alias("layout"),
+                    F.col("hash_fid").alias("file_id"),
+                    F.col("day"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.layout", "s.file_id", "s.day")
+    return e.groupBy("layout", "file_id").agg(
+        F.min("day").cast("long").alias("min_day"),
+        F.max("day").cast("long").alias("max_day"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+# Shared oracle text for the manifest (composed into both audits).
+_MANIFEST_CTE = f"""
+o AS (SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      AS day,
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+      % {N_HASH_FILES} AS hash_fid
+  FROM orders),
+e AS (SELECT 'clustered' AS layout, day // {CLUSTER_DAYS} AS file_id, day
+      FROM o
+      UNION ALL SELECT 'hashed', hash_fid, day FROM o),
+man AS (SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+    CAST(min(day) AS BIGINT) AS min_day,
+    CAST(max(day) AS BIGINT) AS max_day,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM e GROUP BY 1, 2)
+"""
+
+
+def snap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min-max data-skipping audit — measures what zone
+    maps (parquet row-group stats / Iceberg manifests / Delta
+    file stats) are worth under each layout, the metadata companion
+    to rel_zorder_key's layout KEY: for every 30-day probe window,
+    how many files can a date-range scan skip outright, and how many
+    rows does it still have to read?
+
+    Expected shape (asserted by the structural test): the clustered
+    layout skips all but ~1 file per probe; the hashed layout skips
+    ~none — the number every OPTIMIZE/CLUSTER BY decision weighs.
+
+    Scale: one corpus pass builds the manifest (persisted — probes
+    and the audit join are two branches of it, the BM25 lesson); the
+    probe grid is the distinct 30-day windows actually present
+    (bounded by the table's date span, ~80 for TPC-H-like data,
+    corpus-size-invariant), broadcast against the file-count-sized
+    manifest.  Nothing downstream of the first rollup touches data
+    rows."""
+    man = _order_layout_manifest(spark, sf_dir).persist()
+    probes = (
+        man.filter(F.col("layout") == "clustered")
+        .select(F.col("file_id").alias("probe_bucket"))
+        .distinct()
+    )
+    j = man.crossJoin(F.broadcast(probes))
+    lo = F.col("probe_bucket") * CLUSTER_DAYS
+    hi = (F.col("probe_bucket") + 1) * CLUSTER_DAYS
+    skipped = (F.col("max_day") < lo) | (F.col("min_day") >= hi)
+    out = (
+        j.groupBy("layout", "probe_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(skipped, 1).otherwise(0))
+            .cast("long")
+            .alias("n_files_skipped"),
+            F.sum(F.when(skipped, 0).otherwise(F.col("n_rows")))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .select(
+            "layout",
+            "probe_bucket",
+            "n_files",
+            "n_files_skipped",
+            F.expr("n_files_skipped * 1000000 div n_files").alias("skip_ppm"),
+            "rows_scanned",
+        )
+    )
+    return tether_cache(out, man)
+
+
+QUERIES["snap_skipping_audit"] = snap_skipping_audit
+ORACLES["snap_skipping_audit"] = f"""
+WITH {_MANIFEST_CTE},
+probes AS (SELECT DISTINCT file_id AS probe_bucket FROM man
+           WHERE layout = 'clustered')
+SELECT layout, probe_bucket, CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(CASE WHEN max_day < probe_bucket * {CLUSTER_DAYS}
+                  OR min_day >= (probe_bucket + 1) * {CLUSTER_DAYS}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_files_skipped,
+  CAST(sum(CASE WHEN max_day < probe_bucket * {CLUSTER_DAYS}
+                  OR min_day >= (probe_bucket + 1) * {CLUSTER_DAYS}
+           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS skip_ppm,
+  CAST(sum(CASE WHEN max_day < probe_bucket * {CLUSTER_DAYS}
+                  OR min_day >= (probe_bucket + 1) * {CLUSTER_DAYS}
+           THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
+FROM man, probes GROUP BY 1, 2
+"""
+
+
+def snap_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit — Iceberg/Delta's "overlap depth"
+    health metric for sorted layouts: sweep the per-file [min_day,
+    max_day] intervals and report, at every boundary day, how many
+    files a point/range read on that day must open.  Depth 1 =
+    perfectly clustered (each probe hits one file); depth ~=
+    file-count = hash-scattered (every probe opens everything) —
+    the signal that schedules a rewrite (snap_compaction_plan) or a
+    re-sort (rel_zorder_key).
+
+    Classic sweep-line as relational ops: each file contributes
+    (+1 at min_day, -1 at max_day + 1), one rollup per boundary day,
+    then a running sum per layout.  Scale: runs entirely on the
+    file-count-sized manifest; the window's ORDER BY day is unique
+    within each layout partition after the rollup (rule 5)."""
+    man = _order_layout_manifest(spark, sf_dir)
+    ev = man.select(
+        "layout",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("min_day").alias("day"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("max_day") + 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("s"),
+    ).select("layout", F.col("s.day").cast("long").alias("day"), "s.delta")
+    g = ev.groupBy("layout", "day").agg(
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_opens"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_closes"),
+        F.sum("delta").cast("long").alias("net"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("layout")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "layout",
+        "day",
+        "n_opens",
+        "n_closes",
+        F.sum("net").over(w).cast("long").alias("depth"),
+    )
+
+
+QUERIES["snap_overlap_depth"] = snap_overlap_depth
+ORACLES["snap_overlap_depth"] = f"""
+WITH {_MANIFEST_CTE},
+ev AS (SELECT layout, min_day AS day, 1 AS delta FROM man
+       UNION ALL SELECT layout, max_day + 1, -1 FROM man),
+g AS (SELECT layout, CAST(day AS BIGINT) AS day,
+    CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opens,
+    CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closes,
+    sum(delta) AS net
+  FROM ev GROUP BY 1, 2)
+SELECT layout, day, n_opens, n_closes,
+  CAST(sum(net) OVER (PARTITION BY layout ORDER BY day
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth
+FROM g
 """

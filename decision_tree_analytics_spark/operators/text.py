@@ -2695,3 +2695,122 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
     AS chars_per_token_micro
 FROM per GROUP BY 1
 """
+
+
+EPOCH_BUDGET_MULT = 4  # token budget = 4x the corpus (data-constrained run)
+MAX_EPOCH_MILLI = 6000  # repetition cap: at most 6 epochs of any source
+
+
+def ns_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-under-token-budget scheduler — the data-constrained
+    training planner (Muennighoff et al. '23): given a total token
+    budget of ``EPOCH_BUDGET_MULT`` x the corpus and the alpha=0.5
+    temperature mix from ns_domain_mix, derive per-source repetition
+    counts.  target_tokens = weight * budget; epochs = target /
+    available, capped at ``MAX_EPOCH_MILLI`` (repeating a source
+    beyond ~4-6 epochs stops helping); effective_tokens re-derives
+    the post-cap spend and shortfall_tokens is the unmet ask the
+    next mix revision has to redistribute.
+
+    Determinism: sqrt is IEEE-correctly-rounded (portable); the
+    smoothed weight is floor-quantized to a micro BIGINT per row, so
+    every sum is exact-integer in any order and every division is
+    BIGINT ``div`` with nullif guards (rule 8).  The budget enters
+    target arithmetic as ``budget div 1000`` so weight_ppm x budget
+    stays under 2^63 up to ~9e15 budget tokens (a 100 TB corpus is
+    ~1e14).  Scale: one map-side-combinable rollup to |sources| rows;
+    all window math runs on that bounded grid."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .cast("long")
+        .alias("nt"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    g = g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("sw"),
+    )
+    g = g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sw",
+        F.sum("sw").over(w).alias("sw_total"),
+        (F.lit(EPOCH_BUDGET_MULT) * F.sum("n_tokens").over(w)).alias("budget"),
+    )
+    g = g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("sw * 1000000 div nullif(sw_total, 0)").alias("weight_ppm"),
+        F.expr(
+            "(sw * 1000000 div nullif(sw_total, 0)) * (budget div 1000)"
+            " div 1000"
+        ).alias("target_tokens"),
+    )
+    g = g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "target_tokens",
+        F.expr(
+            f"least(target_tokens * 1000 div nullif(n_tokens, 0),"
+            f" CAST({MAX_EPOCH_MILLI} AS BIGINT))"
+        ).alias("epochs_milli"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "target_tokens",
+        "epochs_milli",
+        F.expr("epochs_milli * n_tokens div 1000").alias("effective_tokens"),
+        F.expr(
+            "target_tokens - epochs_milli * n_tokens div 1000"
+        ).alias("shortfall_tokens"),
+    )
+
+
+QUERIES["ns_epoch_plan"] = ns_epoch_plan
+ORACLES["ns_epoch_plan"] = f"""
+WITH per AS (SELECT source,
+    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS nt
+  FROM documents),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(nt) AS BIGINT) AS n_tokens FROM per GROUP BY 1),
+s AS (SELECT source, n_docs, n_tokens,
+    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS sw
+  FROM g),
+t AS (SELECT source, n_docs, n_tokens, sw,
+    CAST(sum(sw) OVER () AS BIGINT) AS sw_total,
+    {EPOCH_BUDGET_MULT} * CAST(sum(n_tokens) OVER () AS BIGINT) AS budget
+  FROM s),
+p AS (SELECT source, n_docs, n_tokens,
+    sw * 1000000 // nullif(sw_total, 0) AS weight_ppm,
+    (sw * 1000000 // nullif(sw_total, 0)) * (budget // 1000) // 1000
+      AS target_tokens
+  FROM t),
+e AS (SELECT source, n_docs, n_tokens, weight_ppm, target_tokens,
+    least(target_tokens * 1000 // nullif(n_tokens, 0),
+          CAST({MAX_EPOCH_MILLI} AS BIGINT)) AS epochs_milli
+  FROM p)
+SELECT source, n_docs, n_tokens,
+  CAST(weight_ppm AS BIGINT) AS weight_ppm,
+  CAST(target_tokens AS BIGINT) AS target_tokens,
+  CAST(epochs_milli AS BIGINT) AS epochs_milli,
+  CAST(epochs_milli * n_tokens // 1000 AS BIGINT) AS effective_tokens,
+  CAST(target_tokens - epochs_milli * n_tokens // 1000 AS BIGINT)
+    AS shortfall_tokens
+FROM e
+"""

@@ -1226,3 +1226,57 @@ def test_tokenizer_fertility_map_only_rollup(spark, sf_dir):
     assert count_shuffles(plan) == 1
     assert "Join" not in plan and "Window" not in plan
     assert not has_python_eval(plan)
+
+
+def test_epoch_plan_one_rollup_then_grid_window(spark, sf_dir):
+    """ns_epoch_plan: ONE map-side-combinable corpus rollup to the
+    |sources| grid; the budget/weight window and all the epoch
+    arithmetic run on that bounded grid — no joins, no Python."""
+    from decision_tree_analytics_spark.operators.text import ns_epoch_plan
+    from decision_tree_analytics_spark.plans.inspect import (
+        count_shuffles,
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(ns_epoch_plan(spark, sf_dir))
+    assert "partial_sum" in plan  # the corpus rollup combines map-side
+    assert count_shuffles(plan) <= 2  # rollup + the grid-sized window
+    assert "Join" not in plan
+    assert not has_python_eval(plan)
+
+
+def test_skipping_audit_persisted_manifest_broadcast_probes(spark, sf_dir):
+    """snap_skipping_audit: exactly ONE parquet scan feeds the
+    persisted manifest (probes and the audit join are two branches of
+    the SAME InMemoryRelation — the BM25 lesson), and the bounded
+    probe grid reaches the join as a BROADCAST."""
+    from decision_tree_analytics_spark.operators.cdc import snap_skipping_audit
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(snap_skipping_audit(spark, sf_dir))
+    # Both branches read the SAME cache (each InMemoryRelation print
+    # repeats its child FileScan, so count cache reads, not scans).
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_overlap_depth_manifest_sized_sweep(spark, sf_dir):
+    """snap_overlap_depth: one corpus scan + rollup; the sweep-line
+    (boundary rollup + running-sum window) runs entirely on the
+    file-count-sized manifest — no joins, no Python, and the window's
+    sort happens AFTER the boundary aggregate."""
+    from decision_tree_analytics_spark.operators.cdc import snap_overlap_depth
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(snap_overlap_depth(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert not has_python_eval(plan)
+    # Physical plans print OUTPUT-FIRST: the Window (last to run)
+    # must appear BEFORE the boundary HashAggregate in the text.
+    assert plan.index("Window") < plan.index("HashAggregate")
