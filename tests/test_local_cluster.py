@@ -45,6 +45,10 @@ CLUSTER_QUERIES = [
     "dedup_url_quota",  # r9: two stacked windows on one preserved
     # hashpartitioning(source) — partitioning-preservation across a
     # filter must hold on REAL executors, not just local[n]
+    "snap_skipping_audit",  # r10: two branches (probe grid + audit
+    # join) of ONE persisted manifest, joined via
+    # BroadcastNestedLoopJoin — cache-block reads and a broadcast
+    # CROSS join must resolve on REMOTE block managers
 ]
 
 _DRIVER = r"""
