@@ -98,6 +98,12 @@ NAMES = [
     "graph_random_walks",
     "rel_power_analysis",
     "ns_tokenizer_fertility",
+    # r10 additions: one-rollup epoch scheduler; manifest-sized layout
+    # audits (the manifest is file-count-sized at any SF, so only the
+    # rollup feeding it should scale).
+    "ns_epoch_plan",
+    "snap_skipping_audit",
+    "snap_overlap_depth",
 ]
 
 
