@@ -49,6 +49,13 @@ CLUSTER_QUERIES = [
     # join) of ONE persisted manifest, joined via
     # BroadcastNestedLoopJoin — cache-block reads and a broadcast
     # CROSS join must resolve on REMOTE block managers
+    "stream_cusum",  # r10: applyInPandasWithState — STATEFUL Arrow
+    # workers with per-partition state stores on remote executors
+    # (distinct from udf_grouped_zscore's stateless Arrow lane and
+    # stream_windowed_counts' JVM state store)
+    "src_bucketed_join",  # r10: bucketed CLUSTERED BY table attach +
+    # zero-exchange co-located join — bucket-aware scan planning must
+    # hold when the buckets are read by two separate executor JVMs
 ]
 
 _DRIVER = r"""
