@@ -1,48 +1,66 @@
-"""bench.py output contract — the driver captures only the TAIL of
-the emitted JSON line, so the headline timings and the totals must
-sit at the END of the line (VERDICT r8 item 4 / r9 item 7).  These
-tests parse bench.py's emission logic without running Spark."""
+"""bench.py output contract — the driver captures only the LAST
+~2000 bytes of output and json.loads the captured line, so the
+printed line must (a) fit that window regardless of how many bench
+entries exist and (b) keep the SURVEY headline names and the totals
+at its tail (VERDICT r8 item 4 / r9 item 7; BENCH_r08/r09 both
+recorded parsed:null before the self-truncating emitter)."""
 
 from __future__ import annotations
 
-import ast
+import importlib.util
 import json
 import os
 
-BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+_spec = importlib.util.spec_from_file_location(
+    "bench",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    ),
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
 
 
-def _emitted_dict_keys() -> list[str]:
-    """Key order of the dict literal passed to json.dumps in bench.py."""
-    tree = ast.parse(open(BENCH).read())
-    for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Attribute)
-            and node.func.attr == "dumps"
-            and node.args
-            and isinstance(node.args[0], ast.Dict)
-        ):
-            return [
-                k.value
-                for k in node.args[0].keys
-                if isinstance(k, ast.Constant)
-            ]
-    raise AssertionError("no json.dumps(dict-literal) found in bench.py")
+def _fake_timings(n: int) -> tuple[dict, list]:
+    names = bench.HEADLINE + [f"very_long_query_name_number_{i:04d}" for i in range(n)]
+    return {name: 0.123 + i * 0.01 for i, name in enumerate(names)}, names
 
 
-def test_totals_repeat_after_queries_dict():
-    keys = _emitted_dict_keys()
-    assert "queries" in keys and "total_s" in keys and "n_queries" in keys
-    # total_s / n_queries must FOLLOW queries so a head-truncated
-    # capture still carries the totals.
+def test_line_fits_capture_window_at_any_inventory_size():
+    for n in (0, 10, 100, 500):
+        timings, names = _fake_timings(n)
+        line, full = bench.emit(timings, names, "0.1")
+        assert len(line) <= bench.LINE_BUDGET
+        payload = json.loads(line)  # the captured line must parse
+        # Full record keeps EVERY entry.
+        assert len(full["queries"]) == len(names)
+        assert (
+            payload["queries_omitted"]
+            == len(names) - len(payload["queries"])
+        )
+
+
+def test_headline_names_and_totals_survive_truncation():
+    timings, names = _fake_timings(500)
+    line, full = bench.emit(timings, names, "0.1")
+    payload = json.loads(line)
+    # Headline names are emitted LAST (reverse run order) so they are
+    # the last to be dropped — at 500 entries they must still be there.
+    for h in bench.HEADLINE:
+        assert h in payload["queries"]
+    # Totals/counts are computed over ALL entries, not the kept subset.
+    assert payload["total_s"] == round(sum(timings.values()), 2)
+    assert payload["n_queries"] == len(names)
+    assert payload["full_timings"] == "BENCH_FULL.json"
+    # And the tail of the LINE itself ends with the totals (the part
+    # a byte-truncated capture keeps).
+    tail = line[-200:]
+    assert '"total_s"' in tail and '"n_queries"' in tail
+
+
+def test_totals_follow_queries_in_key_order():
+    timings, names = _fake_timings(5)
+    line, _ = bench.emit(timings, names, "0.1")
+    keys = list(json.loads(line))
     assert keys.index("total_s") > keys.index("queries")
     assert keys.index("n_queries") > keys.index("queries")
-
-
-def test_headline_set_survives_head_truncation():
-    """The SURVEY headline names must be emitted at the TAIL of the
-    queries dict (reverse run order) — simulate by checking bench.py
-    reverses `names` when building the ordered dict."""
-    src = open(BENCH).read()
-    assert "reversed(names)" in src
