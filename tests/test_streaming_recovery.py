@@ -1,0 +1,116 @@
+"""Checkpoint-recovery: a stateful streaming aggregation stopped and
+RESTARTED as a brand-new query instance over the same
+checkpointLocation must (a) restore its aggregation state (windows
+spanning both drains report combined counts, not restart-local ones)
+and (b) restore its source offsets (files consumed before the restart
+are not re-read).  This is the production crash-restart path the
+per-batch idempotency test (test_streaming_dedup_sink) does not
+cover — there the SINK replays; here the ENGINE state itself must
+survive process-level query death.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from decision_tree_analytics_spark.sources.tables import load_table
+
+
+def _drain(spark, landing: str, ckpt: str, store: str) -> None:
+    """One availableNow drain of the landing dir into the store.
+
+    Each call builds a FRESH streaming query (new plan, new query id
+    via the same checkpoint) — between calls the only continuity is
+    the checkpointLocation, exactly like a restarted job."""
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .parquet(landing)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = stream.groupBy(
+        F.window("event_time", "1 hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    def upsert(bdf, batch_id: int) -> None:
+        (
+            bdf.select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(f"{store}/b{batch_id}")
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_windowed_counts_survive_checkpoint_restart(spark, sf_dir, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    ev = load_table(spark, sf_dir, "events")  # ts normalized to epoch-ns
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    a = ev.filter(F.expr("event_id % 2 = 0")).select(cols)
+    b = ev.filter(F.expr("event_id % 2 = 1")).select(cols)
+    # Every (window, type) group has rows in BOTH halves (ids
+    # interleave over time), so restart-local state would be visibly
+    # wrong for every group.
+    a.write.mode("overwrite").parquet(landing)
+    _drain(spark, landing, ckpt, store)  # query instance #1, file A
+
+    b.write.mode("append").parquet(landing)
+    _drain(spark, landing, ckpt, store)  # NEW instance, same checkpoint
+
+    # Latest update per key wins (update mode re-emits a key whenever
+    # its count changes; later batch_id = later state).
+    from pyspark.sql import Window
+
+    upd = spark.read.option("basePath", store).parquet(f"{store}/b*")
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("batch_id").desc()
+    )
+    final = (
+        upd.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("window_start", "event_type", "n_events")
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in final.collect()
+    }
+
+    batch = (
+        ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    # (a) STATE RESTORED: combined counts equal the one-shot batch
+    # answer — a fresh-state restart would report only file-B rows
+    # for every group's final update.
+    assert got == want and len(got) > 0
+
+    # (b) OFFSETS RESTORED: drain #2 must not have re-read file A —
+    # every key it re-emitted gained at least one file-B row.
+    second = upd.filter(F.col("batch_id") >= 1).select(
+        "window_start", "event_type"
+    )
+    b_keys = (
+        b.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(
+            F.window("event_time", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .distinct()
+    )
+    assert second.join(b_keys, ["window_start", "event_type"], "left_anti").count() == 0
