@@ -56,12 +56,22 @@ CLUSTER_QUERIES = [
     "src_bucketed_join",  # r10: bucketed CLUSTERED BY table attach +
     # zero-exchange co-located join — bucket-aware scan planning must
     # hold when the buckets are read by two separate executor JVMs
+    "dedup_canonical_snapshot",  # r10: SnapshotTable write-audit-
+    # publish on a FRESH store (the driver pins a tmp
+    # SPARK_GRAFT_SNAPSHOT_DIR): the component-label table is
+    # computed (checkpointed label propagation), committed by REAL
+    # distributed executors, then read back and joined — the WAP
+    # commit protocol across two JVMs
 ]
 
 _DRIVER = r"""
-import os, sys
+import os, sys, tempfile
 sys.path.insert(0, {repo!r})
 sys.path.insert(0, {repo_tests!r})
+# A fresh snapshot store per run: snapshot-publishing queries must
+# build + COMMIT their table via the real distributed write path, not
+# reuse a snapshot some earlier local session already published.
+os.environ["SPARK_GRAFT_SNAPSHOT_DIR"] = tempfile.mkdtemp(prefix="snap-cluster-")
 # Executor python workers are SEPARATE processes in local-cluster
 # (unlike local[n], which masks both of these): they need the
 # interpreter pinned AND the repo on PYTHONPATH, or pickled Arrow
