@@ -2715,11 +2715,19 @@ def ns_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: sqrt is IEEE-correctly-rounded (portable); the
     smoothed weight is floor-quantized to a micro BIGINT per row, so
     every sum is exact-integer in any order and every division is
-    BIGINT ``div`` with nullif guards (rule 8).  The budget enters
-    target arithmetic as ``budget div 1000`` so weight_ppm x budget
-    stays under 2^63 up to ~9e15 budget tokens (a 100 TB corpus is
-    ~1e14).  Scale: one map-side-combinable rollup to |sources| rows;
-    all window math runs on that bounded grid."""
+    BIGINT ``div`` with nullif guards (rule 8).  Overflow bounds
+    (ADVICE r10): the budget enters target arithmetic as ``budget div
+    1000`` so weight_ppm x budget stays under 2^63 up to ~9.2e15
+    budget tokens, but the BINDING bound is the share numerator
+    ``sw * 1000000`` (sw ~= sqrt(n_tokens)*1e6), which caps any
+    SINGLE source at ~8.5e13 tokens.  A 100 TB corpus is ~1e14 tokens
+    TOTAL, so the per-source bound binds only when one source holds
+    >~85% of such a corpus — and past either bound BOTH engines raise
+    the same ANSI overflow error (an identical hard failure, never a
+    silent mismatch).  Both bounds are locked by the near-bound
+    strategy in tests/test_round10_properties.py.  Scale: one
+    map-side-combinable rollup to |sources| rows; all window math
+    runs on that bounded grid."""
     d = load_table(spark, sf_dir, "documents").select(
         "source",
         F.size(F.split(F.lower(F.trim(F.col("text"))), " "))

@@ -56,6 +56,10 @@ def test_headline_names_and_totals_survive_truncation():
     # a byte-truncated capture keeps).
     tail = line[-200:]
     assert '"total_s"' in tail and '"n_queries"' in tail
+    # ADVICE r10: the printed line must not duplicate the total under
+    # 'value' (that field lives only in BENCH_FULL.json).
+    assert "value" not in payload
+    assert full["value"] == full["total_s"]
 
 
 def test_totals_follow_queries_in_key_order():

@@ -46,6 +46,18 @@ inventories = st.lists(
     st.integers(min_value=1, max_value=10**12), min_size=1, max_size=50
 )
 
+# ADVICE r10: the binding overflow bound is the share numerator
+# sw * 1e6 with sw ~= sqrt(n_tokens) * 1e6, i.e. any SINGLE source is
+# capped at ~8.5e13 tokens (sqrt(8.5e13)*1e12 ~= 9.2e18 ~= 2^63); the
+# budget-side bound weight_ppm * (budget div 1000) caps the TOTAL at
+# ~9.2e15 budget tokens.  This lane drives per-source magnitudes right
+# up to the documented 8.5e13 while max_size=7 keeps the budget
+# (4 * 7 * 8.5e13 = 2.4e15) safely inside its own bound, so every
+# intermediate must stay representable — locked below.
+near_bound_inventories = st.lists(
+    st.integers(min_value=1, max_value=85 * 10**12), min_size=1, max_size=7
+)
+
 
 @given(inventories)
 @settings(max_examples=200, deadline=None)
@@ -67,6 +79,31 @@ def test_epoch_plan_invariants(tokens):
     for r in rows:
         for v in r.values():
             assert abs(v) < 2**63
+
+
+@given(near_bound_inventories)
+@settings(max_examples=200, deadline=None)
+def test_epoch_plan_no_overflow_at_documented_bounds(tokens):
+    """Locks the docstring's overflow claims: with every source at or
+    below ~8.5e13 tokens and the budget below ~9.2e15, EVERY
+    intermediate of the shared expression tree — including the two
+    products that are evaluated before their trailing div — fits in a
+    signed 64-bit integer, so neither engine can raise ANSI overflow
+    inside the documented envelope."""
+    sw = [math.floor(math.sqrt(float(n)) * 1e6 + 0.5) for n in tokens]
+    total_sw = sum(sw)
+    budget = EPOCH_BUDGET_MULT * sum(tokens)
+    assert budget < 9_200_000_000_000_000  # strategy keeps us in-envelope
+    for n, s in zip(tokens, sw):
+        assert s * 1_000_000 < 2**63  # the binding per-source product
+        w = s * 1_000_000 // total_sw
+        assert w * (budget // 1000) < 2**63  # the budget-side product
+    rows = _epoch_rows(tokens)
+    for r in rows:
+        for v in r.values():
+            assert abs(v) < 2**63
+        # target * 1000 (the epochs numerator) must fit too.
+        assert r["target_tokens"] * 1000 < 2**63
 
 
 @given(inventories)

@@ -68,6 +68,18 @@ def test_windowed_counts_survive_checkpoint_restart(spark, sf_dir, tmp_path):
     a.write.mode("overwrite").parquet(landing)
     _drain(spark, landing, ckpt, store)  # query instance #1, file A
 
+    # ADVICE r10: record how far instance #1 actually got instead of
+    # assuming it was exactly one micro-batch — a maxFilesPerTrigger /
+    # session-conf change could split the first drain, and a hardcoded
+    # `batch_id >= 1` would then misattribute drain-1 output to
+    # drain 2 and fail spuriously.
+    drain1_max_batch = (
+        spark.read.option("basePath", store)
+        .parquet(f"{store}/b*")
+        .agg(F.max("batch_id"))
+        .collect()[0][0]
+    )
+
     b.write.mode("append").parquet(landing)
     _drain(spark, landing, ckpt, store)  # NEW instance, same checkpoint
 
@@ -102,7 +114,7 @@ def test_windowed_counts_survive_checkpoint_restart(spark, sf_dir, tmp_path):
 
     # (b) OFFSETS RESTORED: drain #2 must not have re-read file A —
     # every key it re-emitted gained at least one file-B row.
-    second = upd.filter(F.col("batch_id") >= 1).select(
+    second = upd.filter(F.col("batch_id") > drain1_max_batch).select(
         "window_start", "event_type"
     )
     b_keys = (
