@@ -152,6 +152,8 @@ BENCH_EXTRAS = [
     "ns_epoch_plan",
     "snap_skipping_audit",
     "snap_overlap_depth",
+    # r11 addition
+    "ns_preference_pairs",
 ]
 
 

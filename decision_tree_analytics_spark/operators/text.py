@@ -2822,3 +2822,180 @@ SELECT source, n_docs, n_tokens,
     AS shortfall_tokens
 FROM e
 """
+
+
+# ------------------------------------------------------------------
+# r11: DPO/preference-pair assembly audit
+# ------------------------------------------------------------------
+
+PREF_POOL = 4  # candidate completions sampled per prompt
+PREF_MARGIN_PPM = 50_000  # min reward gap (5%) for a usable pair
+
+
+def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair (DPO/RLHF) assembly audit — the data-prep pass
+    that turns per-prompt candidate pools into (chosen, rejected)
+    pairs and reports the biases reward-model training inherits.
+    Documents are pooled ``PREF_POOL`` per synthetic prompt
+    (``doc_id div PREF_POOL`` — the N-samples-per-prompt layout);
+    the reward proxy is stopword density in ppm (content-derived,
+    integer); chosen = argmax(reward), rejected = argmin(reward),
+    and a pair is USABLE only when the reward gap clears
+    ``PREF_MARGIN_PPM`` (the margin filter that drops noise-level
+    preferences — all-tie pools degenerate to chosen == rejected and
+    are correctly unusable).  Per winning source: candidate-group and
+    usable-pair counts, cross-source-pair count (pairing that mixes
+    provenances), chosen-longer rate in ppm (the length bias every
+    preference dataset must be audited for), mean reward gap, and the
+    signed token-length delta sum.
+
+    Determinism: reward is BIGINT ppm (ws-split yields >= 1 token so
+    the div is safe); both row_numbers carry the unique doc_id
+    tie-break (rule 5); the only nullable divisions guard on
+    sum(usable) via nullif (rule 8); sum_len_delta is emitted as a
+    raw signed BIGINT sum — never divided, because Spark ``div``
+    truncates toward zero while DuckDB ``//`` floors, and they
+    diverge on negatives (every other div here has a provably
+    non-negative numerator).
+
+    Scale: one corpus scan; both windows AND the pair groupBy share
+    hashpartitioning(prompt_id) (filter/project preserve the child
+    partitioning — the dedup_url_quota one-exchange pattern), pools
+    are <= PREF_POOL rows so there is no window skew; the final
+    per-source rollup is a second, |sources|-sized exchange.  Same
+    plan at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    per = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"doc_id div {PREF_POOL}").alias("prompt_id"),
+        (
+            _stop_hits(toks, STOPWORDS["en"]) * F.lit(1_000_000)
+        ).alias("stop_micro"),
+        F.size(toks).cast("long").alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_REGEX), 0)
+        )
+        .cast("long")
+        .alias("re_tokens"),
+    ).select(
+        "doc_id",
+        "source",
+        "prompt_id",
+        F.expr("stop_micro div n_ws").alias("reward_ppm"),
+        "re_tokens",
+    )
+    w_best = Window.partitionBy("prompt_id").orderBy(
+        F.col("reward_ppm").desc(), F.col("doc_id").asc()
+    )
+    w_worst = Window.partitionBy("prompt_id").orderBy(
+        F.col("reward_ppm").asc(), F.col("doc_id").asc()
+    )
+    ranked = per.select(
+        "*",
+        F.row_number().over(w_best).alias("rn_best"),
+        F.row_number().over(w_worst).alias("rn_worst"),
+    )
+    pairs = (
+        ranked.groupBy("prompt_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.max(F.when(F.col("rn_best") == 1, F.col("source"))).alias(
+                "chosen_source"
+            ),
+            F.max(F.when(F.col("rn_best") == 1, F.col("reward_ppm"))).alias(
+                "c_reward"
+            ),
+            F.max(F.when(F.col("rn_best") == 1, F.col("re_tokens"))).alias(
+                "c_toks"
+            ),
+            F.max(F.when(F.col("rn_worst") == 1, F.col("source"))).alias(
+                "rejected_source"
+            ),
+            F.max(F.when(F.col("rn_worst") == 1, F.col("reward_ppm"))).alias(
+                "r_reward"
+            ),
+            F.max(F.when(F.col("rn_worst") == 1, F.col("re_tokens"))).alias(
+                "r_toks"
+            ),
+        )
+        .filter(F.col("n_cand") >= 2)
+        .select(
+            "*",
+            (F.col("c_reward") - F.col("r_reward")).alias("gap"),
+            F.when(
+                F.col("c_reward") - F.col("r_reward") >= PREF_MARGIN_PPM, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("usable"),
+        )
+    )
+    return pairs.groupBy(F.col("chosen_source").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("usable").cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(
+                (F.col("usable") == 1)
+                & (F.col("chosen_source") != F.col("rejected_source")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cross_source_pairs"),
+        F.expr(
+            "CAST(sum(CASE WHEN usable = 1 AND c_toks > r_toks THEN 1"
+            " ELSE 0 END) * 1000000 div nullif(sum(usable), 0) AS BIGINT)"
+        ).alias("chosen_longer_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN usable = 1 THEN gap ELSE 0 END)"
+            " div nullif(sum(usable), 0) AS BIGINT)"
+        ).alias("mean_gap_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN usable = 1 THEN c_toks - r_toks"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("sum_len_delta"),
+    )
+
+
+QUERIES["ns_preference_pairs"] = ns_preference_pairs
+ORACLES["ns_preference_pairs"] = rf"""
+WITH per AS (SELECT doc_id, source, doc_id // {PREF_POOL} AS prompt_id,
+    {_sql_stop_hits(STOPWORDS["en"])} * 1000000
+      // CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+      AS reward_ppm,
+    CAST(len(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS BIGINT)
+      AS re_tokens
+  FROM documents),
+ranked AS (SELECT *,
+    row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY reward_ppm DESC, doc_id ASC) AS rn_best,
+    row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY reward_ppm ASC, doc_id ASC) AS rn_worst
+  FROM per),
+pairs AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_cand,
+    max(CASE WHEN rn_best = 1 THEN source END) AS chosen_source,
+    max(CASE WHEN rn_best = 1 THEN reward_ppm END) AS c_reward,
+    max(CASE WHEN rn_best = 1 THEN re_tokens END) AS c_toks,
+    max(CASE WHEN rn_worst = 1 THEN source END) AS rejected_source,
+    max(CASE WHEN rn_worst = 1 THEN reward_ppm END) AS r_reward,
+    max(CASE WHEN rn_worst = 1 THEN re_tokens END) AS r_toks
+  FROM ranked GROUP BY 1),
+usable AS (SELECT *, c_reward - r_reward AS gap,
+    CASE WHEN c_reward - r_reward >= {PREF_MARGIN_PPM} THEN 1 ELSE 0 END
+      AS usable
+  FROM pairs WHERE n_cand >= 2)
+SELECT chosen_source AS source,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(usable) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN usable = 1 AND chosen_source <> rejected_source
+           THEN 1 ELSE 0 END) AS BIGINT) AS cross_source_pairs,
+  CAST(sum(CASE WHEN usable = 1 AND c_toks > r_toks THEN 1 ELSE 0 END)
+       * 1000000 // nullif(sum(usable), 0) AS BIGINT) AS chosen_longer_ppm,
+  CAST(sum(CASE WHEN usable = 1 THEN gap ELSE 0 END)
+       // nullif(sum(usable), 0) AS BIGINT) AS mean_gap_ppm,
+  CAST(sum(CASE WHEN usable = 1 THEN c_toks - r_toks ELSE 0 END)
+       AS BIGINT) AS sum_len_delta
+FROM usable GROUP BY 1
+"""

@@ -104,6 +104,10 @@ NAMES = [
     "ns_epoch_plan",
     "snap_skipping_audit",
     "snap_overlap_depth",
+    # r11: two-exchange preference-pair assembly — pools are
+    # PREF_POOL-bounded so both windows and the pair groupBy are
+    # skew-free; expected ~linear in corpus size.
+    "ns_preference_pairs",
 ]
 
 

@@ -1280,3 +1280,24 @@ def test_overlap_depth_manifest_sized_sweep(spark, sf_dir):
     # Physical plans print OUTPUT-FIRST: the Window (last to run)
     # must appear BEFORE the boundary HashAggregate in the text.
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_preference_pairs_two_exchange_pipeline(spark, sf_dir):
+    """ns_preference_pairs: BOTH row_number windows AND the pair
+    groupBy run on the SAME hashpartitioning(prompt_id) (project
+    preserves the child partitioning), so the whole pairing stage is
+    ONE shuffle; the per-source rollup is the only second exchange.
+    No joins, no Python, one corpus scan."""
+    from decision_tree_analytics_spark.operators.text import ns_preference_pairs
+    from decision_tree_analytics_spark.plans.inspect import (
+        count_shuffles,
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(ns_preference_pairs(spark, sf_dir))
+    assert count_shuffles(plan) == 2
+    assert "Join" not in plan
+    assert not has_python_eval(plan)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 2

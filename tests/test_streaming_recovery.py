@@ -126,3 +126,70 @@ def test_windowed_counts_survive_checkpoint_restart(spark, sf_dir, tmp_path):
         .distinct()
     )
     assert second.join(b_keys, ["window_start", "event_type"], "left_anti").count() == 0
+
+
+def test_state_survives_shuffle_partition_conf_change(spark, sf_dir, tmp_path):
+    """The state-store layout trap (VERDICT r10 item 2b): a stateful
+    checkpoint PINS the state-store partition count at first-run
+    ``spark.sql.shuffle.partitions``.  A restarted instance whose
+    session carries a DIFFERENT conf must keep the ORIGINAL layout
+    (Spark reads numShufflePartitions back from the checkpoint's
+    offset metadata) — if it repartitioned state to the new conf,
+    every window's count would land in the wrong store and the
+    combined answer would be garbage.  Asserts both the behavior
+    (combined counts == one-shot batch answer) and the mechanism (the
+    state dir keeps its drain-#1 partition count after drain #2)."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    a = ev.filter(F.expr("event_id % 2 = 0")).select(cols)
+    b = ev.filter(F.expr("event_id % 2 = 1")).select(cols)
+
+    old_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        a.write.mode("overwrite").parquet(landing)
+        _drain(spark, landing, ckpt, store)  # instance #1 at 8
+
+        state0 = os.path.join(ckpt, "state", "0")
+        parts_after_1 = {d for d in os.listdir(state0) if d.isdigit()}
+        assert len(parts_after_1) == 8
+
+        # Restart with a DIFFERENT conf — 13 is prime, so any
+        # accidental re-use of the new value is unmistakable.
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b.write.mode("append").parquet(landing)
+        _drain(spark, landing, ckpt, store)  # instance #2 at "13"
+
+        parts_after_2 = {d for d in os.listdir(state0) if d.isdigit()}
+        assert parts_after_2 == parts_after_1  # layout pinned at 8
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_conf)
+
+    from pyspark.sql import Window
+
+    upd = spark.read.option("basePath", store).parquet(f"{store}/b*")
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("batch_id").desc()
+    )
+    final = (
+        upd.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("window_start", "event_type", "n_events")
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in final.collect()
+    }
+    batch = (
+        ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
