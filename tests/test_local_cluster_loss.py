@@ -1,0 +1,148 @@
+"""Executor-LOSS robustness on a real multi-JVM cluster (VERDICT r10
+item 2a): local[n] can never make this claim — its "executors" are
+threads that cannot die independently.  On ``local-cluster[2,4,2048]``
+one CoarseGrainedExecutorBackend JVM is SIGKILLed while a slow
+Arrow-lane shuffle job is mid-stage; the standalone worker relaunches
+the executor, Spark retries the lost tasks and recomputes the lost
+map outputs, and the job must still return the EXACT answer.  A
+contract query is then oracle-checked on the recovered cluster to
+prove post-loss sessions stay correct.
+
+Runs in a SUBPROCESS (one SparkContext per process, same as
+tests/test_local_cluster.py)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_DRIVER = r"""
+import os, signal, subprocess, sys, threading, time
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo_tests!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .getOrCreate()
+)
+
+def executor_pids():
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    # Executor backends are java children of the in-process worker;
+    # the driver's own `python -c <this code>` command line ALSO
+    # contains the class name, so require a java process.
+    return [
+        int(l.split(None, 1)[0])
+        for l in out.splitlines()
+        if "CoarseGrainedExecutorBackend" in l
+        and "java" in l
+        and "python" not in l
+    ]
+
+# Wait for both executor JVMs to register.
+for _ in range(60):
+    if len(executor_pids()) >= 2:
+        break
+    time.sleep(1)
+pids = executor_pids()
+assert len(pids) >= 2, f"executors never came up: {{pids}}"
+
+# Slow Arrow pipeline with an exact closed-form answer: range ->
+# shuffle to 16 partitions -> pandas map that SLEEPS (guaranteeing the
+# kill lands mid-stage) -> groupBy shuffle.  Every value is
+# deterministic, so recomputed tasks must reproduce bit-identical
+# partials.
+N = 200_000
+def slow_map(batches):
+    import time as _t
+    for b in batches:
+        _t.sleep(0.8)
+        yield b
+
+df = (
+    spark.range(N).repartition(16)
+    .mapInPandas(slow_map, "id long")
+    .groupBy((F.col("id") % 97).alias("k"))
+    .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+)
+
+killed = {{}}
+def killer():
+    # Kill one executor once the job is actually running tasks.
+    st = spark.sparkContext.statusTracker()
+    for _ in range(300):
+        if st.getActiveStageIds():
+            break
+        time.sleep(0.1)
+    time.sleep(1.5)  # land inside the 0.8 s-per-task Arrow stage
+    victim = executor_pids()[0]
+    os.kill(victim, signal.SIGKILL)
+    killed["pid"] = victim
+    print("KILLED-EXECUTOR", victim, flush=True)
+
+t = threading.Thread(target=killer); t.start()
+rows = {{r.k: (r.n, r.s) for r in df.collect()}}
+t.join()
+assert "pid" in killed, "killer thread never fired"
+
+# Exact expected answer, pure Python.
+want = {{}}
+for k in range(97):
+    ids = range(k, N, 97)
+    want[k] = (len(ids), sum(ids))
+assert rows == want, "post-loss result diverged from the exact answer"
+print("EXACT-MATCH-AFTER-LOSS", len(rows), flush=True)
+
+# The loss must be REAL (victim pid gone) and HEALED (a replacement
+# executor launched by the worker, fleet back to 2) — otherwise the
+# exact-match above could be vacuous (kill landing after the victim's
+# tasks already finished AND no recovery exercised).
+for _ in range(60):
+    alive = executor_pids()
+    if killed["pid"] not in alive and len(alive) >= 2:
+        break
+    time.sleep(1)
+alive = executor_pids()
+assert killed["pid"] not in alive, "victim executor still alive"
+assert len(alive) >= 2, f"replacement executor never joined: {{alive}}"
+print("EXECUTORS-AFTER-LOSS", len(alive), flush=True)
+
+from tests.oracle_harness import compare, duckdb_connection
+from decision_tree_analytics_spark import operators
+qs, osql = operators.all_queries(), operators.all_oracles()
+con = duckdb_connection({sf!r})
+for name in ["q06_inner_join", "udf_grouped_zscore"]:
+    compare(qs[name](spark, {sf!r}), con, osql[name], name)
+    print("CLUSTER-MATCH", name, flush=True)
+spark.stop()
+print("ALL-OK")
+"""
+
+
+def test_job_survives_executor_sigkill_with_exact_results(sf_dir):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _DRIVER.format(repo=repo, repo_tests=repo, sf=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0 and "ALL-OK" in proc.stdout, (
+        f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
+    )
+    assert "KILLED-EXECUTOR" in proc.stdout
+    assert "EXACT-MATCH-AFTER-LOSS 97" in proc.stdout
+    assert "CLUSTER-MATCH q06_inner_join" in proc.stdout
+    assert "CLUSTER-MATCH udf_grouped_zscore" in proc.stdout
