@@ -146,3 +146,126 @@ def test_job_survives_executor_sigkill_with_exact_results(sf_dir):
     assert "EXACT-MATCH-AFTER-LOSS 97" in proc.stdout
     assert "CLUSTER-MATCH q06_inner_join" in proc.stdout
     assert "CLUSTER-MATCH udf_grouped_zscore" in proc.stdout
+
+
+_STREAM_DRIVER = r"""
+import glob, os, signal, subprocess, sys, tempfile, threading, time
+sys.path.insert(0, {repo!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession, Window
+from decision_tree_analytics_spark.sources.tables import load_table
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .getOrCreate()
+)
+
+def executor_pids():
+    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
+    return [int(l.split(None, 1)[0]) for l in out.splitlines()
+            if "CoarseGrainedExecutorBackend" in l and "java" in l and "python" not in l]
+
+for _ in range(60):
+    if len(executor_pids()) >= 2:
+        break
+    time.sleep(1)
+assert len(executor_pids()) >= 2
+
+root = tempfile.mkdtemp(prefix="cluster-loss-stream-")
+landing, ckpt, store = [os.path.join(root, d) for d in ("landing", "ckpt", "store")]
+
+ev = load_table(spark, {sf!r}, "events")
+cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+# 8 landing files + maxFilesPerTrigger=1 => ~8 micro-batches, each
+# committing a new state-store version — a multi-second drain the
+# kill can land inside.
+ev.select(cols).repartition(8).write.mode("overwrite").parquet(landing)
+
+stream = (
+    spark.readStream.schema(spark.read.parquet(landing).schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(landing)
+    .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+)
+agg = stream.groupBy(F.window("event_time", "1 hour"), "event_type").agg(
+    F.count(F.lit(1)).alias("n_events")
+)
+def upsert(bdf, batch_id):
+    (bdf.select(F.col("window.start").alias("window_start"), "event_type",
+                "n_events", F.lit(batch_id).alias("batch_id"))
+        .write.mode("append").parquet(f"{{store}}/b{{batch_id}}"))
+
+q = (agg.writeStream.foreachBatch(upsert).outputMode("update")
+     .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+
+killed = {{}}
+def killer():
+    st = spark.sparkContext.statusTracker()
+    for _ in range(600):
+        if st.getActiveStageIds():
+            break
+        time.sleep(0.05)
+    time.sleep(2.0)  # land a few micro-batches into the drain
+    killed["batches_at_kill"] = len(glob.glob(os.path.join(store, "b*")))
+    victim = executor_pids()[0]
+    os.kill(victim, signal.SIGKILL)
+    killed["pid"] = victim
+    print("KILLED-EXECUTOR", victim, "at-batch", killed["batches_at_kill"], flush=True)
+
+t = threading.Thread(target=killer); t.start()
+q.awaitTermination()
+t.join()
+assert "pid" in killed
+
+batches_total = len(glob.glob(os.path.join(store, "b*")))
+# The kill must have landed MID-drain: state versions committed before
+# it were consumed by micro-batches after it (cumulative counts prove
+# the reload below); a kill after the last batch would make this test
+# vacuous, a kill before the first would just test a cold start.
+assert 0 < killed["batches_at_kill"] < batches_total, (
+    killed["batches_at_kill"], batches_total)
+print("BATCHES", killed["batches_at_kill"], "->", batches_total, flush=True)
+
+upd = spark.read.option("basePath", store).parquet(f"{{store}}/b*")
+w = Window.partitionBy("window_start", "event_type").orderBy(F.col("batch_id").desc())
+final = (upd.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+         .select("window_start", "event_type", "n_events"))
+got = {{(r.window_start, r.event_type): r.n_events for r in final.collect()}}
+batch = (ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+         .groupBy(F.window("event_time", "1 hour"), "event_type")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .select(F.col("window.start").alias("ws"), "event_type", "n"))
+want = {{(r.ws, r.event_type): r.n for r in batch.collect()}}
+assert got == want and len(got) > 0, (len(got), len(want))
+spark.stop()
+print("STREAM-LOSS-OK", len(got))
+"""
+
+
+def test_stateful_stream_survives_executor_sigkill_mid_drain(sf_dir):
+    """A stateful windowed aggregation drained as ~8 micro-batches
+    (maxFilesPerTrigger=1) loses one executor JVM to SIGKILL mid-drain:
+    retried tasks — possibly on the OTHER executor or the worker's
+    replacement — must reload the last committed state-store version
+    from the checkpoint and keep accumulating, so the final cumulative
+    counts equal the one-shot batch answer exactly.  The driver
+    asserts the kill landed strictly between the first and last
+    micro-batch (never vacuous)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _STREAM_DRIVER.format(repo=repo, sf=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0 and "STREAM-LOSS-OK" in proc.stdout, (
+        f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
+    )
+    assert "KILLED-EXECUTOR" in proc.stdout
