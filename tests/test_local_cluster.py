@@ -62,6 +62,10 @@ CLUSTER_QUERIES = [
     # computed (checkpointed label propagation), committed by REAL
     # distributed executors, then read back and joined — the WAP
     # commit protocol across two JVMs
+    "ns_preference_pairs",  # r11: two row_number windows AND the
+    # pair groupBy all riding ONE preserved hashpartitioning — the
+    # conditional-aggregation-on-window-output variant of the
+    # dedup_url_quota partitioning-preservation claim, on real JVMs
 ]
 
 _DRIVER = r"""
