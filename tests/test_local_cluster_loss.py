@@ -269,3 +269,293 @@ def test_stateful_stream_survives_executor_sigkill_mid_drain(sf_dir):
         f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
     )
     assert "KILLED-EXECUTOR" in proc.stdout
+
+
+_SKEW_DRIVER = r"""
+import os, signal, subprocess, sys, threading, time
+sys.path.insert(0, {repo!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+
+# Broadcast disabled on BOTH planner paths (static + AQE) so the
+# salted join is a REAL cross-JVM shuffle join — the 100 TB shape
+# where salting matters (a broadcast join never skews).
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .getOrCreate()
+)
+
+def executor_pids():
+    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
+    return [int(l.split(None, 1)[0]) for l in out.splitlines()
+            if "CoarseGrainedExecutorBackend" in l and "java" in l and "python" not in l]
+
+for _ in range(60):
+    if len(executor_pids()) >= 2:
+        break
+    time.sleep(1)
+assert len(executor_pids()) >= 2
+
+# 90%-hot fact: key 0 owns 9/10 of N rows — the stuck-reducer shape.
+# The salt is content-derived (id % N_SALTS), so the hot key fans out
+# over N_SALTS (key, salt) reducer groups by construction and the
+# answer stays referentially deterministic.  A slow Arrow map keeps
+# the fact's map stage open long enough for the kill to land inside.
+N = 200_000
+N_SALTS = 16
+def slow_map(batches):
+    import time as _t
+    for b in batches:
+        _t.sleep(0.8)
+        yield b
+
+fact = (
+    spark.range(N).repartition(16)
+    .mapInPandas(slow_map, "id long")
+    .select(
+        "id",
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+         .otherwise(F.col("id") % 97 + 1).alias("k"),
+        (F.col("id") % N_SALTS).alias("salt"),
+    )
+)
+dim_rep = (
+    spark.range(98).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("weight")
+    )
+    .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))))
+)
+joined = (
+    fact.join(dim_rep, ["k", "salt"])
+    .groupBy("k")
+    .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"),
+         F.sum("weight").alias("w"))
+)
+plan = joined._jdf.queryExecution().executedPlan().toString()
+assert "BroadcastHashJoin" not in plan, "join must be a real shuffle join"
+
+killed = {{}}
+def killer():
+    st = spark.sparkContext.statusTracker()
+    for _ in range(300):
+        if st.getActiveStageIds():
+            break
+        time.sleep(0.1)
+    time.sleep(1.5)  # inside the 0.8 s-per-task Arrow map stage
+    victim = executor_pids()[0]
+    os.kill(victim, signal.SIGKILL)
+    killed["pid"] = victim
+    print("KILLED-EXECUTOR", victim, flush=True)
+
+t = threading.Thread(target=killer); t.start()
+rows = {{r.k: (r.n, r.s, r.w) for r in joined.collect()}}
+t.join()
+assert "pid" in killed, "killer thread never fired"
+
+# Exact expected answer, pure Python (same salt-invariance the
+# skew_salted_join oracle checks: salting must not change the result).
+want = {{}}
+for i in range(N):
+    k = 0 if i % 10 < 9 else i % 97 + 1
+    n, s, w = want.get(k, (0, 0, 0))
+    want[k] = (n + 1, s + i, w + (k * 2 + 1))
+assert rows == want, "post-loss salted join diverged from the exact answer"
+print("SKEW-EXACT-AFTER-LOSS", len(rows), flush=True)
+
+for _ in range(60):
+    alive = executor_pids()
+    if killed["pid"] not in alive and len(alive) >= 2:
+        break
+    time.sleep(1)
+alive = executor_pids()
+assert killed["pid"] not in alive, "victim executor still alive"
+assert len(alive) >= 2, f"replacement executor never joined: {{alive}}"
+print("ALL-OK")
+"""
+
+
+def test_salted_skew_join_survives_executor_sigkill():
+    """The salted-skew join pattern (skew.py:skew_salted_join's shape:
+    hot key fanned over N_SALTS content-derived salts, dim replicated
+    per salt, broadcast disabled so the join really shuffles) loses
+    one executor JVM mid-job: lost salted map outputs are recomputed,
+    and the re-aggregated answer must equal the closed form exactly.
+    This is the recovery story for the one join shape a skewed 100 TB
+    fact table forces — neither the plain loss test (no join) nor the
+    cluster oracle run (no loss) covers it."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _SKEW_DRIVER.format(repo=repo)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0 and "ALL-OK" in proc.stdout, (
+        f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
+    )
+    assert "KILLED-EXECUTOR" in proc.stdout
+    assert "SKEW-EXACT-AFTER-LOSS 98" in proc.stdout
+
+
+_ARROW_STATE_DRIVER = r"""
+import glob, os, signal, subprocess, sys, tempfile, threading, time
+sys.path.insert(0, {repo!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession, Window
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+from decision_tree_analytics_spark.sources.tables import load_table
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .getOrCreate()
+)
+
+def executor_pids():
+    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
+    return [int(l.split(None, 1)[0]) for l in out.splitlines()
+            if "CoarseGrainedExecutorBackend" in l and "java" in l and "python" not in l]
+
+for _ in range(60):
+    if len(executor_pids()) >= 2:
+        break
+    time.sleep(1)
+assert len(executor_pids()) >= 2
+
+root = tempfile.mkdtemp(prefix="cluster-loss-arrow-state-")
+landing, ckpt, store = [os.path.join(root, d) for d in ("landing", "ckpt", "store")]
+
+ev = load_table(spark, {sf!r}, "events").filter(F.col("value").isNotNull())
+ev.select("event_id", "user_id", "value").repartition(8).write.mode(
+    "overwrite"
+).parquet(landing)
+
+# Order-independent integer state machine: per-user (n, sum_cents)
+# accumulated in an Arrow python worker.  CUSUM itself is
+# batch-ORDER-dependent (its correctness on the cluster is already
+# oracle-locked by stream_cusum's one-batch drain); what executor
+# loss must prove is the RECOVERY of applyInPandasWithState's
+# python-written state-store versions, so the instrument is an
+# order-invariant recurrence with an exact closed form under ANY
+# file->micro-batch assignment.
+_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n", LongType()),
+    StructField("sum_cents", LongType()),
+])
+_ST = StructType([
+    StructField("n", LongType()),
+    StructField("sum_cents", LongType()),
+])
+
+def update_fn(key, pdfs, state):
+    import math
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        for v in pdf["value"].astype(float):
+            n += 1
+            cents += int(math.floor(v * 100 + 0.5))
+    state.update((n, cents))
+    yield pd.DataFrame({{"user_id": [user_id], "n": [n], "sum_cents": [cents]}})
+
+stream = (
+    spark.readStream.schema(spark.read.parquet(landing).schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(landing)
+)
+stateful = stream.groupBy("user_id").applyInPandasWithState(
+    update_fn,
+    outputStructType=_OUT,
+    stateStructType=_ST,
+    outputMode="update",
+    timeoutConf=GroupStateTimeout.NoTimeout,
+)
+
+def upsert(bdf, batch_id):
+    (bdf.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append").parquet(f"{{store}}/b{{batch_id}}"))
+
+q = (stateful.writeStream.foreachBatch(upsert).outputMode("update")
+     .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+
+killed = {{}}
+def killer():
+    st = spark.sparkContext.statusTracker()
+    for _ in range(600):
+        if st.getActiveStageIds():
+            break
+        time.sleep(0.05)
+    time.sleep(2.0)
+    killed["batches_at_kill"] = len(glob.glob(os.path.join(store, "b*")))
+    victim = executor_pids()[0]
+    os.kill(victim, signal.SIGKILL)
+    killed["pid"] = victim
+    print("KILLED-EXECUTOR", victim, "at-batch", killed["batches_at_kill"], flush=True)
+
+t = threading.Thread(target=killer); t.start()
+q.awaitTermination()
+t.join()
+assert "pid" in killed
+
+batches_total = len(glob.glob(os.path.join(store, "b*")))
+assert 0 < killed["batches_at_kill"] < batches_total, (
+    killed["batches_at_kill"], batches_total)
+print("BATCHES", killed["batches_at_kill"], "->", batches_total, flush=True)
+
+upd = spark.read.option("basePath", store).parquet(f"{{store}}/b*")
+w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+final = (upd.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+         .select("user_id", "n", "sum_cents"))
+got = {{r.user_id: (r.n, r.sum_cents) for r in final.collect()}}
+batch = (spark.read.parquet(landing)
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c")))
+want = {{r.user_id: (r.n, r.c) for r in batch.collect()}}
+assert got == want and len(got) > 0, (len(got), len(want))
+spark.stop()
+print("ARROW-STATE-LOSS-OK", len(got))
+"""
+
+
+def test_arrow_stateful_op_survives_executor_sigkill_mid_drain(sf_dir):
+    """applyInPandasWithState under executor loss — the Arrow-lane
+    counterpart of the JVM windowed-agg loss test above, and a
+    genuinely different recovery path: state versions here are
+    written BY PYTHON WORKERS through the Arrow state channel, and
+    after the SIGKILL the retried micro-batch's python workers (on
+    the surviving or replacement executor JVM) must reload those
+    versions from the checkpoint before continuing the recurrence.
+    The per-user integer (n, sum_cents) state machine gives an exact
+    closed form under any file->batch assignment; the driver asserts
+    the kill landed strictly mid-drain (never vacuous) and the final
+    cumulative state equals the one-shot batch answer."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _ARROW_STATE_DRIVER.format(repo=repo, sf=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0 and "ARROW-STATE-LOSS-OK" in proc.stdout, (
+        f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
+    )
+    assert "KILLED-EXECUTOR" in proc.stdout
