@@ -128,6 +128,117 @@ def test_windowed_counts_survive_checkpoint_restart(spark, sf_dir, tmp_path):
     assert second.join(b_keys, ["window_start", "event_type"], "left_anti").count() == 0
 
 
+def _latest_watermark_ms(ckpt: str) -> int:
+    """batchWatermarkMs from the highest-numbered offsets file — the
+    value a restarted instance restores before admitting any row."""
+    import json
+    import os
+
+    odir = os.path.join(ckpt, "offsets")
+    latest = max((f for f in os.listdir(odir) if f.isdigit()), key=int)
+    with open(os.path.join(odir, latest)) as fh:
+        lines = fh.read().splitlines()
+    return json.loads(lines[1])["batchWatermarkMs"]
+
+
+def _drain_append_wm(spark, landing: str, ckpt: str, store: str) -> None:
+    """Append-mode drain with a 1 h watermark: a window only emits
+    once the watermark passes it, and rows behind the watermark are
+    dropped by the stateful operator — the semantics under test."""
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .parquet(landing)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_time", "1 hour")
+    )
+    agg = stream.groupBy(
+        F.window("event_time", "1 hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    def sink(bdf, batch_id: int) -> None:
+        (
+            bdf.select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(f"{store}/b{batch_id}")
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_watermark_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """The third recovery trap: the WATERMARK itself is checkpoint
+    state.  Instance #1 drains the NEWEST half of the corpus, driving
+    the watermark ~2 weeks forward; days-older rows then land and
+    instance #2 restarts from the same checkpoint.  A correct restart
+    restores the high watermark and DROPS the late rows (zero new
+    emissions); a fresh-state restart would admit them and re-emit
+    long-closed windows.  The counterfactual drain (same data, fresh
+    checkpoint) proves those old windows DO emit when no restored
+    watermark blocks them — so the zero is the watermark's doing, not
+    an artifact.  Mechanism asserted too: batchWatermarkMs in the
+    offsets log is already past the late rows after drain #1 and
+    never regresses in drain #2."""
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    p40, p60 = ev.select(
+        F.expr("percentile(ts, 0.4)"), F.expr("percentile(ts, 0.6)")
+    ).collect()[0]
+    new_half = ev.filter(F.col("ts") >= p60).select(cols)  # drives wm high
+    late = ev.filter(F.col("ts") <= p40).select(cols)  # days behind it
+
+    new_half.write.mode("overwrite").parquet(landing)
+    _drain_append_wm(spark, landing, ckpt, store)  # instance #1
+
+    emitted1 = spark.read.option("basePath", store).parquet(f"{store}/b*")
+    n1 = emitted1.count()
+    assert n1 > 0  # availableNow's no-data batch closed the old windows
+
+    wm1 = _latest_watermark_ms(ckpt)
+    late_max_ms = late.agg(F.max(F.expr("ts div 1000000"))).collect()[0][0]
+    assert wm1 > late_max_ms + 3_600_000  # every late row is > 1 window late
+
+    late.write.mode("append").parquet(landing)
+    _drain_append_wm(spark, landing, ckpt, store)  # NEW instance, same ckpt
+
+    n2 = spark.read.option("basePath", store).parquet(f"{store}/b*").count()
+    assert n2 == n1  # restored watermark dropped every late row
+    assert _latest_watermark_ms(ckpt) >= wm1  # and never regressed
+
+    # Counterfactual: the SAME landing (new + late files) drained on a
+    # FRESH checkpoint emits the late rows' windows — they are only
+    # invisible above because the restart restored the watermark.
+    ckpt2 = str(tmp_path / "ckpt2")
+    store2 = str(tmp_path / "store2")
+    _drain_append_wm(spark, landing, ckpt2, store2)
+    old_emitted = (
+        spark.read.option("basePath", store2)
+        .parquet(f"{store2}/b*")
+        .filter(
+            # p40 is epoch-NANOS (load_table's ts unit); window_start
+            # is a timestamp — compare at µs.
+            F.col("window_start") <= F.timestamp_micros(F.lit(int(p40) // 1000))
+        )
+        .count()
+    )
+    assert old_emitted > 0
+
+
 def test_state_survives_shuffle_partition_conf_change(spark, sf_dir, tmp_path):
     """The state-store layout trap (VERDICT r10 item 2b): a stateful
     checkpoint PINS the state-store partition count at first-run
