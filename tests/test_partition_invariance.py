@@ -1,0 +1,56 @@
+"""Partition-count invariance — the determinism claim behind every
+oracle match, asserted directly: a query's canonical result must be
+IDENTICAL under wildly different physical partitionings.
+
+The grading driver runs on a vanilla session (200 shuffle
+partitions); this suite runs at 8 — so every green row is already
+two-conf evidence.  This test makes the claim explicit and extreme:
+each representative query runs once at ``shuffle.partitions=3`` with
+128 MB input splits and once at ``64`` with 64 KB splits (forcing
+many input partitions even on the tiny fixture), and the canonical
+row sets must match exactly.  The picks cover the order-sensitive
+physical shapes: window rank with tie-breaks, two windows riding one
+preserved exchange, an Arrow grouped-map recurrence, rank-statistic
+aggregation, and a float-summing rollup under rule-3 rounding.
+"""
+
+from __future__ import annotations
+
+from decision_tree_analytics_spark import operators
+from tests.oracle_harness import canonicalize
+
+# Order-sensitive representatives; each would diverge under a
+# partition-dependent plan bug (unstable rank tie-break, non-rounded
+# float sum order, per-partition recurrence state).
+INVARIANCE_QUERIES = [
+    "q16_window_keep_first",  # rank + tie-break uniqueness
+    "rel_gaps_islands",  # day - row_number island keys
+    "dedup_url_quota",  # two windows on one preserved partitioning
+    "udf_holt_smooth",  # Arrow grouped-map recurrence
+    "ml_auc_roc",  # global rank statistic
+    "q11_hash_agg",  # float sums under rule-3 rounding
+]
+
+_CONFS = [
+    {"spark.sql.shuffle.partitions": "3",
+     "spark.sql.files.maxPartitionBytes": "134217728"},
+    {"spark.sql.shuffle.partitions": "64",
+     "spark.sql.files.maxPartitionBytes": "65536"},
+]
+
+
+def test_results_invariant_under_partitioning(spark, sf_dir):
+    qs = operators.all_queries()
+    saved = {k: spark.conf.get(k) for c in _CONFS for k in c}
+    try:
+        for name in INVARIANCE_QUERIES:
+            results = []
+            for conf in _CONFS:
+                for k, v in conf.items():
+                    spark.conf.set(k, v)
+                results.append(canonicalize(qs[name](spark, sf_dir).toPandas()))
+            assert results[0] == results[1], name
+            assert len(results[0]) > 0, name
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
