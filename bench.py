@@ -2,8 +2,11 @@
 
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
-prints ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+prints ``{"metric": ..., "unit": "sec", "queries": {name: sec},
+"sf": ..., "total_s": ..., "n_queries": ...}`` (the full per-entry
+inventory also lands in BENCH_FULL.json; the printed line
+self-truncates from the front to fit the driver's 2000-byte tail
+capture, so the tail keys always survive).
 
 Each query is fully materialized via a count-style reduction
 (``df.write`` would measure the sink; ``collect`` would measure

@@ -20,16 +20,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.operators.cdc import (
+    _MANIFEST_CTE,
     _order_layout_manifest,
 )
 from decision_tree_analytics_spark.operators.text import (
-    PREF_POOL,
-    STOPWORDS,
-    _TOKEN_REGEX,
-    _sql_stop_hits,
-    _stop_hits,
-    _tokens,
+    _PREF_PER_CTE,
+    _pref_candidates,
 )
 from decision_tree_analytics_spark.sources.tables import load_table
 
@@ -60,29 +58,10 @@ def ns_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus scan; the window and the prompt groupBy share
     hashpartitioning(prompt_id) (pools are <= PREF_POOL rows, no
     skew); the per-source rollup is a |sources|-sized second
-    exchange.  Same plan at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = _tokens("text")
-    per = d.select(
-        "doc_id",
-        "source",
-        F.expr(f"doc_id div {PREF_POOL}").alias("prompt_id"),
-        (_stop_hits(toks, STOPWORDS["en"]) * F.lit(1_000_000)).alias(
-            "stop_micro"
-        ),
-        F.size(toks).cast("long").alias("n_ws"),
-        F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_REGEX), 0)
-        )
-        .cast("long")
-        .alias("re_tokens"),
-    ).select(
-        "doc_id",
-        "source",
-        "prompt_id",
-        F.expr("stop_micro div n_ws").alias("reward_ppm"),
-        "re_tokens",
-    )
+    exchange.  Same plan at 100 TB.  The reward stage is shared
+    VERBATIM with ns_preference_pairs (text._pref_candidates /
+    _PREF_PER_CTE) — one definition per engine, no drift."""
+    per = _pref_candidates(spark, sf_dir)
     w_best = Window.partitionBy("prompt_id").orderBy(
         F.col("reward_ppm").desc(), F.col("doc_id").asc()
     )
@@ -137,13 +116,7 @@ def ns_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REJECTION_ORACLE = rf"""
-WITH per AS (SELECT doc_id, source, doc_id // {PREF_POOL} AS prompt_id,
-    {_sql_stop_hits(STOPWORDS["en"])} * 1000000
-      // CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
-      AS reward_ppm,
-    CAST(len(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS BIGINT)
-      AS re_tokens
-  FROM documents),
+WITH {_PREF_PER_CTE},
 ranked AS (SELECT *,
     row_number() OVER (PARTITION BY prompt_id
                        ORDER BY reward_ppm DESC, doc_id ASC) AS rn_best
@@ -201,7 +174,12 @@ def snap_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (generation, file) reference table — file-count x GENS rows of
     METADATA, like a real table format's manifest list; the running
     sum orders the <= {VACUUM_GENS}-row generation grid (rule 5:
-    gen is unique)."""
+    gen is unique).  The reference table feeds TWO aggregation
+    branches (per-gen footprint, per-file last reference), so it is
+    persisted and tethered — Catalyst does not reuse an exchange
+    across branches of one uncached lineage (the BM25 lesson), and
+    without the persist the corpus scan would run twice
+    (plan-locked in tests/test_pending_r12.py)."""
     man = _order_layout_manifest(spark, sf_dir).filter(
         F.col("layout") == "clustered"
     )
@@ -228,7 +206,7 @@ def snap_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id",
         "bytes",
         F.explode(F.sequence(F.col("born"), F.col("last_gen"))).alias("gen"),
-    )
+    ).persist()
     footprint = refs.groupBy("gen").agg(
         F.count(F.lit(1)).cast("long").alias("n_files_referenced"),
         F.sum("bytes").cast("long").alias("bytes_referenced"),
@@ -257,7 +235,7 @@ def snap_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vacuumable"),
     )
     w = Window.orderBy("gen").rowsBetween(Window.unboundedPreceding, 0)
-    return joined.select(
+    out = joined.select(
         "*",
         F.sum(
             F.when(F.col("vacuumable") == 1, F.col("bytes_last_ref")).otherwise(
@@ -268,22 +246,23 @@ def snap_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_bytes_reclaimed"),
     )
+    return tether_cache(out, refs)
 
 
+# Composes cdc._MANIFEST_CTE verbatim (the Spark side goes through
+# cdc._order_layout_manifest), so a CLUSTER_DAYS tune can never drift
+# the two engines apart.
 _VACUUM_ORACLE = f"""
-WITH o AS (SELECT date_diff('day', DATE '1970-01-01',
-      CAST(o_orderdate AS DATE)) AS day FROM orders),
-man AS (SELECT day // 30 AS file_id, CAST(count(*) AS BIGINT) AS n_rows
-  FROM o GROUP BY 1),
+WITH {_MANIFEST_CTE},
 files AS (SELECT file_id, n_rows * {VACUUM_ROW_BYTES} AS bytes,
     ('0x' || substr(md5(CAST(file_id AS VARCHAR)), 1, 8))::BIGINT % 4
       AS born,
     ('0x' || substr(md5(CAST(file_id AS VARCHAR)), 9, 8))::BIGINT % 3
       AS extra
-  FROM man),
+  FROM man WHERE layout = 'clustered'),
 spans AS (SELECT file_id, bytes, born,
     least(born + extra + 1, {VACUUM_GENS - 1}) AS last_gen FROM files),
-refs AS (SELECT file_id, bytes,
+refs AS MATERIALIZED (SELECT file_id, bytes,
     unnest(range(born, last_gen + 1)) AS gen FROM spans),
 footprint AS (SELECT gen, CAST(count(*) AS BIGINT) AS n_files_referenced,
     CAST(sum(bytes) AS BIGINT) AS bytes_referenced

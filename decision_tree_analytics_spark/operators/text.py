@@ -2832,6 +2832,47 @@ PREF_POOL = 4  # candidate completions sampled per prompt
 PREF_MARGIN_PPM = 50_000  # min reward gap (5%) for a usable pair
 
 
+def _pref_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-pool stage for the RLHF data-prep audits
+    (ns_preference_pairs here; ns_rejection_sample in pending_r12):
+    one row per candidate completion with its synthetic prompt key,
+    integer-ppm reward proxy, and regex token count.  Extracted so
+    the reward definition lives in exactly one place per engine —
+    `_PREF_PER_CTE` is the oracle-side twin."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    return d.select(
+        "doc_id",
+        "source",
+        F.expr(f"doc_id div {PREF_POOL}").alias("prompt_id"),
+        (
+            _stop_hits(toks, STOPWORDS["en"]) * F.lit(1_000_000)
+        ).alias("stop_micro"),
+        F.size(toks).cast("long").alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_REGEX), 0)
+        )
+        .cast("long")
+        .alias("re_tokens"),
+    ).select(
+        "doc_id",
+        "source",
+        "prompt_id",
+        F.expr("stop_micro div n_ws").alias("reward_ppm"),
+        "re_tokens",
+    )
+
+
+# Oracle-side twin of _pref_candidates (composable as a CTE body).
+_PREF_PER_CTE = rf"""per AS (SELECT doc_id, source, doc_id // {PREF_POOL} AS prompt_id,
+    {_sql_stop_hits(STOPWORDS["en"])} * 1000000
+      // CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+      AS reward_ppm,
+    CAST(len(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS BIGINT)
+      AS re_tokens
+  FROM documents)"""
+
+
 def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair (DPO/RLHF) assembly audit — the data-prep pass
     that turns per-prompt candidate pools into (chosen, rejected)
@@ -2864,28 +2905,7 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are <= PREF_POOL rows so there is no window skew; the final
     per-source rollup is a second, |sources|-sized exchange.  Same
     plan at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = _tokens("text")
-    per = d.select(
-        "doc_id",
-        "source",
-        F.expr(f"doc_id div {PREF_POOL}").alias("prompt_id"),
-        (
-            _stop_hits(toks, STOPWORDS["en"]) * F.lit(1_000_000)
-        ).alias("stop_micro"),
-        F.size(toks).cast("long").alias("n_ws"),
-        F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_REGEX), 0)
-        )
-        .cast("long")
-        .alias("re_tokens"),
-    ).select(
-        "doc_id",
-        "source",
-        "prompt_id",
-        F.expr("stop_micro div n_ws").alias("reward_ppm"),
-        "re_tokens",
-    )
+    per = _pref_candidates(spark, sf_dir)
     w_best = Window.partitionBy("prompt_id").orderBy(
         F.col("reward_ppm").desc(), F.col("doc_id").asc()
     )
@@ -2961,13 +2981,7 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ns_preference_pairs"] = ns_preference_pairs
 ORACLES["ns_preference_pairs"] = rf"""
-WITH per AS (SELECT doc_id, source, doc_id // {PREF_POOL} AS prompt_id,
-    {_sql_stop_hits(STOPWORDS["en"])} * 1000000
-      // CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
-      AS reward_ppm,
-    CAST(len(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS BIGINT)
-      AS re_tokens
-  FROM documents),
+WITH {_PREF_PER_CTE},
 ranked AS (SELECT *,
     row_number() OVER (PARTITION BY prompt_id
                        ORDER BY reward_ppm DESC, doc_id ASC) AS rn_best,

@@ -45,6 +45,12 @@ def test_pending_plan_shapes(spark, sf_dir):
     assert p.count("BroadcastExchange") == 1  # the split-day scalar
     p = plan("ns_rejection_sample")
     assert p.count("Exchange hashpartitioning") == 2
+    # Vacuum planner: the persisted reference table feeds BOTH
+    # aggregation branches from the cache — count InMemoryTableScan,
+    # never "Scan parquet" substrings (a persisted sub-plan's text
+    # repeats its child FileScan under every InMemoryRelation print).
+    p = plan("snap_vacuum_plan")
+    assert p.count("InMemoryTableScan") == 2
 
 
 def test_rejection_sample_invariants(spark, sf_dir):

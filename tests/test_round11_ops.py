@@ -30,7 +30,10 @@ def _replay(docs: pd.DataFrame) -> pd.DataFrame:
     argmax/argmin with the doc_id tie-break, margin filter, rollup)."""
     rows = []
     for r in docs.itertuples(index=False):
-        ws = r.text.strip().lower().split(" ")
+        # strip(' ') not strip(): both engines' trim() removes SPACES
+        # only, while Python's bare strip() eats \t/\n/\r too — a
+        # corpus with non-space edge whitespace would diverge.
+        ws = r.text.strip(" ").lower().split(" ")
         stop = sum(1 for t in ws if t in _STOP_EN)
         rows.append(
             {
