@@ -615,12 +615,210 @@ SELECT event_type, n_days, n_pairs, s_stat,
 FROM agg JOIN days USING (event_type)
 """
 
+# ---------------------------------------------------------------------------
+# mm_video_frame_plan — keyframe/GOP extraction manifest
+# ---------------------------------------------------------------------------
+
+VIDEO_HEADER_BYTES = 512  # modeled container header
+
+
+def mm_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe-extraction work-plan — mm_audio_chunk_plan's
+    shape on the GOP axis: per clip (synthetic metadata derived from
+    doc_id: fps 24/25/30, duration 2-20 s, two resolution tiers, GOP
+    12 or 15 frames), one row per GOP with the keyframe index, its
+    integer-µs timestamp, the exact byte offset into the modeled
+    stream (I-frames and P-frames have different modeled sizes, so
+    the offset is header + #I-before*i_bytes + #P-before*p_bytes —
+    all closed-form BIGINT), and the tail-clamped GOP length.
+
+    This is the fan-out a video loader ships to decode workers (the
+    actual frame decode is the documented stub boundary,
+    multimodal.py:64): pure integer codegen + one explode — no
+    shuffle, no Python, no codec.  Every quantity is exact integer
+    arithmetic, identical in both engines (the ts division truncates
+    identically on non-negative µs)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    g = d.select(
+        "doc_id",
+        (24 + F.pmod("doc_id", F.lit(3)) * 3).cast("long").alias("fps"),
+        (F.pmod("doc_id", F.lit(19)) + 2).cast("long").alias("dur_s"),
+        (12 + F.pmod("doc_id", F.lit(2)) * 3).cast("long").alias("gop"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, 1280 * 720)
+        .otherwise(640 * 360)
+        .cast("long")
+        .alias("pixels"),
+    ).select(
+        "*",
+        (F.col("fps") * F.col("dur_s")).alias("n_frames"),
+        F.expr("pixels div 2").alias("i_bytes"),
+        F.expr("pixels div 10").alias("p_bytes"),
+    )
+    g = g.select("*", F.expr("(n_frames - 1) div gop + 1").alias("n_gops"))
+    k = g.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.col("n_gops") - 1)).alias("k"),
+    )
+    return k.select(
+        "doc_id",
+        "fps",
+        "gop",
+        "n_frames",
+        "k",
+        (F.col("k") * F.col("gop")).alias("frame_idx"),
+        F.expr("k * gop * 1000000 div fps").alias("ts_us"),
+        F.least(F.col("gop"), F.col("n_frames") - F.col("k") * F.col("gop"))
+        .cast("long")
+        .alias("gop_len"),
+        F.when(F.col("k") == F.col("n_gops") - 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_last"),
+        (
+            F.lit(VIDEO_HEADER_BYTES)
+            + F.col("k") * F.col("i_bytes")
+            + (F.col("k") * F.col("gop") - F.col("k")) * F.col("p_bytes")
+        )
+        .cast("long")
+        .alias("byte_offset"),
+        "i_bytes",
+    )
+
+
+_VIDEO_ORACLE = f"""
+WITH g AS (SELECT doc_id,
+    CAST(24 + (doc_id % 3) * 3 AS BIGINT) AS fps,
+    CAST(doc_id % 19 + 2 AS BIGINT) AS dur_s,
+    CAST(12 + (doc_id % 2) * 3 AS BIGINT) AS gop,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 1280 * 720
+         ELSE 640 * 360 END AS BIGINT) AS pixels
+  FROM documents),
+m AS (SELECT *, fps * dur_s AS n_frames, pixels // 2 AS i_bytes,
+    pixels // 10 AS p_bytes, (fps * dur_s - 1) // gop + 1 AS n_gops
+  FROM g),
+k AS (SELECT *, unnest(range(n_gops)) AS k FROM m)
+SELECT doc_id, fps, gop, n_frames, CAST(k AS BIGINT) AS k,
+  CAST(k * gop AS BIGINT) AS frame_idx,
+  CAST(k * gop * 1000000 // fps AS BIGINT) AS ts_us,
+  CAST(least(gop, n_frames - k * gop) AS BIGINT) AS gop_len,
+  CAST(CASE WHEN k = n_gops - 1 THEN 1 ELSE 0 END AS BIGINT) AS is_last,
+  CAST({VIDEO_HEADER_BYTES} + k * i_bytes + (k * gop - k) * p_bytes
+    AS BIGINT) AS byte_offset,
+  i_bytes
+FROM k
+"""
+
+# ---------------------------------------------------------------------------
+# rel_hodges_lehmann — pseudomedian treatment-effect estimator
+# ---------------------------------------------------------------------------
+
+
+def rel_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator per event type — the robust
+    companion to rel_did's difference-in-means: the MEDIAN of all
+    pairwise differences between the treatment arm's daily revenue
+    and the control arm's (arms from the content-derived
+    md5(user_id) % 2 split), immune to any single anomalous day.
+
+    Pair generation is the bounded-grid rule (rel_theil_sen): the
+    corpus collapses to the (event_type, arm, day) rollup FIRST —
+    one corpus exchange — and pairs are grid x grid (~31x31 per
+    type at ANY corpus size).  Diffs are exact BIGINT cents and are
+    NEVER divided (they can be negative; the engines disagree on
+    negative integer division) — the median is explicit rank
+    selection ordered by (diff, day_t, day_c) (rules 5/10), and the
+    even-count average of the two middle INTEGER diffs is one IEEE
+    double division by 2 on an exact sum, identical in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("arm"),
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("event_type", "arm", "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    t = daily.filter(F.col("arm") == 1).select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day_t"),
+        F.col("x").alias("xt"),
+    )
+    c = daily.filter(F.col("arm") == 0).select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day_c"),
+        F.col("x").alias("xc"),
+    )
+    pairs = t.join(c, "et").select(
+        "et", "day_t", "day_c", (F.col("xt") - F.col("xc")).alias("diff")
+    )
+    w = Window.partitionBy("et").orderBy("diff", "day_t", "day_c")
+    ranked = pairs.select(
+        "et",
+        "diff",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("et")).alias("np"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.expr("(np + 1) div 2"))
+            | (F.col("rn") == F.expr("np div 2 + 1"))
+        )
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.min("np").cast("long").alias("n_pairs"),
+            (
+                F.floor(
+                    (F.sum("diff").cast("double") / F.count(F.lit(1))) * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("hl_shift_cents"),
+        )
+    )
+
+
+_HL_ORACLE = """
+WITH daily AS (SELECT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+      AS arm,
+    epoch_us(ts) // 86400000000 AS day,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+pairs AS (SELECT t.event_type, t.day AS day_t, c.day AS day_c,
+    t.x - c.x AS diff
+  FROM daily t JOIN daily c
+    ON t.event_type = c.event_type AND t.arm = 1 AND c.arm = 0),
+ranked AS (SELECT event_type, diff,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY diff, day_t, day_c) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs)
+SELECT event_type, CAST(min(np) AS BIGINT) AS n_pairs,
+  floor((CAST(sum(diff) AS DOUBLE) / count(*)) * 100 + 0.5) / 100
+    AS hl_shift_cents
+FROM ranked
+WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+GROUP BY 1
+"""
+
 PENDING_QUERIES = {
     "ns_rejection_sample": ns_rejection_sample,
     "snap_vacuum_plan": snap_vacuum_plan,
     "ml_quantile_reg": ml_quantile_reg,
     "rel_did": rel_did,
     "rel_mann_kendall": rel_mann_kendall,
+    # Queued for r14 (r12 has exactly 5 fresh slots; r13 has zero —
+    # its window is the 50-name r07 tail):
+    "mm_video_frame_plan": mm_video_frame_plan,
+    "rel_hodges_lehmann": rel_hodges_lehmann,
 }
 
 PENDING_ORACLES = {
@@ -629,4 +827,6 @@ PENDING_ORACLES = {
     "ml_quantile_reg": _qreg_oracle(),
     "rel_did": _DID_ORACLE,
     "rel_mann_kendall": _MANN_KENDALL_ORACLE,
+    "mm_video_frame_plan": _VIDEO_ORACLE,
+    "rel_hodges_lehmann": _HL_ORACLE,
 }

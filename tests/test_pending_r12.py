@@ -233,6 +233,85 @@ def test_mann_kendall_matches_replay(spark, sf_dir):
         assert abs(got.loc[et, "trend_ppm"]) <= 1_000_000
 
 
+def test_video_frame_plan_matches_replay(spark, sf_dir):
+    """Pure-Python GOP/byte-offset replay over every clip: the plan's
+    closed-form offsets must equal a frame-by-frame walk of the
+    modeled stream (I-frame at each GOP head, P-frames between)."""
+    pdf = (
+        PENDING_QUERIES["mm_video_frame_plan"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "k"])
+    )
+    assert len(pdf) > 0
+    from decision_tree_analytics_spark.operators.pending_r12 import (
+        VIDEO_HEADER_BYTES,
+    )
+
+    for doc_id, g in pdf.groupby("doc_id"):
+        fps = 24 + (doc_id % 3) * 3
+        dur = doc_id % 19 + 2
+        gop = 12 + (doc_id % 2) * 3
+        pixels = 1280 * 720 if doc_id % 2 == 0 else 640 * 360
+        n_frames = fps * dur
+        i_b, p_b = pixels // 2, pixels // 10
+        # Walk the stream frame by frame, recording each GOP head.
+        offsets, off = [], VIDEO_HEADER_BYTES
+        for idx in range(n_frames):
+            if idx % gop == 0:
+                offsets.append(off)
+            off += i_b if idx % gop == 0 else p_b
+        assert list(g.byte_offset) == offsets
+        assert list(g.frame_idx) == [k * gop for k in range(len(offsets))]
+        assert list(g.ts_us) == [
+            k * gop * 1_000_000 // fps for k in range(len(offsets))
+        ]
+        assert g.gop_len.sum() == n_frames  # GOPs tile the clip exactly
+        assert list(g.is_last)[-1] == 1 and sum(g.is_last) == 1
+
+
+def test_hodges_lehmann_matches_replay(spark, sf_dir):
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    got = (
+        PENDING_QUERIES["rel_hodges_lehmann"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("arm"),
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .groupBy("event_type", "arm", "day")
+        .agg(F.sum("cents").alias("x"))
+        .toPandas()
+    )
+    for et, g in daily.groupby("event_type"):
+        ts = g[g.arm == 1]
+        cs = g[g.arm == 0]
+        diffs = sorted(
+            int(xt) - int(xc) for xt in ts.x for xc in cs.x
+        )
+        n = len(diffs)
+        if n == 0:
+            assert et not in got.index
+            continue
+        lo, hi = diffs[(n + 1) // 2 - 1], diffs[n // 2]
+        import math
+
+        want = math.floor(((lo + hi) / 2) * 100 + 0.5) / 100
+        assert got.loc[et, "n_pairs"] == n
+        assert got.loc[et, "hl_shift_cents"] == want
+
+
 def test_did_matches_pandas_replay(spark, sf_dir):
     from decision_tree_analytics_spark.sources.tables import load_table
 
