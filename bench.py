@@ -72,6 +72,7 @@ def main() -> None:
     # Arrow lanes), and the min filters one-off noisy-neighbor spikes
     # on the shared host — we record steady-state engine throughput,
     # which is what extrapolates to a long-running cluster job.
+    load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in names:
@@ -82,7 +83,12 @@ def main() -> None:
                 timings[name] = dt
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    line, full = emit(timings, names, sf)
+    # VERDICT r11 item 7: cross-round floor comparisons need the box
+    # load on the record, not archaeology — annotate the parsed line
+    # with the 1-min load average at timing start and end.
+    line, full = emit(
+        timings, names, sf, loads=(load_start, os.getloadavg()[0])
+    )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
         "w",
@@ -106,8 +112,13 @@ def main() -> None:
 LINE_BUDGET = 1900
 
 
-def emit(timings: dict, names: list, sf) -> tuple[str, dict]:
-    """Build (printed line, full record) — pure, unit-testable."""
+def emit(timings: dict, names: list, sf, loads=None) -> tuple[str, dict]:
+    """Build (printed line, full record) — pure, unit-testable.
+
+    ``loads`` = (load1_start, load1_end) box load averages bracketing
+    the timed passes; they ride BOTH the full record and the printed
+    line's tail so cross-round floor comparisons carry their own
+    load context (VERDICT r11 item 7)."""
     ordered = {n: round(timings[n], 2) for n in reversed(names)}
     total = round(sum(timings.values()), 2)
     full = {
@@ -119,6 +130,9 @@ def emit(timings: dict, names: list, sf) -> tuple[str, dict]:
         "total_s": total,
         "n_queries": len(names),
     }
+    if loads is not None:
+        full["load1_start"] = round(loads[0], 2)
+        full["load1_end"] = round(loads[1], 2)
     payload = dict(full)
     # ADVICE r10: 'value' duplicates 'total_s' — keep it only in
     # BENCH_FULL.json and spend the ~25 line bytes on query entries

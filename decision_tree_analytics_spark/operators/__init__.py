@@ -22,6 +22,7 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
     graph,
     ml_inventory,
     multimodal,
+    pending_r12,
     relational,
     retrieval,
     similarity,
@@ -51,6 +52,9 @@ ALL_MODULES = (
     stats_ext,
     retrieval,
     source_io,
+    # r12: the five registered round-12 operators (the module also
+    # holds the two r14-pending candidates, NOT in its QUERIES).
+    pending_r12,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.
@@ -154,6 +158,12 @@ BENCH_EXTRAS = [
     "snap_overlap_depth",
     # r11 addition
     "ns_preference_pairs",
+    # r12 additions
+    "ns_rejection_sample",
+    "snap_vacuum_plan",
+    "ml_quantile_reg",
+    "rel_did",
+    "rel_mann_kendall",
 ]
 
 

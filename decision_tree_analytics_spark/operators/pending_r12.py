@@ -1,16 +1,15 @@
-"""Round-12 candidate operators — pre-verified, NOT yet registered.
+"""Round-12 operators (built and pre-verified during round 11).
 
-The driver samples the FIRST 50 enumerated contract names each round;
-r11's window is exactly ns_preference_pairs + the 49 stalest
-r05-verified names (zero slack), so registering anything else in r11
-would push stale names out of re-verification (CLAUDE.md round-11
-window math).  These operators are therefore built and oracle-tested
-now (tests/test_pending_r12.py) but exported as ``PENDING_QUERIES`` /
-``PENDING_ORACLES`` — r12 merges them into a module's ``QUERIES`` /
-``ORACLES`` once CORRECTNESS_r11 confirms the r05 tail re-verified
-(r12 has up to 5 fresh slots: 5 + 45 r06-stale = 50).
+CORRECTNESS_r11 landed 50/50 green, lifting the lifetime floor to r06
+— so r12 has exactly 5 fresh slots (5 + the 45 r06-stale names = the
+driver's 50-sample window, zero slack).  The five names in ``QUERIES``
+/ ``ORACLES`` below are REGISTERED into the contract via
+operators.__init__.ALL_MODULES; the remaining two stay in
+``PENDING_QUERIES`` / ``PENDING_ORACLES`` for r14's 2 fresh slots
+(r13's window is the 50-name r07 tail with ZERO slack — CLAUDE.md
+window math).
 
-All four follow the repo's cross-engine determinism rules: integer
+All seven follow the repo's cross-engine determinism rules: integer
 ppm/cents/micro arithmetic, rule-3 floor rounding, rule-5 unique
 tie-breaks, rule-8 nullif guards, md5-only hashing.
 """
@@ -406,7 +405,10 @@ def rel_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     (post_t − pre_t) − (post_c − pre_c).
 
     Determinism: cell sums are rule-3 integer cents; means are
-    floor-divided to micro-dollars (positive numerators, portable;
+    divided to micro-dollars via the sign-split idiom
+    sign(cents) * (abs(cents) * 10000 div n) — Spark div truncates
+    while DuckDB // floors on NEGATIVE numerators, so the division
+    only ever sees non-negative operands (the trend_ppm lesson;
     BIGINT-safe until a cell's cent sum exceeds ~9.2e14 ≈ $9.2e12);
     DiD subtracts the four already-floored means, so both engines
     compute identical integers; empty cells nullif to NULL and
@@ -449,9 +451,10 @@ def rel_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arm",
             "post",
             "n",
-            F.expr("CAST(cents * 10000 div nullif(n, 0) AS BIGINT)").alias(
-                "mean_micro"
-            ),
+            F.expr(
+                "CAST((CASE WHEN cents < 0 THEN -1 ELSE 1 END)"
+                " * (abs(cents) * 10000 div nullif(n, 0)) AS BIGINT)"
+            ).alias("mean_micro"),
         )
     )
 
@@ -492,7 +495,9 @@ bounds AS (SELECT (min(day) + max(day) + 1) // 2 AS split_day FROM rows_),
 cells AS (SELECT event_type, arm,
     CASE WHEN day >= split_day THEN 1 ELSE 0 END AS post,
     CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(cents) * 10000 // nullif(count(*), 0) AS BIGINT) AS mean_micro
+    CAST((CASE WHEN sum(cents) < 0 THEN -1 ELSE 1 END)
+         * (abs(sum(cents)) * 10000 // nullif(count(*), 0))
+      AS BIGINT) AS mean_micro
   FROM rows_ CROSS JOIN bounds GROUP BY 1, 2, 3),
 piv AS (SELECT event_type,
     CAST(max(CASE WHEN arm = 0 AND post = 0 THEN n END) AS BIGINT)
@@ -809,24 +814,31 @@ WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
 GROUP BY 1
 """
 
-PENDING_QUERIES = {
+# Registered into the r12 contract (operators.__init__.ALL_MODULES).
+QUERIES = {
     "ns_rejection_sample": ns_rejection_sample,
     "snap_vacuum_plan": snap_vacuum_plan,
     "ml_quantile_reg": ml_quantile_reg,
     "rel_did": rel_did,
     "rel_mann_kendall": rel_mann_kendall,
-    # Queued for r14 (r12 has exactly 5 fresh slots; r13 has zero —
-    # its window is the 50-name r07 tail):
-    "mm_video_frame_plan": mm_video_frame_plan,
-    "rel_hodges_lehmann": rel_hodges_lehmann,
 }
 
-PENDING_ORACLES = {
+ORACLES = {
     "ns_rejection_sample": _REJECTION_ORACLE,
     "snap_vacuum_plan": _VACUUM_ORACLE,
     "ml_quantile_reg": _qreg_oracle(),
     "rel_did": _DID_ORACLE,
     "rel_mann_kendall": _MANN_KENDALL_ORACLE,
+}
+
+# Held for r14's 2 fresh slots (r13's window is the 50-name r07 tail
+# with zero slack):
+PENDING_QUERIES = {
+    "mm_video_frame_plan": mm_video_frame_plan,
+    "rel_hodges_lehmann": rel_hodges_lehmann,
+}
+
+PENDING_ORACLES = {
     "mm_video_frame_plan": _VIDEO_ORACLE,
     "rel_hodges_lehmann": _HL_ORACLE,
 }

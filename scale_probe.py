@@ -358,9 +358,10 @@ def main() -> None:
 
     spark = get_spark(app_name="dta-spark-scale-probe")
     queries = operators.all_queries()
-    # r12 candidates (operators/pending_r12.py) are probe-able before
-    # they enter the contract — their sf1 rows land in BASELINE.md at
-    # build time so registration day has nothing left to measure.
+    # Pending candidates (operators/pending_r12.py PENDING_QUERIES —
+    # the r14 holds) are probe-able before they enter the contract —
+    # their sf1 rows land in BASELINE.md at build time so
+    # registration day has nothing left to measure.
     from decision_tree_analytics_spark.operators.pending_r12 import (
         PENDING_QUERIES,
     )

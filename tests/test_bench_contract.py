@@ -68,3 +68,17 @@ def test_totals_follow_queries_in_key_order():
     keys = list(json.loads(line))
     assert keys.index("total_s") > keys.index("queries")
     assert keys.index("n_queries") > keys.index("queries")
+
+
+def test_load_annotation_survives_truncation():
+    """VERDICT r11 item 7: the parsed line carries the box load that
+    bracketed the timed passes, even at huge inventories."""
+    timings, names = _fake_timings(500)
+    line, full = bench.emit(timings, names, "0.1", loads=(0.134, 2.71))
+    payload = json.loads(line)
+    assert payload["load1_start"] == 0.13 and payload["load1_end"] == 2.71
+    assert full["load1_start"] == 0.13 and full["load1_end"] == 2.71
+    assert len(line) <= bench.LINE_BUDGET
+    # Omitting loads keeps the legacy shape (pure-function contract).
+    line2, full2 = bench.emit(timings, names, "0.1")
+    assert "load1_start" not in json.loads(line2) and "load1_start" not in full2

@@ -66,6 +66,12 @@ CLUSTER_QUERIES = [
     # pair groupBy all riding ONE preserved hashpartitioning — the
     # conditional-aggregation-on-window-output variant of the
     # dedup_url_quota partitioning-preservation claim, on real JVMs
+    "snap_vacuum_plan",  # r12: the exploded reference table persisted
+    # once and read by TWO aggregation branches — cache blocks must
+    # resolve from remote block managers for both consumers
+    "ml_quantile_reg",  # r12: 25 conditional aggregates in one
+    # map-side-combined corpus pass, then stack+argmin window on a
+    # real cross-JVM exchange
 ]
 
 _DRIVER = r"""

@@ -1,7 +1,8 @@
-"""Property-based tests (hypothesis) for the pending r12 candidates'
+"""Property-based tests (hypothesis) for the round-12 operators'
 integer formulas — pure-Python replicas of the exact expression trees
 both engines run, checked over arbitrary inputs.  The Spark-vs-oracle
-equality lives in tests/test_pending_r12.py; these lock the FORMULAS
+equality lives in tests/test_oracle_queries.py (registered five) and
+tests/test_pending_r12.py (r14 holds); these lock the FORMULAS
 (vacuum retention accounting, Mann-Kendall statistic bounds, pinball
 argmin) against future refactors and against inputs the fixture
 never produces (all-tie series, single-generation files, negative

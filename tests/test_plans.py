@@ -1301,3 +1301,101 @@ def test_preference_pairs_two_exchange_pipeline(spark, sf_dir):
     assert not has_python_eval(plan)
     assert plan.count("Scan parquet") == 1
     assert plan.count("Window") == 2
+
+
+def test_quantile_reg_grid_is_one_corpus_pass(spark, sf_dir):
+    """ml_quantile_reg: all 25 grid losses are conditional aggregates
+    of ONE corpus exchange; the stack (Generate) and the argmin window
+    run on the |event_type|x25 aggregate — never a 25x corpus explode
+    and never 25 scans (the ml_threshold_tuning shape)."""
+    from decision_tree_analytics_spark.operators.pending_r12 import (
+        ml_quantile_reg,
+    )
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(ml_quantile_reg(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Generate") == 1  # the stack, post-aggregate
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert not has_python_eval(plan)
+    # OUTPUT-FIRST print order: the stack's Generate runs AFTER the
+    # corpus aggregate, so it prints before the HashAggregate.
+    assert plan.index("Generate") < plan.rindex("HashAggregate")
+
+
+def test_did_one_corpus_rollup_plus_broadcast_midpoint(spark, sf_dir):
+    """rel_did: ONE corpus-sized exchange (the cell rollup is
+    map-side-combinable), the temporal-midpoint scalar reaches the
+    fact rows as a BROADCAST, and the 20-cell pivot is the only other
+    exchange."""
+    from decision_tree_analytics_spark.operators.pending_r12 import rel_did
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(rel_did(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("BroadcastExchange") == 1  # the split-day scalar
+    assert not has_python_eval(plan)
+
+
+def test_rejection_sample_shares_prompt_partitioning(spark, sf_dir):
+    """ns_rejection_sample: the best-of-pool window and the prompt
+    groupBy ride ONE hashpartitioning(prompt_id) (the
+    ns_preference_pairs shape); the per-source rollup is the only
+    second exchange.  No joins, no Python, one corpus scan."""
+    from decision_tree_analytics_spark.operators.pending_r12 import (
+        ns_rejection_sample,
+    )
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(ns_rejection_sample(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert not has_python_eval(plan)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_vacuum_plan_reference_table_cached_once(spark, sf_dir):
+    """snap_vacuum_plan: the exploded reference table feeds BOTH
+    aggregation branches (per-gen footprint, per-file last reference)
+    from ONE persisted sub-plan — count InMemoryTableScan, never
+    'Scan parquet' substrings (a persisted sub-plan's text repeats its
+    child FileScan under every InMemoryRelation print)."""
+    from decision_tree_analytics_spark.operators.pending_r12 import (
+        snap_vacuum_plan,
+    )
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(snap_vacuum_plan(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_mann_kendall_pairs_come_from_collapsed_grid(spark, sf_dir):
+    """rel_mann_kendall: the corpus collapses to the (type, day)
+    rollup BEFORE the pairwise self-join (the rel_theil_sen bounded-
+    grid rule) — the join sits above the daily HashAggregate in the
+    OUTPUT-FIRST print, and no Python anywhere."""
+    from decision_tree_analytics_spark.operators.pending_r12 import (
+        rel_mann_kendall,
+    )
+    from decision_tree_analytics_spark.plans.inspect import (
+        has_python_eval,
+        simple_plan,
+    )
+
+    plan = simple_plan(rel_mann_kendall(spark, sf_dir))
+    assert not has_python_eval(plan)
+    # The self-join consumes the grid-sized aggregate output: in
+    # OUTPUT-FIRST text the join prints BEFORE the daily rollup's
+    # final HashAggregate.
+    assert "Join" in plan
+    assert plan.index("Join") < plan.rindex("HashAggregate")

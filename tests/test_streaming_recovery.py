@@ -138,7 +138,17 @@ def _latest_watermark_ms(ckpt: str) -> int:
     latest = max((f for f in os.listdir(odir) if f.isdigit()), key=int)
     with open(os.path.join(odir, latest)) as fh:
         lines = fh.read().splitlines()
-    return json.loads(lines[1])["batchWatermarkMs"]
+    # Scan for the metadata object rather than assuming it sits on
+    # line 2 (ADVICE r11): the OffsetSeqLog layout is versioned, and a
+    # positional parse would break the TEST on a format shift.
+    for line in lines:
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "batchWatermarkMs" in obj:
+            return obj["batchWatermarkMs"]
+    raise AssertionError(f"no batchWatermarkMs object in {odir}/{latest}")
 
 
 def _drain_append_wm(spark, landing: str, ckpt: str, store: str) -> None:
