@@ -34,14 +34,18 @@ UDTF_DOC_MOD = 10
 UDTF_DOC_REM = 3
 
 
-def udf_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentence-span manifest via a Spark 4 **arrow-optimized Python
+def udf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-span manifest via a Spark 4 **arrow-optimized Python
     UDTF** (``@udtf(useArrow=True)`` + SQL ``LATERAL`` join) — the
     per-row one-to-many Python extension point: one input document,
     N output span rows, without an intermediate array column or an
     explode.  The span semantics themselves are deliberately
-    SQL-expressible (split on '.', emit per-segment index / start
-    offset / length) so the DuckDB oracle can hash-check the lane:
+    SQL-expressible (split into single-space-separated token spans,
+    emit per-token index / start offset / length — the byte-offset
+    manifest a span-annotation or highlight pipeline ships) so the
+    DuckDB oracle can hash-check the lane: ~60 output rows per input
+    row exercises real one-to-many fan-out across Arrow batch
+    boundaries, and
     a UDTF that dropped a row, reordered eval calls, or mangled Arrow
     batch boundaries breaks the hash.
 
@@ -64,7 +68,7 @@ def udf_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 return
             off = 0
-            for i, part in enumerate(text.split(".")):
+            for i, part in enumerate(text.split(' ')):
                 yield (i, off, len(part))
                 off += len(part) + 1
 
@@ -85,8 +89,8 @@ def udf_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SENTENCE_SPANS_ORACLE = f"""
-WITH d AS (SELECT doc_id, string_split(text, '.') AS parts
+_TOKEN_SPANS_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts
   FROM documents
   WHERE doc_id % {UDTF_DOC_MOD} = {UDTF_DOC_REM} AND text IS NOT NULL),
 z AS (SELECT doc_id,
@@ -104,9 +108,9 @@ FROM m
 """
 
 PENDING_QUERIES = {
-    "udf_sentence_spans": udf_sentence_spans,
+    "udf_token_spans": udf_token_spans,
 }
 
 PENDING_ORACLES = {
-    "udf_sentence_spans": _SENTENCE_SPANS_ORACLE,
+    "udf_token_spans": _TOKEN_SPANS_ORACLE,
 }

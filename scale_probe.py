@@ -13,6 +13,10 @@ Usage:
     python scale_probe.py --skew     # skewed-join probe (salted vs
                                      # unsalted vs AQE, 5M-row events
                                      # with the hot user owning 90%)
+    python scale_probe.py --sf10     # 100x documents/embeddings probe
+                                     # of the dedup/ANN family — the
+                                     # two-decade scale curve
+                                     # (VERDICT r11 item 5)
 """
 from __future__ import annotations
 
@@ -189,6 +193,105 @@ def _generate_events(con) -> None:
       ORDER BY event_id) TO '{OUT}/events.parquet' (FORMAT parquet)""")
 
 
+OUT10 = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf10")
+SF10_REPLICAS = 100
+# VERDICT r11 item 5: one more measured decade for the dedup/ANN
+# families — the 100 TB claim should rest on a two-decade curve, not
+# a single 10x point.
+SF10_NAMES = ["dedup_components", "dedup_substring", "sim_ivf_snapshot"]
+
+
+def generate_sf10() -> None:
+    """100x documents + embeddings ONLY (the three sf10 targets touch
+    nothing else — generating the full fact chain would be 1.6 GB of
+    lineitem no probe reads).  Same replica construction as sf1:
+    per-replica token suffixes keep each replica's internal near-dup
+    structure while replicas stay mutually disjoint; embeddings keep
+    identical vectors under offset vec_ids (fixed probe/codebook sets
+    never include the offsets, so the replicas are corpus-only)."""
+    import duckdb
+
+    os.makedirs(OUT10, exist_ok=True)
+    con = duckdb.connect()
+    md = con.sql(
+        f"SELECT max(doc_id)+1 FROM read_parquet('{BASE}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+    COPY (
+      SELECT r * {md} + doc_id AS doc_id,
+        CASE WHEN r = 0 THEN text
+             ELSE array_to_string(list_transform(string_split(text, ' '),
+                    t -> t || 'q' || CAST(r AS VARCHAR)), ' ') END AS text,
+        lang, source,
+        CAST(len(CASE WHEN r = 0 THEN text
+             ELSE array_to_string(list_transform(string_split(text, ' '),
+                    t -> t || 'q' || CAST(r AS VARCHAR)), ' ') END) AS BIGINT)
+          AS n_chars
+      FROM read_parquet('{BASE}/documents.parquet'), range({SF10_REPLICAS}) t(r)
+      ORDER BY doc_id
+    ) TO '{OUT10}/documents.parquet' (FORMAT parquet)""")
+    mv = con.sql(
+        f"SELECT max(vec_id)+1 FROM read_parquet('{BASE}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+    COPY (SELECT vec_id + r * {mv} AS vec_id, embedding, label
+      FROM read_parquet('{BASE}/embeddings.parquet'), range({SF10_REPLICAS}) t(r)
+      ORDER BY vec_id) TO '{OUT10}/embeddings.parquet' (FORMAT parquet)""")
+
+
+def sf10_probe() -> None:
+    """Times SF10_NAMES at sf0.1 / sf1 / sf10 (1x / 10x / 100x) on the
+    bench session, printing BOTH passes per point: for the
+    snapshot-backed entries pass1 is the cold compute+publish (the
+    scale-relevant cost) and pass2 the warm snapshot read — a
+    best-of-two would hide the build behind the amortized read.  A
+    fresh SPARK_GRAFT_SNAPSHOT_DIR guarantees pass1 is genuinely cold
+    at every SF."""
+    import tempfile
+
+    os.environ["SPARK_GRAFT_SNAPSHOT_DIR"] = tempfile.mkdtemp(
+        prefix="snap-sf10-"
+    )
+    from decision_tree_analytics_spark import operators
+    from decision_tree_analytics_spark.session import get_spark
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
+        generate()
+    if "--generate" in sys.argv or not os.path.exists(
+        os.path.join(OUT10, "embeddings.parquet")
+    ):
+        generate_sf10()
+    spark = get_spark(app_name="dta-spark-scale-probe-sf10")
+    queries = operators.all_queries()
+    out = {}
+    for sf_dir, tag in [(BASE, "sf0.1"), (OUT, "sf1"), (OUT10, "sf10")]:
+        for t in ("documents", "embeddings"):
+            load_table(spark, sf_dir, t).count()
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+        for name in SF10_NAMES:
+            passes = []
+            rows = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = queries[name](spark, sf_dir).count()
+                passes.append(round(time.perf_counter() - t0, 2))
+            out[f"{tag}:{name}"] = {
+                "pass1": passes[0], "pass2": passes[1], "rows": rows,
+            }
+            print(
+                json.dumps(
+                    {tag: name, "pass1": passes[0], "pass2": passes[1],
+                     "rows": rows}
+                ),
+                flush=True,
+            )
+    print(json.dumps(out))
+    spark.stop()
+
+
 SKEW_OUT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".scale", "skew"
 )
@@ -348,6 +451,9 @@ def main() -> None:
     if "--skew" in sys.argv:
         skew_probe()
         return
+    if "--sf10" in sys.argv:
+        sf10_probe()
+        return
     if "--generate" in sys.argv or not os.path.exists(
         os.path.join(OUT, "embeddings.parquet")
     ):
@@ -365,8 +471,11 @@ def main() -> None:
     from decision_tree_analytics_spark.operators.pending_r12 import (
         PENDING_QUERIES,
     )
+    from decision_tree_analytics_spark.operators.pending_r14 import (
+        PENDING_QUERIES as PENDING_R14,
+    )
 
-    queries = {**queries, **PENDING_QUERIES}
+    queries = {**queries, **PENDING_QUERIES, **PENDING_R14}
     names = NAMES
     if "--only" in sys.argv:  # probe a subset: --only name1,name2
         names = sys.argv[sys.argv.index("--only") + 1].split(",")

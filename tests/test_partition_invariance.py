@@ -29,6 +29,11 @@ INVARIANCE_QUERIES = [
     "udf_holt_smooth",  # Arrow grouped-map recurrence
     "ml_auc_roc",  # global rank statistic
     "q11_hash_agg",  # float sums under rule-3 rounding
+    "ns_rejection_sample",  # r12: best-of-pool row_number tie-break +
+    # conditional aggregates over the window output, one preserved
+    # exchange — the freshest window-on-preserved-partitioning shape
+    "rel_mann_kendall",  # r12: grid self-join + signed pair sums —
+    # sign aggregation must not depend on join task order
 ]
 
 _CONFS = [

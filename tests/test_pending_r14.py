@@ -24,14 +24,14 @@ def test_pending_r14_match_oracles(spark, sf_dir, oracle_con):
         compare(fn(spark, sf_dir), oracle_con, PENDING_ORACLES[name], name)
 
 
-def test_sentence_spans_uses_arrow_udtf_lane(spark, sf_dir):
+def test_token_spans_uses_arrow_udtf_lane(spark, sf_dir):
     """The lane claim itself: the plan must run the UDTF through
     ArrowEvalPythonUDTF (Arrow batch transfer), never
     BatchEvalPythonUDTF (per-row pickling), with the doc slice pushed
     to the parquet scan and no shuffle before the Python stage."""
     from decision_tree_analytics_spark.plans.inspect import simple_plan
 
-    plan = simple_plan(PENDING_QUERIES["udf_sentence_spans"](spark, sf_dir))
+    plan = simple_plan(PENDING_QUERIES["udf_token_spans"](spark, sf_dir))
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPythonUDTF" not in plan
     assert plan.count("Scan parquet") == 1
@@ -42,13 +42,13 @@ def test_sentence_spans_uses_arrow_udtf_lane(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 0
 
 
-def test_sentence_spans_matches_python_replay(spark, sf_dir):
+def test_token_spans_matches_python_replay(spark, sf_dir):
     """Walk every sliced doc's text in pure Python and compare the
     full span table — offsets, lengths, per-doc tiling."""
     from decision_tree_analytics_spark.sources.tables import load_table
 
     got = (
-        PENDING_QUERIES["udf_sentence_spans"](spark, sf_dir)
+        PENDING_QUERIES["udf_token_spans"](spark, sf_dir)
         .toPandas()
         .sort_values(["doc_id", "seg_idx"])
         .reset_index(drop=True)
@@ -66,12 +66,15 @@ def test_sentence_spans_matches_python_replay(spark, sf_dir):
     want = []
     for _, r in docs.iterrows():
         off = 0
-        for i, part in enumerate(r.text.split(".")):
+        for i, part in enumerate(r.text.split(' ')):
             want.append((r.doc_id, i, off, len(part)))
             off += len(part) + 1
         # Segments + separators tile the text exactly.
         assert off - 1 == len(r.text)
     want.sort()
+    # Non-vacuous one-to-many: the fixture must actually fan out
+    # (many spans per doc), or the UDTF degenerates into a UDF.
+    assert len(want) > 5 * len(docs)
     assert len(got) == len(want)
     assert (
         list(map(tuple, got.itertuples(index=False, name=None))) == want
