@@ -37,6 +37,13 @@ HEADLINE = [
 
 
 def main() -> None:
+    # External-load snapshot BEFORE any engine work: once the warmup
+    # passes run, loadavg mostly reflects the bench itself (measured
+    # 0.07 -> 3.3 across warmup on an otherwise idle box), which says
+    # nothing about noisy neighbors.  load1_end (after the passes)
+    # deliberately includes self-load; the START number is the one to
+    # read for cross-round floor comparability.
+    load_start = os.getloadavg()[0]
     from decision_tree_analytics_spark import operators
     from decision_tree_analytics_spark.session import get_spark
 
@@ -72,7 +79,6 @@ def main() -> None:
     # Arrow lanes), and the min filters one-off noisy-neighbor spikes
     # on the shared host — we record steady-state engine throughput,
     # which is what extrapolates to a long-running cluster job.
-    load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in names:

@@ -260,11 +260,12 @@ _DRIVER_SAMPLED = {
 # Enumerated right after the never-sampled names so the driver's
 # 50-query window re-verifies the CURRENT code.  Once a fresh green
 # row lands the zero-churn loader demotes the name automatically —
-# remove it here on the next rotation refresh.  r10 state: EMPTY —
-# both r9 rewrites (graph_hits, ml_bootstrap_ci) came back hash-green
-# in CORRECTNESS_r09, and nothing verified has been rewritten since.
-# The stale tail is the 47 r04-verified names, so at most 3 fresh r10
-# additions keep the full tail inside the driver's 50-sample window.
+# remove it here on the next rotation refresh.  r12 state: EMPTY —
+# nothing driver-verified was rewritten in r12 (rel_did's sign-split
+# landed BEFORE its first registration, so it enumerates as fresh).
+# The r12 window is the 5 fresh registrations + the 45 r06-verified
+# names, zero slack; r13's window is the 50-name r07 tail, so r13
+# must add NO fresh contract queries.
 _RECHECK_PRIORITY = []
 
 
