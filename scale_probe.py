@@ -256,7 +256,12 @@ def sf10_probe() -> None:
     from decision_tree_analytics_spark.session import get_spark
     from decision_tree_analytics_spark.sources.tables import load_table
 
-    if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
+    # --generate regenerates BOTH tiers: the base testdata rotates
+    # between rounds, and a curve whose sf1 point comes from an older
+    # corpus than its sf0.1/sf10 points is silently inconsistent.
+    if "--generate" in sys.argv or not os.path.exists(
+        os.path.join(OUT, "embeddings.parquet")
+    ):
         generate()
     if "--generate" in sys.argv or not os.path.exists(
         os.path.join(OUT10, "embeddings.parquet")

@@ -72,6 +72,13 @@ CLUSTER_QUERIES = [
     "ml_quantile_reg",  # r12: 25 conditional aggregates in one
     # map-side-combined corpus pass, then stack+argmin window on a
     # real cross-JVM exchange
+    "ns_rejection_sample",  # r12: best-of-pool window + prompt groupBy
+    # on one preserved hashpartitioning — keeps the 2-JVM oracle
+    # coverage the op had while pending (review follow-up)
+    "rel_did",  # r12: broadcast midpoint scalar shipped cross-JVM
+    # into the cell rollup
+    "rel_mann_kendall",  # r12: grid self-join + signed pair sums
+    # under real cross-JVM task ordering
 ]
 
 _DRIVER = r"""
