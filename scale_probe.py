@@ -269,6 +269,16 @@ def sf10_probe() -> None:
         generate_sf10()
     spark = get_spark(app_name="dta-spark-scale-probe-sf10")
     queries = operators.all_queries()
+    from decision_tree_analytics_spark.operators.pending_r14 import (
+        PENDING_QUERIES as PENDING_R14,
+    )
+
+    queries = {**queries, **PENDING_R14}
+    names = SF10_NAMES
+    if "--only" in sys.argv:  # probe a documents/embeddings-only
+        # subset: --sf10 --only name1,name2 (the sf10 corpus has no
+        # fact chain — a query that reads orders/events will fail)
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
     out = {}
     for sf_dir, tag in [(BASE, "sf0.1"), (OUT, "sf1"), (OUT10, "sf10")]:
         for t in ("documents", "embeddings"):
@@ -276,7 +286,7 @@ def sf10_probe() -> None:
         spark.range(32).repartition(32).mapInPandas(
             lambda it: it, "id long"
         ).count()
-        for name in SF10_NAMES:
+        for name in names:
             passes = []
             rows = None
             for _ in range(2):

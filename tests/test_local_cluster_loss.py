@@ -559,3 +559,141 @@ def test_arrow_stateful_op_survives_executor_sigkill_mid_drain(sf_dir):
         f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
     )
     assert "KILLED-EXECUTOR" in proc.stdout
+
+
+_UDTF_DRIVER = r"""
+import os, signal, subprocess, sys, threading, time
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo_tests!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import udtf
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .getOrCreate()
+)
+
+def executor_pids():
+    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
+    return [int(l.split(None, 1)[0]) for l in out.splitlines()
+            if "CoarseGrainedExecutorBackend" in l and "java" in l and "python" not in l]
+
+for _ in range(60):
+    if len(executor_pids()) >= 2:
+        break
+    time.sleep(1)
+assert len(executor_pids()) >= 2
+
+# Slow one-to-many Arrow UDTF with an exact closed form: every id
+# fans out to TWO rows; sentinel ids sleep so the SIGKILL lands
+# inside the ArrowEvalPythonUDTF stage, and recomputed eval streams
+# must reproduce bit-identical fan-out.
+N = 200_000
+
+@udtf(returnType="k: bigint, v: bigint", useArrow=True)
+class SlowFanout:
+    def eval(self, id):
+        import time as _t
+        if id % 25000 == 0:
+            _t.sleep(0.8)
+        yield (id % 97, id)
+        yield ((id + 1) % 97, 2 * id)
+
+spark.udtf.register("slow_fanout", SlowFanout)
+spark.range(N).repartition(16).createOrReplaceTempView("loss_ids")
+df = spark.sql(
+    "SELECT s.k, s.v FROM loss_ids t, LATERAL slow_fanout(t.id) s"
+).groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+
+plan = df._jdf.queryExecution().executedPlan().toString()
+assert "ArrowEvalPythonUDTF" in plan and "BatchEvalPythonUDTF" not in plan
+print("UDTF-ARROW-LANE-CONFIRMED", flush=True)
+
+killed = {{}}
+def killer():
+    st = spark.sparkContext.statusTracker()
+    for _ in range(300):
+        if st.getActiveStageIds():
+            break
+        time.sleep(0.1)
+    time.sleep(1.5)  # land inside the sleeping UDTF stage
+    victim = executor_pids()[0]
+    os.kill(victim, signal.SIGKILL)
+    killed["pid"] = victim
+    print("KILLED-EXECUTOR", victim, flush=True)
+
+t = threading.Thread(target=killer); t.start()
+rows = {{r.k: (r.n, r.s) for r in df.collect()}}
+t.join()
+assert "pid" in killed, "killer thread never fired"
+
+# Exact expected answer, pure Python: each id contributes (id%97, id)
+# and ((id+1)%97, 2*id).
+want_n = {{k: 0 for k in range(97)}}
+want_s = {{k: 0 for k in range(97)}}
+for i in range(N):
+    want_n[i % 97] += 1; want_s[i % 97] += i
+    want_n[(i + 1) % 97] += 1; want_s[(i + 1) % 97] += 2 * i
+want = {{k: (want_n[k], want_s[k]) for k in range(97)}}
+assert rows == want, "post-loss UDTF result diverged from the exact answer"
+print("EXACT-MATCH-AFTER-LOSS", len(rows), flush=True)
+
+for _ in range(60):
+    alive = executor_pids()
+    if killed["pid"] not in alive and len(alive) >= 2:
+        break
+    time.sleep(1)
+alive = executor_pids()
+assert killed["pid"] not in alive, "victim executor still alive"
+assert len(alive) >= 2, f"replacement executor never joined: {{alive}}"
+print("EXECUTORS-AFTER-LOSS", len(alive), flush=True)
+
+# The pending UDTF contract candidate must oracle-match on the
+# RECOVERED cluster (its eval stream re-planned across the healed
+# fleet).
+from tests.oracle_harness import compare, duckdb_connection
+from decision_tree_analytics_spark.operators.pending_r14 import (
+    PENDING_ORACLES, PENDING_QUERIES,
+)
+con = duckdb_connection({sf!r})
+compare(PENDING_QUERIES["udf_token_spans"](spark, {sf!r}), con,
+        PENDING_ORACLES["udf_token_spans"], "udf_token_spans")
+print("CLUSTER-MATCH udf_token_spans", flush=True)
+spark.stop()
+print("ALL-OK")
+"""
+
+
+def test_arrow_udtf_survives_executor_sigkill(sf_dir):
+    """The Arrow-UDTF lane under executor loss — a recovery path none
+    of the other four scenarios exercise: lost tasks' per-row eval()
+    streams (one-to-many fan-out, two yields per input row) are
+    recomputed on the surviving/replacement executor and must
+    reproduce bit-identical fan-out, proven by an exact closed form
+    over 400k output rows.  The driver asserts the plan really is
+    ArrowEvalPythonUDTF, the kill landed (victim pid gone), the fleet
+    healed back to 2, and the pending udf_token_spans candidate
+    oracle-matches on the recovered cluster."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _UDTF_DRIVER.format(repo=repo, repo_tests=repo, sf=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0 and "ALL-OK" in proc.stdout, (
+        f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
+    )
+    assert "UDTF-ARROW-LANE-CONFIRMED" in proc.stdout
+    assert "KILLED-EXECUTOR" in proc.stdout
+    assert "EXACT-MATCH-AFTER-LOSS 97" in proc.stdout
+    assert "EXECUTORS-AFTER-LOSS" in proc.stdout
+    assert "CLUSTER-MATCH udf_token_spans" in proc.stdout
