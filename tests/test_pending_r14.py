@@ -131,3 +131,58 @@ def test_pending_r14_match_on_real_cluster(sf_dir):
     )
     for name in PENDING_QUERIES:
         assert f"CLUSTER-MATCH {name}" in proc.stdout
+
+
+def test_udtf_table_argument_partition_by_works(spark, sf_dir):
+    """Container-capability probe for the OTHER half of the UDTF
+    surface: TABLE(...) PARTITION BY ... ORDER BY arguments with a
+    stateful eval/terminate protocol (the plan shows the partitioning
+    exchange + sort feeding ArrowEvalPythonUDTF).  The engine's
+    contract ops keep using applyInPandas for per-group Python — the
+    pandas-batch lane is strictly faster for aggregation — so this is
+    documentation that the surface WORKS here (like the avro/protobuf
+    probes document what doesn't), verified by exact per-group
+    integers against the JVM groupBy."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import udtf
+
+    from decision_tree_analytics_spark.sources.tables import load_table
+
+    @udtf(returnType="source: string, n: bigint, chars: bigint", useArrow=True)
+    class _PerSource:
+        def __init__(self):
+            self.n = 0
+            self.chars = 0
+            self.src = None
+
+        def eval(self, row):
+            self.src = row["source"]
+            self.n += 1
+            self.chars += int(row["n_chars"])
+
+        def terminate(self):
+            if self.src is not None:
+                yield (self.src, self.n, self.chars)
+
+    spark.udtf.register("dta_per_source_probe", _PerSource)
+    load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).createOrReplaceTempView("dta_udtf_docs")
+    got = {
+        r.source: (r.n, r.chars)
+        for r in spark.sql(
+            "SELECT * FROM dta_per_source_probe("
+            "TABLE(dta_udtf_docs) PARTITION BY source)"
+        ).collect()
+    }
+    want = {
+        r.source: (r.n, r.chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 1
