@@ -237,6 +237,52 @@ def generate_sf10() -> None:
     COPY (SELECT vec_id + r * {mv} AS vec_id, embedding, label
       FROM read_parquet('{BASE}/embeddings.parquet'), range({SF10_REPLICAS}) t(r)
       ORDER BY vec_id) TO '{OUT10}/embeddings.parquet' (FORMAT parquet)""")
+    if "--full" in sys.argv:
+        _generate_sf10_facts(con)
+
+
+def _generate_sf10_facts(con) -> None:
+    """Optional 100x fact chain + events for sf10 probes of the
+    graph/relational families (--sf10 --full; ~1.6 GB, so only on
+    demand).  Same FK-preserving key-offset construction as sf1;
+    events keep their timestamps so the daily/hourly grids stay
+    identical with 100x the rows per cell — the real growth shape for
+    every grid-collapsing query."""
+    mo = con.sql(
+        f"SELECT max(o_orderkey)+1 FROM read_parquet('{BASE}/orders.parquet')"
+    ).fetchone()[0]
+    mc = con.sql(
+        f"SELECT max(c_custkey)+1 FROM read_parquet('{BASE}/customer.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+    COPY (SELECT c_custkey + r * {mc} AS c_custkey, c_name, c_nationkey,
+        c_acctbal, c_mktsegment
+      FROM read_parquet('{BASE}/customer.parquet'), range({SF10_REPLICAS}) t(r)
+      ORDER BY c_custkey) TO '{OUT10}/customer.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+    COPY (SELECT o_orderkey + r * {mo} AS o_orderkey,
+        o_custkey + r * {mc} AS o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM read_parquet('{BASE}/orders.parquet'), range({SF10_REPLICAS}) t(r)
+      ORDER BY o_orderkey) TO '{OUT10}/orders.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+    COPY (SELECT l_orderkey + r * {mo} AS l_orderkey, * EXCLUDE (l_orderkey)
+      FROM read_parquet('{BASE}/lineitem.parquet'), range({SF10_REPLICAS}) t(r)
+      ORDER BY l_orderkey) TO '{OUT10}/lineitem.parquet' (FORMAT parquet)""")
+    for t in ("supplier", "nation", "region", "part"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))"
+            f" TO '{OUT10}/{t}.parquet' (FORMAT parquet)"
+        )
+    me, mu = con.sql(
+        f"SELECT max(event_id)+1, max(user_id)+1"
+        f" FROM read_parquet('{BASE}/events.parquet')"
+    ).fetchone()
+    con.execute(f"""
+    COPY (SELECT event_id + r * {me} AS event_id, ts,
+        user_id + r * {mu} AS user_id, event_type, value, props
+      FROM read_parquet('{BASE}/events.parquet'), range({SF10_REPLICAS}) t(r)
+      ORDER BY event_id) TO '{OUT10}/events.parquet' (FORMAT parquet)""")
 
 
 def sf10_probe() -> None:
@@ -267,6 +313,14 @@ def sf10_probe() -> None:
         os.path.join(OUT10, "embeddings.parquet")
     ):
         generate_sf10()
+    elif "--full" in sys.argv and not os.path.exists(
+        os.path.join(OUT10, "events.parquet")
+    ):
+        # Corpus exists from a docs/embeddings-only run — top up the
+        # fact chain without regenerating the text tier.
+        import duckdb
+
+        _generate_sf10_facts(duckdb.connect())
     spark = get_spark(app_name="dta-spark-scale-probe-sf10")
     queries = operators.all_queries()
     from decision_tree_analytics_spark.operators.pending_r14 import (

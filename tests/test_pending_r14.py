@@ -186,3 +186,37 @@ def test_udtf_table_argument_partition_by_works(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_token_span_formula_property():
+    """Hypothesis lock on the span walk both the UDTF and the oracle
+    implement: for ANY token list (incl. empty tokens — consecutive /
+    leading / trailing separators), the emitted (idx, start, len)
+    spans must tile the joined text exactly and reconstruct every
+    token by slicing — an independent spec, not a re-run of the same
+    loop."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(
+        alphabet=st.characters(blacklist_characters=" "), max_size=8
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(token, min_size=1, max_size=20))
+    def check(tokens):
+        text = " ".join(tokens)
+        # The walk under test (UDTF eval / oracle window-sum form).
+        spans, off = [], 0
+        for i, part in enumerate(text.split(" ")):
+            spans.append((i, off, len(part)))
+            off += len(part) + 1
+        assert len(spans) == len(tokens)
+        # Independent spec: slice-reconstruction + exact tiling.
+        for (i, start, ln), tok in zip(spans, tokens):
+            assert text[start : start + ln] == tok
+            if start + ln < len(text):
+                assert text[start + ln] == " "  # separator follows
+        assert spans[-1][1] + spans[-1][2] == len(text)
+
+    check()
