@@ -17,6 +17,9 @@ Usage:
                                      # of the dedup/ANN family — the
                                      # two-decade scale curve
                                      # (VERDICT r11 item 5)
+    python scale_probe.py --sf10 --full --only n1,n2
+                                     # add the 100x fact chain+events
+                                     # and probe a chosen subset
 """
 from __future__ import annotations
 
@@ -115,11 +118,14 @@ NAMES = [
 ]
 
 
-def generate() -> None:
-    import duckdb
-
-    os.makedirs(OUT, exist_ok=True)
-    con = duckdb.connect()
+def _generate_docs_embeddings(con, out_dir: str, replicas: int) -> None:
+    """documents + embeddings at ``replicas``x: per-replica token
+    suffixes keep each documents replica's internal near-dup structure
+    while replicas stay mutually disjoint; embeddings keep identical
+    vectors under offset vec_ids (fixed-probe/codebook queries only
+    read small vec_ids, so the replicas are corpus-only — per-bucket
+    occupancy grows exactly ``replicas``x, real growth under a fixed
+    plane count)."""
     md = con.sql(
         f"SELECT max(doc_id)+1 FROM read_parquet('{BASE}/documents.parquet')"
     ).fetchone()[0]
@@ -134,9 +140,26 @@ def generate() -> None:
              ELSE array_to_string(list_transform(string_split(text, ' '),
                     t -> t || 'q' || CAST(r AS VARCHAR)), ' ') END) AS BIGINT)
           AS n_chars
-      FROM read_parquet('{BASE}/documents.parquet'), range(10) t(r)
+      FROM read_parquet('{BASE}/documents.parquet'), range({replicas}) t(r)
       ORDER BY doc_id
-    ) TO '{OUT}/documents.parquet' (FORMAT parquet)""")
+    ) TO '{out_dir}/documents.parquet' (FORMAT parquet)""")
+    mv = con.sql(
+        f"SELECT max(vec_id)+1 FROM read_parquet('{BASE}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+    COPY (SELECT vec_id + r * {mv} AS vec_id, embedding, label
+      FROM read_parquet('{BASE}/embeddings.parquet'), range({replicas}) t(r)
+      ORDER BY vec_id) TO '{out_dir}/embeddings.parquet' (FORMAT parquet)""")
+
+
+def _generate_facts(con, out_dir: str, replicas: int) -> None:
+    """FK-preserving fact chain (customer/orders/lineitem + shared
+    dims) and events at ``replicas``x.  Key offsets preserve every FK
+    relationship; events keep their timestamps so the daily/hourly
+    grids stay identical with ``replicas``x the rows per cell — the
+    real growth shape for every grid-collapsing query.  ONE definition
+    shared by the sf1 and sf10 corpora (r12 review finding: the
+    duplicated COPY blocks could silently desynchronize)."""
     mo = con.sql(
         f"SELECT max(o_orderkey)+1 FROM read_parquet('{BASE}/orders.parquet')"
     ).fetchone()[0]
@@ -146,42 +169,23 @@ def generate() -> None:
     con.execute(f"""
     COPY (SELECT c_custkey + r * {mc} AS c_custkey, c_name, c_nationkey,
         c_acctbal, c_mktsegment
-      FROM read_parquet('{BASE}/customer.parquet'), range(10) t(r)
-      ORDER BY c_custkey) TO '{OUT}/customer.parquet' (FORMAT parquet)""")
+      FROM read_parquet('{BASE}/customer.parquet'), range({replicas}) t(r)
+      ORDER BY c_custkey) TO '{out_dir}/customer.parquet' (FORMAT parquet)""")
     con.execute(f"""
     COPY (SELECT o_orderkey + r * {mo} AS o_orderkey,
         o_custkey + r * {mc} AS o_custkey, o_orderstatus, o_totalprice,
         o_orderdate, o_orderpriority
-      FROM read_parquet('{BASE}/orders.parquet'), range(10) t(r)
-      ORDER BY o_orderkey) TO '{OUT}/orders.parquet' (FORMAT parquet)""")
+      FROM read_parquet('{BASE}/orders.parquet'), range({replicas}) t(r)
+      ORDER BY o_orderkey) TO '{out_dir}/orders.parquet' (FORMAT parquet)""")
     con.execute(f"""
     COPY (SELECT l_orderkey + r * {mo} AS l_orderkey, * EXCLUDE (l_orderkey)
-      FROM read_parquet('{BASE}/lineitem.parquet'), range(10) t(r)
-      ORDER BY l_orderkey) TO '{OUT}/lineitem.parquet' (FORMAT parquet)""")
+      FROM read_parquet('{BASE}/lineitem.parquet'), range({replicas}) t(r)
+      ORDER BY l_orderkey) TO '{out_dir}/lineitem.parquet' (FORMAT parquet)""")
     for t in ("supplier", "nation", "region", "part"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))"
-            f" TO '{OUT}/{t}.parquet' (FORMAT parquet)"
+            f" TO '{out_dir}/{t}.parquet' (FORMAT parquet)"
         )
-    # embeddings: replicas keep identical vectors with offset vec_ids.
-    # Fixed-probe/codebook queries only read vec_id < ~320, so the
-    # replicas are corpus-only; per-SRP-bucket occupancy grows exactly
-    # 10x, same as real growth under a fixed plane count.
-    mv = con.sql(
-        f"SELECT max(vec_id)+1 FROM read_parquet('{BASE}/embeddings.parquet')"
-    ).fetchone()[0]
-    con.execute(f"""
-    COPY (SELECT vec_id + r * {mv} AS vec_id, embedding, label
-      FROM read_parquet('{BASE}/embeddings.parquet'), range(10) t(r)
-      ORDER BY vec_id) TO '{OUT}/embeddings.parquet' (FORMAT parquet)""")
-    _generate_events(con)
-
-
-def _generate_events(con) -> None:
-    """events: 10 replicas with offset event/user ids, timestamps
-    preserved — per-user structure and the daily grid stay identical,
-    each day just carries 10x the rows (real growth shape for the
-    grid-collapsing time-series queries)."""
     me, mu = con.sql(
         f"SELECT max(event_id)+1, max(user_id)+1"
         f" FROM read_parquet('{BASE}/events.parquet')"
@@ -189,8 +193,17 @@ def _generate_events(con) -> None:
     con.execute(f"""
     COPY (SELECT event_id + r * {me} AS event_id, ts,
         user_id + r * {mu} AS user_id, event_type, value, props
-      FROM read_parquet('{BASE}/events.parquet'), range(10) t(r)
-      ORDER BY event_id) TO '{OUT}/events.parquet' (FORMAT parquet)""")
+      FROM read_parquet('{BASE}/events.parquet'), range({replicas}) t(r)
+      ORDER BY event_id) TO '{out_dir}/events.parquet' (FORMAT parquet)""")
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    _generate_docs_embeddings(con, OUT, 10)
+    _generate_facts(con, OUT, 10)
 
 
 OUT10 = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf10")
@@ -201,88 +214,28 @@ SF10_REPLICAS = 100
 SF10_NAMES = ["dedup_components", "dedup_substring", "sim_ivf_snapshot"]
 
 
-def generate_sf10() -> None:
-    """100x documents + embeddings ONLY (the three sf10 targets touch
-    nothing else — generating the full fact chain would be 1.6 GB of
-    lineitem no probe reads).  Same replica construction as sf1:
-    per-replica token suffixes keep each replica's internal near-dup
-    structure while replicas stay mutually disjoint; embeddings keep
-    identical vectors under offset vec_ids (fixed probe/codebook sets
-    never include the offsets, so the replicas are corpus-only)."""
+def generate_sf10(full: bool = False) -> None:
+    """100x corpus at .scale/sf10 via the SAME shared builders as sf1:
+    documents + embeddings always; ``full=True`` adds the
+    FK-preserving fact chain + events (~1.6 GB, so only on demand —
+    the dedup/ANN probes read nothing but documents/embeddings).
+    When regenerating WITHOUT ``full``, any fact files left by an
+    older --full run are DELETED: the base testdata rotates between
+    rounds, and a later fact-chain probe must never mix corpus
+    generations (r12 review finding)."""
     import duckdb
 
     os.makedirs(OUT10, exist_ok=True)
     con = duckdb.connect()
-    md = con.sql(
-        f"SELECT max(doc_id)+1 FROM read_parquet('{BASE}/documents.parquet')"
-    ).fetchone()[0]
-    con.execute(f"""
-    COPY (
-      SELECT r * {md} + doc_id AS doc_id,
-        CASE WHEN r = 0 THEN text
-             ELSE array_to_string(list_transform(string_split(text, ' '),
-                    t -> t || 'q' || CAST(r AS VARCHAR)), ' ') END AS text,
-        lang, source,
-        CAST(len(CASE WHEN r = 0 THEN text
-             ELSE array_to_string(list_transform(string_split(text, ' '),
-                    t -> t || 'q' || CAST(r AS VARCHAR)), ' ') END) AS BIGINT)
-          AS n_chars
-      FROM read_parquet('{BASE}/documents.parquet'), range({SF10_REPLICAS}) t(r)
-      ORDER BY doc_id
-    ) TO '{OUT10}/documents.parquet' (FORMAT parquet)""")
-    mv = con.sql(
-        f"SELECT max(vec_id)+1 FROM read_parquet('{BASE}/embeddings.parquet')"
-    ).fetchone()[0]
-    con.execute(f"""
-    COPY (SELECT vec_id + r * {mv} AS vec_id, embedding, label
-      FROM read_parquet('{BASE}/embeddings.parquet'), range({SF10_REPLICAS}) t(r)
-      ORDER BY vec_id) TO '{OUT10}/embeddings.parquet' (FORMAT parquet)""")
-    if "--full" in sys.argv:
-        _generate_sf10_facts(con)
-
-
-def _generate_sf10_facts(con) -> None:
-    """Optional 100x fact chain + events for sf10 probes of the
-    graph/relational families (--sf10 --full; ~1.6 GB, so only on
-    demand).  Same FK-preserving key-offset construction as sf1;
-    events keep their timestamps so the daily/hourly grids stay
-    identical with 100x the rows per cell — the real growth shape for
-    every grid-collapsing query."""
-    mo = con.sql(
-        f"SELECT max(o_orderkey)+1 FROM read_parquet('{BASE}/orders.parquet')"
-    ).fetchone()[0]
-    mc = con.sql(
-        f"SELECT max(c_custkey)+1 FROM read_parquet('{BASE}/customer.parquet')"
-    ).fetchone()[0]
-    con.execute(f"""
-    COPY (SELECT c_custkey + r * {mc} AS c_custkey, c_name, c_nationkey,
-        c_acctbal, c_mktsegment
-      FROM read_parquet('{BASE}/customer.parquet'), range({SF10_REPLICAS}) t(r)
-      ORDER BY c_custkey) TO '{OUT10}/customer.parquet' (FORMAT parquet)""")
-    con.execute(f"""
-    COPY (SELECT o_orderkey + r * {mo} AS o_orderkey,
-        o_custkey + r * {mc} AS o_custkey, o_orderstatus, o_totalprice,
-        o_orderdate, o_orderpriority
-      FROM read_parquet('{BASE}/orders.parquet'), range({SF10_REPLICAS}) t(r)
-      ORDER BY o_orderkey) TO '{OUT10}/orders.parquet' (FORMAT parquet)""")
-    con.execute(f"""
-    COPY (SELECT l_orderkey + r * {mo} AS l_orderkey, * EXCLUDE (l_orderkey)
-      FROM read_parquet('{BASE}/lineitem.parquet'), range({SF10_REPLICAS}) t(r)
-      ORDER BY l_orderkey) TO '{OUT10}/lineitem.parquet' (FORMAT parquet)""")
-    for t in ("supplier", "nation", "region", "part"):
-        con.execute(
-            f"COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))"
-            f" TO '{OUT10}/{t}.parquet' (FORMAT parquet)"
-        )
-    me, mu = con.sql(
-        f"SELECT max(event_id)+1, max(user_id)+1"
-        f" FROM read_parquet('{BASE}/events.parquet')"
-    ).fetchone()
-    con.execute(f"""
-    COPY (SELECT event_id + r * {me} AS event_id, ts,
-        user_id + r * {mu} AS user_id, event_type, value, props
-      FROM read_parquet('{BASE}/events.parquet'), range({SF10_REPLICAS}) t(r)
-      ORDER BY event_id) TO '{OUT10}/events.parquet' (FORMAT parquet)""")
+    _generate_docs_embeddings(con, OUT10, SF10_REPLICAS)
+    if full:
+        _generate_facts(con, OUT10, SF10_REPLICAS)
+    else:
+        for t in ("customer", "orders", "lineitem", "supplier",
+                  "nation", "region", "part", "events"):
+            path = os.path.join(OUT10, f"{t}.parquet")
+            if os.path.exists(path):
+                os.remove(path)
 
 
 def sf10_probe() -> None:
@@ -309,29 +262,33 @@ def sf10_probe() -> None:
         os.path.join(OUT, "embeddings.parquet")
     ):
         generate()
+    full = "--full" in sys.argv
     if "--generate" in sys.argv or not os.path.exists(
         os.path.join(OUT10, "embeddings.parquet")
     ):
-        generate_sf10()
-    elif "--full" in sys.argv and not os.path.exists(
-        os.path.join(OUT10, "events.parquet")
-    ):
+        generate_sf10(full=full)
+    elif full and not os.path.exists(os.path.join(OUT10, "events.parquet")):
         # Corpus exists from a docs/embeddings-only run — top up the
-        # fact chain without regenerating the text tier.
+        # fact chain without regenerating the text tier (safe: a
+        # non-full regeneration deletes stale facts, so a present
+        # docs tier and an absent fact tier are the same generation).
         import duckdb
 
-        _generate_sf10_facts(duckdb.connect())
+        _generate_facts(duckdb.connect(), OUT10, SF10_REPLICAS)
     spark = get_spark(app_name="dta-spark-scale-probe-sf10")
     queries = operators.all_queries()
+    from decision_tree_analytics_spark.operators.pending_r12 import (
+        PENDING_QUERIES as PENDING_R12,
+    )
     from decision_tree_analytics_spark.operators.pending_r14 import (
         PENDING_QUERIES as PENDING_R14,
     )
 
-    queries = {**queries, **PENDING_R14}
+    queries = {**queries, **PENDING_R12, **PENDING_R14}
     names = SF10_NAMES
-    if "--only" in sys.argv:  # probe a documents/embeddings-only
-        # subset: --sf10 --only name1,name2 (the sf10 corpus has no
-        # fact chain — a query that reads orders/events will fail)
+    if "--only" in sys.argv:  # probe a subset: --sf10 --only n1,n2
+        # (without --full the sf10 corpus is documents/embeddings
+        # only — a query reading orders/events needs --full)
         names = sys.argv[sys.argv.index("--only") + 1].split(",")
     out = {}
     for sf_dir, tag in [(BASE, "sf0.1"), (OUT, "sf1"), (OUT10, "sf10")]:

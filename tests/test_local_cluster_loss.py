@@ -35,28 +35,11 @@ spark = (
     .getOrCreate()
 )
 
-def executor_pids():
-    out = subprocess.run(
-        ["ps", "-eo", "pid,args"], capture_output=True, text=True
-    ).stdout
-    # Executor backends are java children of the in-process worker;
-    # the driver's own `python -c <this code>` command line ALSO
-    # contains the class name, so require a java process.
-    return [
-        int(l.split(None, 1)[0])
-        for l in out.splitlines()
-        if "CoarseGrainedExecutorBackend" in l
-        and "java" in l
-        and "python" not in l
-    ]
+# Shared ps-parsing / fleet-wait / heal-check helpers (repo is on
+# sys.path, so the subprocess imports them like the oracle harness).
+from tests.cluster_loss_util import executor_pids, wait_for_fleet, wait_for_heal
 
-# Wait for both executor JVMs to register.
-for _ in range(60):
-    if len(executor_pids()) >= 2:
-        break
-    time.sleep(1)
-pids = executor_pids()
-assert len(pids) >= 2, f"executors never came up: {{pids}}"
+wait_for_fleet(2)
 
 # Slow Arrow pipeline with an exact closed-form answer: range ->
 # shuffle to 16 partitions -> pandas map that SLEEPS (guaranteeing the
@@ -108,14 +91,7 @@ print("EXACT-MATCH-AFTER-LOSS", len(rows), flush=True)
 # executor launched by the worker, fleet back to 2) — otherwise the
 # exact-match above could be vacuous (kill landing after the victim's
 # tasks already finished AND no recovery exercised).
-for _ in range(60):
-    alive = executor_pids()
-    if killed["pid"] not in alive and len(alive) >= 2:
-        break
-    time.sleep(1)
-alive = executor_pids()
-assert killed["pid"] not in alive, "victim executor still alive"
-assert len(alive) >= 2, f"replacement executor never joined: {{alive}}"
+alive = wait_for_heal(killed["pid"], 2)
 print("EXECUTORS-AFTER-LOSS", len(alive), flush=True)
 
 from tests.oracle_harness import compare, duckdb_connection
@@ -166,16 +142,9 @@ spark = (
     .getOrCreate()
 )
 
-def executor_pids():
-    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
-    return [int(l.split(None, 1)[0]) for l in out.splitlines()
-            if "CoarseGrainedExecutorBackend" in l and "java" in l and "python" not in l]
+from tests.cluster_loss_util import executor_pids, wait_for_fleet, wait_for_heal
 
-for _ in range(60):
-    if len(executor_pids()) >= 2:
-        break
-    time.sleep(1)
-assert len(executor_pids()) >= 2
+wait_for_fleet(2)
 
 root = tempfile.mkdtemp(prefix="cluster-loss-stream-")
 landing, ckpt, store = [os.path.join(root, d) for d in ("landing", "ckpt", "store")]
@@ -293,16 +262,9 @@ spark = (
     .getOrCreate()
 )
 
-def executor_pids():
-    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
-    return [int(l.split(None, 1)[0]) for l in out.splitlines()
-            if "CoarseGrainedExecutorBackend" in l and "java" in l and "python" not in l]
+from tests.cluster_loss_util import executor_pids, wait_for_fleet, wait_for_heal
 
-for _ in range(60):
-    if len(executor_pids()) >= 2:
-        break
-    time.sleep(1)
-assert len(executor_pids()) >= 2
+wait_for_fleet(2)
 
 # 90%-hot fact: key 0 owns 9/10 of N rows — the stuck-reducer shape.
 # The salt is content-derived (id % N_SALTS), so the hot key fans out
@@ -370,14 +332,7 @@ for i in range(N):
 assert rows == want, "post-loss salted join diverged from the exact answer"
 print("SKEW-EXACT-AFTER-LOSS", len(rows), flush=True)
 
-for _ in range(60):
-    alive = executor_pids()
-    if killed["pid"] not in alive and len(alive) >= 2:
-        break
-    time.sleep(1)
-alive = executor_pids()
-assert killed["pid"] not in alive, "victim executor still alive"
-assert len(alive) >= 2, f"replacement executor never joined: {{alive}}"
+alive = wait_for_heal(killed["pid"], 2)
 print("ALL-OK")
 """
 
@@ -427,16 +382,9 @@ spark = (
     .getOrCreate()
 )
 
-def executor_pids():
-    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
-    return [int(l.split(None, 1)[0]) for l in out.splitlines()
-            if "CoarseGrainedExecutorBackend" in l and "java" in l and "python" not in l]
+from tests.cluster_loss_util import executor_pids, wait_for_fleet, wait_for_heal
 
-for _ in range(60):
-    if len(executor_pids()) >= 2:
-        break
-    time.sleep(1)
-assert len(executor_pids()) >= 2
+wait_for_fleet(2)
 
 root = tempfile.mkdtemp(prefix="cluster-loss-arrow-state-")
 landing, ckpt, store = [os.path.join(root, d) for d in ("landing", "ckpt", "store")]
@@ -580,29 +528,29 @@ spark = (
     .getOrCreate()
 )
 
-def executor_pids():
-    out = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
-    return [int(l.split(None, 1)[0]) for l in out.splitlines()
-            if "CoarseGrainedExecutorBackend" in l and "java" in l and "python" not in l]
+from tests.cluster_loss_util import executor_pids, wait_for_fleet, wait_for_heal
 
-for _ in range(60):
-    if len(executor_pids()) >= 2:
-        break
-    time.sleep(1)
-assert len(executor_pids()) >= 2
+wait_for_fleet(2)
 
 # Slow one-to-many Arrow UDTF with an exact closed form: every id
-# fans out to TWO rows; sentinel ids sleep so the SIGKILL lands
-# inside the ArrowEvalPythonUDTF stage, and recomputed eval streams
-# must reproduce bit-identical fan-out.
+# fans out to TWO rows.  EVERY UDTF instance (one per task, 16 tasks
+# over 8 executor cores => two full waves) sleeps on its first eval,
+# so the ArrowEvalPythonUDTF stage lasts >= ~2.4 s and the SIGKILL
+# lands inside it (the r12 review caught the earlier sentinel-row
+# variant finishing before the kill on a fast box); recomputed eval
+# streams must reproduce bit-identical fan-out.
 N = 200_000
 
 @udtf(returnType="k: bigint, v: bigint", useArrow=True)
 class SlowFanout:
+    def __init__(self):
+        self._slept = False
+
     def eval(self, id):
-        import time as _t
-        if id % 25000 == 0:
-            _t.sleep(0.8)
+        if not self._slept:
+            import time as _t
+            _t.sleep(1.2)
+            self._slept = True
         yield (id % 97, id)
         yield ((id + 1) % 97, 2 * id)
 
@@ -618,21 +566,41 @@ print("UDTF-ARROW-LANE-CONFIRMED", flush=True)
 
 killed = {{}}
 def killer():
+    # AQE splits this query into two jobs (exchange materialization,
+    # then UDTF+agg) with a brief idle gap between them — a
+    # fixed-delay kill can land in that gap (r12 review + observed
+    # live).  Target the UDTF stage itself: wait for a SECOND stage
+    # id to become active (the post-exchange stage running the
+    # sleeping UDTF instances, >= ~2.4 s long), then kill 0.8 s in.
     st = spark.sparkContext.statusTracker()
-    for _ in range(300):
-        if st.getActiveStageIds():
-            break
-        time.sleep(0.1)
-    time.sleep(1.5)  # land inside the sleeping UDTF stage
+    first = None
+    for _ in range(6000):
+        ids = st.getActiveStageIds()
+        if ids:
+            if first is None:
+                first = set(ids)
+            elif any(i not in first for i in ids):
+                break
+        time.sleep(0.05)
+    time.sleep(0.8)  # inside the >=2.4 s UDTF stage
     victim = executor_pids()[0]
+    killed["active_at_kill"] = len(st.getActiveStageIds())
     os.kill(victim, signal.SIGKILL)
     killed["pid"] = victim
-    print("KILLED-EXECUTOR", victim, flush=True)
+    killed["t_kill"] = time.monotonic()
+    print("KILLED-EXECUTOR", victim, "active-stages", killed["active_at_kill"], flush=True)
 
 t = threading.Thread(target=killer); t.start()
 rows = {{r.k: (r.n, r.s) for r in df.collect()}}
+t_done = time.monotonic()
 t.join()
 assert "pid" in killed, "killer thread never fired"
+# Non-vacuous: the job must have been RUNNING at the kill (active
+# stages captured immediately before SIGKILL) and must have finished
+# AFTER it — otherwise the exact-match proves nothing about recovery.
+assert killed["active_at_kill"] > 0, "kill landed after the job went idle"
+assert t_done > killed["t_kill"], "job finished before the kill"
+print("KILL-LANDED-MID-JOB", flush=True)
 
 # Exact expected answer, pure Python: each id contributes (id%97, id)
 # and ((id+1)%97, 2*id).
@@ -645,14 +613,7 @@ want = {{k: (want_n[k], want_s[k]) for k in range(97)}}
 assert rows == want, "post-loss UDTF result diverged from the exact answer"
 print("EXACT-MATCH-AFTER-LOSS", len(rows), flush=True)
 
-for _ in range(60):
-    alive = executor_pids()
-    if killed["pid"] not in alive and len(alive) >= 2:
-        break
-    time.sleep(1)
-alive = executor_pids()
-assert killed["pid"] not in alive, "victim executor still alive"
-assert len(alive) >= 2, f"replacement executor never joined: {{alive}}"
+alive = wait_for_heal(killed["pid"], 2)
 print("EXECUTORS-AFTER-LOSS", len(alive), flush=True)
 
 # The pending UDTF contract candidate must oracle-match on the
@@ -694,6 +655,7 @@ def test_arrow_udtf_survives_executor_sigkill(sf_dir):
     )
     assert "UDTF-ARROW-LANE-CONFIRMED" in proc.stdout
     assert "KILLED-EXECUTOR" in proc.stdout
+    assert "KILL-LANDED-MID-JOB" in proc.stdout
     assert "EXACT-MATCH-AFTER-LOSS 97" in proc.stdout
     assert "EXECUTORS-AFTER-LOSS" in proc.stdout
     assert "CLUSTER-MATCH udf_token_spans" in proc.stdout

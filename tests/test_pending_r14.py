@@ -168,13 +168,17 @@ def test_udtf_table_argument_partition_by_works(spark, sf_dir):
     load_table(spark, sf_dir, "documents").select(
         "source", "n_chars"
     ).createOrReplaceTempView("dta_udtf_docs")
-    got = {
-        r.source: (r.n, r.chars)
-        for r in spark.sql(
-            "SELECT * FROM dta_per_source_probe("
-            "TABLE(dta_udtf_docs) PARTITION BY source)"
-        ).collect()
-    }
+    out = spark.sql(
+        "SELECT * FROM dta_per_source_probe("
+        "TABLE(dta_udtf_docs) PARTITION BY source)"
+    )
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(out)
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert "Exchange hashpartitioning" in plan  # the PARTITION BY
+    got = {r.source: (r.n, r.chars) for r in out.collect()}
     want = {
         r.source: (r.n, r.chars)
         for r in load_table(spark, sf_dir, "documents")
