@@ -118,6 +118,47 @@ NAMES = [
 ]
 
 
+def _base_tag() -> str:
+    """Identity of the CURRENT base testdata generation: md5 over the
+    parquet FOOTER tags of every base table a derived corpus replicates
+    (ADVICE r12 — the testdata rotates between rounds, and a derived
+    tier generated from an older base makes the scale curve silently
+    inconsistent: sf0.1 reads current data while sf1/sf10 read stale).
+    Footer tags are content-derived tail reads (sources/tables.py
+    parquet_footer_tag), so this is object-storage-safe and costs
+    microseconds."""
+    import hashlib
+
+    from decision_tree_analytics_spark.sources.tables import (
+        parquet_footer_tag,
+    )
+
+    tags = [
+        parquet_footer_tag(os.path.join(BASE, t + ".parquet"))
+        for t in ("documents", "embeddings", "customer", "orders",
+                  "lineitem", "events")
+    ]
+    return hashlib.md5("|".join(tags).encode()).hexdigest()
+
+
+def _stamp(out_dir: str) -> None:
+    with open(os.path.join(out_dir, ".base_tag"), "w") as f:
+        f.write(_base_tag())
+
+
+def _stale(out_dir: str) -> bool:
+    """True when the derived corpus is missing OR was generated from a
+    different base-testdata generation (stamp absent/mismatched) —
+    callers auto-regenerate instead of silently mixing generations."""
+    if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+        return True
+    stamp = os.path.join(out_dir, ".base_tag")
+    if not os.path.exists(stamp):
+        return True
+    with open(stamp) as f:
+        return f.read() != _base_tag()
+
+
 def _generate_docs_embeddings(con, out_dir: str, replicas: int) -> None:
     """documents + embeddings at ``replicas``x: per-replica token
     suffixes keep each documents replica's internal near-dup structure
@@ -204,6 +245,7 @@ def generate() -> None:
     con = duckdb.connect()
     _generate_docs_embeddings(con, OUT, 10)
     _generate_facts(con, OUT, 10)
+    _stamp(OUT)
 
 
 OUT10 = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf10")
@@ -236,6 +278,7 @@ def generate_sf10(full: bool = False) -> None:
             path = os.path.join(OUT10, f"{t}.parquet")
             if os.path.exists(path):
                 os.remove(path)
+    _stamp(OUT10)
 
 
 def sf10_probe() -> None:
@@ -255,23 +298,19 @@ def sf10_probe() -> None:
     from decision_tree_analytics_spark.session import get_spark
     from decision_tree_analytics_spark.sources.tables import load_table
 
-    # --generate regenerates BOTH tiers: the base testdata rotates
+    # Both tiers auto-regenerate when the base-generation stamp is
+    # missing or mismatched (ADVICE r12): the base testdata rotates
     # between rounds, and a curve whose sf1 point comes from an older
     # corpus than its sf0.1/sf10 points is silently inconsistent.
-    if "--generate" in sys.argv or not os.path.exists(
-        os.path.join(OUT, "embeddings.parquet")
-    ):
+    if "--generate" in sys.argv or _stale(OUT):
         generate()
     full = "--full" in sys.argv
-    if "--generate" in sys.argv or not os.path.exists(
-        os.path.join(OUT10, "embeddings.parquet")
-    ):
+    if "--generate" in sys.argv or _stale(OUT10):
         generate_sf10(full=full)
     elif full and not os.path.exists(os.path.join(OUT10, "events.parquet")):
-        # Corpus exists from a docs/embeddings-only run — top up the
-        # fact chain without regenerating the text tier (safe: a
-        # non-full regeneration deletes stale facts, so a present
-        # docs tier and an absent fact tier are the same generation).
+        # Corpus exists from a docs/embeddings-only run of the SAME
+        # base generation (the stamp just matched) — top up the fact
+        # chain without regenerating the text tier.
         import duckdb
 
         _generate_facts(duckdb.connect(), OUT10, SF10_REPLICAS)
@@ -291,8 +330,15 @@ def sf10_probe() -> None:
         # only — a query reading orders/events needs --full)
         names = sys.argv[sys.argv.index("--only") + 1].split(",")
     out = {}
+    # Warm the tables the probed queries read: --full adds the fact
+    # chain so fact-family pass1 numbers are compute-cold but IO-warm,
+    # directly comparable to the dedup/ANN entries' pass1 (ADVICE r12).
+    warm_tables = ["documents", "embeddings"]
+    if full:
+        warm_tables += ["customer", "orders", "lineitem", "supplier",
+                        "nation", "events"]
     for sf_dir, tag in [(BASE, "sf0.1"), (OUT, "sf1"), (OUT10, "sf10")]:
-        for t in ("documents", "embeddings"):
+        for t in warm_tables:
             load_table(spark, sf_dir, t).count()
         spark.range(32).repartition(32).mapInPandas(
             lambda it: it, "id long"
@@ -480,9 +526,7 @@ def main() -> None:
     if "--sf10" in sys.argv:
         sf10_probe()
         return
-    if "--generate" in sys.argv or not os.path.exists(
-        os.path.join(OUT, "embeddings.parquet")
-    ):
+    if "--generate" in sys.argv or _stale(OUT):
         generate()
     from decision_tree_analytics_spark import operators
     from decision_tree_analytics_spark.session import get_spark

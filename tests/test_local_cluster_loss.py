@@ -574,14 +574,25 @@ def killer():
     # sleeping UDTF instances, >= ~2.4 s long), then kill 0.8 s in.
     st = spark.sparkContext.statusTracker()
     first = None
+    seen_second = False
     for _ in range(6000):
         ids = st.getActiveStageIds()
         if ids:
             if first is None:
                 first = set(ids)
             elif any(i not in first for i in ids):
+                seen_second = True
                 break
         time.sleep(0.05)
+    killed["stage2_seen"] = seen_second
+    if not seen_second:
+        # ADVICE r12: if a Spark version/conf change runs this as ONE
+        # job the loop exhausts — killing then would land after
+        # completion and fail the active_at_kill assert with no hint
+        # that the STAGE HEURISTIC (not recovery) broke.  Bail loudly
+        # instead of killing; the driver asserts on the flag below.
+        print("AQE-JOB-SPLIT-ASSUMPTION-BROKEN", flush=True)
+        return
     time.sleep(0.8)  # inside the >=2.4 s UDTF stage
     victim = executor_pids()[0]
     killed["active_at_kill"] = len(st.getActiveStageIds())
@@ -594,6 +605,11 @@ t = threading.Thread(target=killer); t.start()
 rows = {{r.k: (r.n, r.s) for r in df.collect()}}
 t_done = time.monotonic()
 t.join()
+assert killed.get("stage2_seen"), (
+    "AQE job-split assumption no longer holds: a second active stage id "
+    "never appeared within 300 s, so the stage-targeting heuristic (not "
+    "executor-loss recovery) is what broke — rework the killer's timing"
+)
 assert "pid" in killed, "killer thread never fired"
 # Non-vacuous: the job must have been RUNNING at the kill (active
 # stages captured immediately before SIGKILL) and must have finished
