@@ -675,3 +675,173 @@ def test_arrow_udtf_survives_executor_sigkill(sf_dir):
     assert "EXACT-MATCH-AFTER-LOSS 97" in proc.stdout
     assert "EXECUTORS-AFTER-LOSS" in proc.stdout
     assert "CLUSTER-MATCH udf_token_spans" in proc.stdout
+
+_SNAPSHOT_DRIVER = r"""
+import os, signal, sys, tempfile, threading, time
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo_tests!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .getOrCreate()
+)
+
+from tests.cluster_loss_util import executor_pids, wait_for_fleet, wait_for_heal
+
+wait_for_fleet(2)
+
+from decision_tree_analytics_spark.sources.snapshots import SnapshotTable
+
+root = tempfile.mkdtemp(prefix="snap-loss-")
+table = SnapshotTable(spark, os.path.join(root, "tbl"))
+
+# Seed snapshot 1 with an exact closed form — the OLD state a mid-
+# commit reader must keep seeing.
+N1 = 10_000
+df1 = spark.range(N1).select("id", (F.col("id") * 3 % 101).alias("v"))
+s1 = table.overwrite(df1)
+assert s1 == 1 and table.latest_id() == 1
+
+# Snapshot-2 content via a SLOW map-only distributed write: 16 input
+# partitions, each task sleeps 1.0 s before emitting, 8 executor cores
+# => two >=1 s waves, so the write stage lasts >=2 s and the SIGKILL
+# lands inside the FileFormatWriter tasks themselves (no shuffle —
+# scenario 1 already covers map-output loss; this one targets the
+# commit protocol).
+N2 = 200_000
+def slow_ident(batches):
+    import time as _t
+    _t.sleep(1.0)
+    for b in batches:
+        yield b
+
+df2 = (
+    spark.range(0, N2, 1, 16)
+    .select("id", (F.col("id") * 7 % 103).alias("v"))
+    .mapInPandas(slow_ident, "id long, v long")
+)
+
+killed = {{}}
+latest_path = os.path.join(table.meta_dir, "_latest")
+def killer():
+    st = spark.sparkContext.statusTracker()
+    for _ in range(1200):
+        if st.getActiveStageIds():
+            break
+        time.sleep(0.05)
+    time.sleep(0.7)  # inside wave 1 of the >=2 s write stage
+    # Torn-read probe at the worst moment: the published pointer must
+    # still name snapshot 1 while snapshot 2's write job is in flight
+    # (the snap-00002 manifest exists as an O_EXCL claim but is not
+    # published).
+    with open(latest_path) as fh:
+        killed["latest_at_kill"] = int(fh.read().strip())
+    killed["active_at_kill"] = len(st.getActiveStageIds())
+    victim = executor_pids()[0]
+    os.kill(victim, signal.SIGKILL)
+    killed["pid"] = victim
+    killed["t_kill"] = time.monotonic()
+    print("KILLED-EXECUTOR", victim, "active-stages",
+          killed["active_at_kill"], flush=True)
+
+t = threading.Thread(target=killer); t.start()
+s2 = table.overwrite(df2)  # blocks through the kill + task retries
+t_done = time.monotonic()
+t.join()
+assert "pid" in killed, "killer thread never fired"
+assert killed["active_at_kill"] > 0, "kill landed after the write went idle"
+assert t_done > killed["t_kill"], "commit finished before the kill"
+assert killed["latest_at_kill"] == 1, "pointer moved before publish"
+print("POINTER-CLEAN-AT-KILL", flush=True)
+assert s2 == 2 and table.latest_id() == 2
+
+# Clean NEW snapshot: exact closed-form content despite retried write
+# tasks — row count, DISTINCT ids (a double-committed task attempt
+# would duplicate), and a value checksum.
+got = table.read().agg(
+    F.count(F.lit(1)).alias("n"),
+    F.count_distinct("id").alias("d"),
+    F.sum("v").alias("sv"),
+).collect()[0]
+want_sv = sum(i * 7 % 103 for i in range(N2))
+assert (got.n, got.d, got.sv) == (N2, N2, want_sv), (got.n, got.d, got.sv)
+print("NEW-SNAPSHOT-EXACT", flush=True)
+
+# Clean OLD snapshot: time travel to snapshot 1 is untouched.
+got1 = table.read(1).agg(
+    F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+).collect()[0]
+want1 = sum(i * 3 % 101 for i in range(N1))
+assert (got1.n, got1.sv) == (N1, want1), (got1.n, got1.sv)
+print("OLD-SNAPSHOT-EXACT", flush=True)
+
+# No torn files: the s00002 data dir holds EXACTLY the manifest's file
+# set — a SIGKILLed task attempt must not leak partial parquet files
+# into the committed snapshot (the manifest is built by walking the
+# output dir, so a leaked _temporary file would poison every read).
+man_files = set(table.manifest(2)["files"])
+disk = set()
+for d_, _sub, files in os.walk(os.path.join(table.data_dir, "s00002")):
+    for f in files:
+        if f.endswith(".parquet"):
+            disk.add(os.path.relpath(os.path.join(d_, f), table.path))
+assert disk and disk == man_files, (
+    sorted(disk - man_files), sorted(man_files - disk))
+print("MANIFEST-DISK-CONSISTENT", len(disk), flush=True)
+
+alive = wait_for_heal(killed["pid"], 2)
+print("EXECUTORS-AFTER-LOSS", len(alive), flush=True)
+
+# The WAP-backed contract query must oracle-match on the RECOVERED
+# cluster with a fresh store — compute + write-audit-publish + read
+# end-to-end across the healed fleet.
+os.environ["SPARK_GRAFT_SNAPSHOT_DIR"] = os.path.join(root, "contract-store")
+from tests.oracle_harness import compare, duckdb_connection
+from decision_tree_analytics_spark import operators
+qs, osql = operators.all_queries(), operators.all_oracles()
+con = duckdb_connection({sf!r})
+name = "dedup_canonical_snapshot"
+compare(qs[name](spark, {sf!r}), con, osql[name], name)
+print("CLUSTER-MATCH", name, flush=True)
+spark.stop()
+print("ALL-OK")
+"""
+
+
+def test_snapshot_publish_survives_executor_sigkill(sf_dir):
+    """SnapshotTable write-audit-publish under executor loss (VERDICT
+    r12 item 5) — the last untested loss surface: one executor JVM is
+    SIGKILLed while snapshot 2's distributed parquet write is
+    mid-stage.  Proves the two halves of the atomicity claim: a reader
+    at the kill instant still sees a CLEAN OLD snapshot (the _latest
+    pointer names snapshot 1 until publish), and the completed commit
+    yields a CLEAN NEW snapshot (exact closed-form content, no
+    duplicate task commits, data dir == manifest file set), never a
+    torn read.  A WAP-backed contract query then oracle-matches on the
+    healed fleet against a fresh store."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _SNAPSHOT_DRIVER.format(repo=repo, repo_tests=repo, sf=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0 and "ALL-OK" in proc.stdout, (
+        f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
+    )
+    assert "KILLED-EXECUTOR" in proc.stdout
+    assert "POINTER-CLEAN-AT-KILL" in proc.stdout
+    assert "NEW-SNAPSHOT-EXACT" in proc.stdout
+    assert "OLD-SNAPSHOT-EXACT" in proc.stdout
+    assert "MANIFEST-DISK-CONSISTENT" in proc.stdout
+    assert "EXECUTORS-AFTER-LOSS" in proc.stdout
+    assert "CLUSTER-MATCH dedup_canonical_snapshot" in proc.stdout
