@@ -88,7 +88,38 @@ class SnapshotTable:
         if not os.path.exists(p):
             raise SnapshotNotFound(f"snapshot {sid} does not exist at {self.path}")
         with open(p) as fh:
-            return json.load(fh)
+            raw = fh.read()
+        if not raw.strip():
+            # An O_EXCL claim whose writer died (or is still writing)
+            # before the manifest content landed — a TORN claim is not
+            # a snapshot.  Readers/maintenance treat it as absent; the
+            # id itself stays burned (snapshot_ids lists the claim
+            # file) so a new commit can never collide with it.
+            raise SnapshotNotFound(
+                f"snapshot {sid} is a torn claim (no manifest content)"
+                f" at {self.path}"
+            )
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise SnapshotNotFound(
+                f"snapshot {sid} manifest is unreadable (torn write?)"
+                f" at {self.path}: {e}"
+            ) from e
+
+    def _valid_ids(self) -> list[int]:
+        """Snapshot ids whose manifests parse — claim files left torn
+        by a crashed/in-flight writer are excluded.  Allocation must
+        keep using snapshot_ids() (ALL claims) or a new commit could
+        collide with a live writer's claimed id."""
+        out = []
+        for s in self.snapshot_ids():
+            try:
+                self.manifest(s)
+            except SnapshotNotFound:
+                continue
+            out.append(s)
+        return out
 
     def latest_id(self) -> int:
         p = os.path.join(self.meta_dir, _LATEST)
@@ -98,7 +129,7 @@ class SnapshotTable:
             return int(fh.read().strip())
 
     def history(self) -> list[dict]:
-        return [self.manifest(s) for s in self.snapshot_ids()]
+        return [self.manifest(s) for s in self._valid_ids()]
 
     # -- commit -----------------------------------------------------
     def _write_files(self, df: DataFrame, sid: int) -> list[str]:
@@ -128,10 +159,16 @@ class SnapshotTable:
             try:
                 parent: int | None = None
                 base: list[str] = []
-                if ids:
-                    parent = self.latest_id() if self._published() else ids[-1]
-                    if operation == "append":
-                        base = self.manifest(parent)["files"]
+                if self._published():
+                    parent = self.latest_id()
+                else:
+                    # Chain from the last VALID staged snapshot — a
+                    # torn claim left by a crashed writer must not be
+                    # the parent (its manifest has no file list).
+                    valid = [s for s in self._valid_ids() if s < sid]
+                    parent = valid[-1] if valid else None
+                if parent is not None and operation == "append":
+                    base = self.manifest(parent)["files"]
                 new_files = self._write_files(df, sid)
                 manifest = {
                     "snapshot_id": sid,
@@ -218,28 +255,54 @@ class SnapshotTable:
         self.publish(sid)
         return sid
 
-    def expire(self, keep_last: int = 1) -> list[str]:
-        """Drop all but the last ``keep_last`` snapshots (never the
-        published one) and delete data files no kept snapshot
-        references.  Returns the deleted paths."""
+    def expire(
+        self, keep_last: int = 1, orphan_grace_seconds: float = 86400.0
+    ) -> list[str]:
+        """Drop all but the last ``keep_last`` VALID snapshots (never
+        the published one) and delete data files no kept snapshot
+        references.  Returns the deleted paths.
+
+        Files an EXPIRED manifest referenced are known-dead and go
+        immediately.  Everything referenced by NO manifest at all —
+        torn claim files and unreferenced data files — may belong to a
+        crashed writer OR to a commit still in flight (a live writer's
+        claim is empty until its data lands), so it is only reclaimed
+        once older than ``orphan_grace_seconds`` (Iceberg's
+        remove-orphan-files makes the same age-gated call for the same
+        reason; mtime/last-modified is the one timestamp an object
+        store exposes for this)."""
+        now = time.time()
         ids = self.snapshot_ids()
-        keep = set(ids[-keep_last:]) if keep_last else set()
+        valid = self._valid_ids()
+        keep = set(valid[-keep_last:]) if keep_last else set()
         if self._published():
             keep.add(self.latest_id())
         live: set[str] = set()
         for s in keep:
             live.update(self.manifest(s)["files"])
         deleted = []
-        for s in ids:
+        dead: set[str] = set()  # files of manifests removed below
+        for s in valid:
             if s not in keep:
+                dead.update(self.manifest(s)["files"])
                 os.remove(self._manifest_path(s))
                 deleted.append(self._manifest_path(s))
+        for s in ids:
+            if s in valid or s in keep:
+                continue  # torn claims only from here
+            p = self._manifest_path(s)
+            if now - os.path.getmtime(p) >= orphan_grace_seconds:
+                os.remove(p)
+                deleted.append(p)
         for root, _dirs, files in os.walk(self.data_dir):
             for f in files:
                 full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                if not f.endswith(".parquet") or rel in live:
+                    continue
                 if (
-                    f.endswith(".parquet")
-                    and os.path.relpath(full, self.path) not in live
+                    rel in dead
+                    or now - os.path.getmtime(full) >= orphan_grace_seconds
                 ):
                     os.remove(full)
                     deleted.append(full)

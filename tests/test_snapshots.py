@@ -180,3 +180,80 @@ def test_parquet_footer_tag_identity(sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         parquet_footer_tag(str(bogus))
+
+
+def test_torn_claim_is_invisible_and_never_blocks_commits(spark, docs, tmp_path):
+    """A writer that died between the O_EXCL claim and the manifest
+    write leaves an EMPTY snap-N.json.  The store must stay fully
+    usable: reads serve the published snapshot, history skips the torn
+    claim, a new commit allocates PAST the burned id and chains from
+    the last valid parent, and addressing the torn id directly raises
+    SnapshotNotFound (so publish can never move the pointer onto it)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(docs.filter(F.col("doc_id") < 50))
+    # Simulate the crash: claim id 2, die before writing content.
+    open(os.path.join(t.meta_dir, "snap-00002.json"), "w").close()
+    assert t.latest_id() == s1
+    assert t.read().count() == 50
+    assert [m["snapshot_id"] for m in t.history()] == [s1]
+    with pytest.raises(SnapshotNotFound):
+        t.read(2)
+    with pytest.raises(SnapshotNotFound):
+        t.publish(2)
+    # The next commit burns past the torn id and chains from s1.
+    s3 = t.append(docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)))
+    assert s3 == 3
+    assert t.manifest(s3)["parent_id"] == s1
+    assert t.read().count() == 80
+
+
+def test_torn_claim_as_staging_parent_is_skipped(spark, docs, tmp_path):
+    """On an UNPUBLISHED table the append chain walks staged
+    snapshots; a torn claim in the middle must not become the parent
+    (its manifest has no file list)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(docs.filter(F.col("doc_id") < 10), publish=False)
+    open(os.path.join(t.meta_dir, "snap-00002.json"), "w").close()
+    s3 = t.append(
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        publish=False,
+    )
+    assert s3 == 3
+    assert t.manifest(s3)["parent_id"] == s1
+    assert t.read(s3).count() == 20  # chained s1's files + its own
+
+
+def test_expire_age_gates_unreferenced_orphans(spark, docs, tmp_path):
+    """expire() must NOT reclaim what might belong to an in-flight
+    commit — a young torn claim and young unreferenced data files
+    survive the default grace, while files of expired manifests go
+    immediately; grace 0 reclaims the crashed writer's leftovers."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(docs.filter(F.col("doc_id") < 30))
+    s2 = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    # A racing writer mid-commit: torn claim + data landing on disk.
+    torn = os.path.join(t.meta_dir, "snap-00003.json")
+    open(torn, "w").close()
+    inflight_dir = os.path.join(t.data_dir, "s00003")
+    os.makedirs(inflight_dir)
+    inflight = os.path.join(inflight_dir, "part-0.parquet")
+    with open(inflight, "wb") as fh:
+        fh.write(b"not-yet-committed")
+    deleted = t.expire(keep_last=1)
+    # snapshot 1's manifest + files are known-dead: gone immediately.
+    assert any("snap-00001" in p for p in deleted)
+    # The possible in-flight commit survived the default grace.
+    assert os.path.exists(torn) and os.path.exists(inflight)
+    assert t.read().count() == 10  # published snapshot untouched
+    # A crashed writer's leftovers reclaim once past the grace.
+    deleted2 = t.expire(keep_last=1, orphan_grace_seconds=0.0)
+    assert not os.path.exists(torn) and not os.path.exists(inflight)
+    assert torn in deleted2 and inflight in deleted2
+    assert t.snapshot_ids() == [s2]
+    assert t.read().count() == 10
