@@ -36,6 +36,15 @@ INVARIANCE_QUERIES = [
     # sign aggregation must not depend on join task order
 ]
 
+# r14 registrants get their invariance evidence BEFORE registration
+# day: the Arrow-UDTF fan-out must yield the same span manifest no
+# matter how the docs scan is split, and the map-only GOP planner
+# must be a pure function of each row.
+PENDING_INVARIANCE_QUERIES = [
+    "udf_token_spans",
+    "mm_video_frame_plan",
+]
+
 _CONFS = [
     {"spark.sql.shuffle.partitions": "3",
      "spark.sql.files.maxPartitionBytes": "134217728"},
@@ -44,11 +53,10 @@ _CONFS = [
 ]
 
 
-def test_results_invariant_under_partitioning(spark, sf_dir):
-    qs = operators.all_queries()
+def _assert_invariant(spark, sf_dir, qs, names):
     saved = {k: spark.conf.get(k) for c in _CONFS for k in c}
     try:
-        for name in INVARIANCE_QUERIES:
+        for name in names:
             results = []
             for conf in _CONFS:
                 for k, v in conf.items():
@@ -59,3 +67,22 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_results_invariant_under_partitioning(spark, sf_dir):
+    _assert_invariant(
+        spark, sf_dir, operators.all_queries(), INVARIANCE_QUERIES
+    )
+
+
+def test_pending_candidates_invariant_under_partitioning(spark, sf_dir):
+    from decision_tree_analytics_spark.operators.pending_r12 import (
+        PENDING_QUERIES as P12,
+    )
+    from decision_tree_analytics_spark.operators.pending_r14 import (
+        PENDING_QUERIES as P14,
+    )
+
+    _assert_invariant(
+        spark, sf_dir, {**P12, **P14}, PENDING_INVARIANCE_QUERIES
+    )
