@@ -60,6 +60,28 @@ class SnapshotNotFound(RuntimeError):
     pass
 
 
+class CorruptSnapshotManifest(RuntimeError):
+    """A manifest file with CONTENT that does not parse — unlike an
+    empty torn claim this may be a damaged COMMITTED snapshot, so
+    nothing may treat it as absent or garbage-collect it; surface it
+    for repair."""
+
+
+class ConcurrentStagedCommit(RuntimeError):
+    """A staged commit on an unpublished table found a YOUNG torn
+    claim below its id — another writer is likely mid-commit, and
+    chaining past it would silently omit its rows.  Retry once the
+    racer finishes (or its claim ages past the orphan grace)."""
+
+
+# One age threshold decides 'crashed writer, reclaim/skip' vs 'maybe
+# still in flight, hands off' everywhere (expire + staged-parent
+# selection) — Iceberg's remove-orphan-files makes the same
+# older-than call, and mtime/last-modified is the one timestamp an
+# object store exposes for it.
+ORPHAN_GRACE_SECONDS = 86400.0
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``path``."""
 
@@ -94,7 +116,11 @@ class SnapshotTable:
             # before the manifest content landed — a TORN claim is not
             # a snapshot.  Readers/maintenance treat it as absent; the
             # id itself stays burned (snapshot_ids lists the claim
-            # file) so a new commit can never collide with it.
+            # file) so a new commit can never collide with it.  The
+            # manifest blob lands in one write, so 'torn' is exactly
+            # 'empty' — anything non-empty that fails to parse is
+            # CORRUPTION of possibly-committed state and must never be
+            # treated as absent (or garbage-collected).
             raise SnapshotNotFound(
                 f"snapshot {sid} is a torn claim (no manifest content)"
                 f" at {self.path}"
@@ -102,23 +128,24 @@ class SnapshotTable:
         try:
             return json.loads(raw)
         except json.JSONDecodeError as e:
-            raise SnapshotNotFound(
-                f"snapshot {sid} manifest is unreadable (torn write?)"
-                f" at {self.path}: {e}"
+            raise CorruptSnapshotManifest(
+                f"snapshot {sid} manifest has unparseable content at"
+                f" {self.path} — possibly a damaged committed snapshot;"
+                f" repair it, do not expire: {e}"
             ) from e
 
-    def _valid_ids(self) -> list[int]:
-        """Snapshot ids whose manifests parse — claim files left torn
-        by a crashed/in-flight writer are excluded.  Allocation must
-        keep using snapshot_ids() (ALL claims) or a new commit could
-        collide with a live writer's claimed id."""
+    def _valid_manifests(self) -> list[tuple[int, dict]]:
+        """(sid, manifest) for every snapshot whose manifest parses —
+        torn claims (empty files from a crashed/in-flight writer) are
+        excluded; CORRUPT non-empty manifests propagate loudly.
+        Allocation must keep using snapshot_ids() (ALL claims) or a
+        new commit could collide with a live writer's claimed id."""
         out = []
         for s in self.snapshot_ids():
             try:
-                self.manifest(s)
+                out.append((s, self.manifest(s)))
             except SnapshotNotFound:
                 continue
-            out.append(s)
         return out
 
     def latest_id(self) -> int:
@@ -129,7 +156,7 @@ class SnapshotTable:
             return int(fh.read().strip())
 
     def history(self) -> list[dict]:
-        return [self.manifest(s) for s in self._valid_ids()]
+        return [m for _s, m in self._valid_manifests()]
 
     # -- commit -----------------------------------------------------
     def _write_files(self, df: DataFrame, sid: int) -> list[str]:
@@ -162,11 +189,38 @@ class SnapshotTable:
                 if self._published():
                     parent = self.latest_id()
                 else:
-                    # Chain from the last VALID staged snapshot — a
-                    # torn claim left by a crashed writer must not be
-                    # the parent (its manifest has no file list).
-                    valid = [s for s in self._valid_ids() if s < sid]
-                    parent = valid[-1] if valid else None
+                    # Chain from the last VALID staged snapshot.  A
+                    # torn claim below us is either a CRASHED writer
+                    # (skip it — its manifest has no file list) or a
+                    # LIVE one mid-commit; chaining past a live racer
+                    # would silently omit its rows, so a YOUNG torn
+                    # claim aborts loudly instead (retryable once the
+                    # racer finishes or ages out as crashed).
+                    valid = {
+                        s for s, _m in self._valid_manifests() if s < sid
+                    }
+                    parent = max(valid) if valid else None
+                    now = time.time()
+                    for other in ids:
+                        if other in valid or other >= sid or (
+                            parent is not None and other < parent
+                        ):
+                            # A torn claim BELOW the last valid parent
+                            # is already superseded by the chain; only
+                            # one above it could hold rows this commit
+                            # would silently omit.
+                            continue
+                        p_other = self._manifest_path(other)
+                        if (
+                            os.path.exists(p_other)
+                            and now - os.path.getmtime(p_other)
+                            < ORPHAN_GRACE_SECONDS
+                        ):
+                            raise ConcurrentStagedCommit(
+                                f"staged snapshot {other} at {self.path} "
+                                f"is claimed but unwritten — another "
+                                f"writer is likely mid-commit"
+                            )
                 if parent is not None and operation == "append":
                     base = self.manifest(parent)["files"]
                 new_files = self._write_files(df, sid)
@@ -256,39 +310,50 @@ class SnapshotTable:
         return sid
 
     def expire(
-        self, keep_last: int = 1, orphan_grace_seconds: float = 86400.0
+        self,
+        keep_last: int = 1,
+        orphan_grace_seconds: float = ORPHAN_GRACE_SECONDS,
     ) -> list[str]:
-        """Drop all but the last ``keep_last`` VALID snapshots (never
-        the published one) and delete data files no kept snapshot
+        """Drop all but the last ``keep_last`` snapshots (never the
+        published one) and delete data files no kept snapshot
         references.  Returns the deleted paths.
 
         Files an EXPIRED manifest referenced are known-dead and go
         immediately.  Everything referenced by NO manifest at all —
-        torn claim files and unreferenced data files — may belong to a
-        crashed writer OR to a commit still in flight (a live writer's
-        claim is empty until its data lands), so it is only reclaimed
-        once older than ``orphan_grace_seconds`` (Iceberg's
-        remove-orphan-files makes the same age-gated call for the same
-        reason; mtime/last-modified is the one timestamp an object
-        store exposes for this)."""
+        torn (empty) claim files and unreferenced data files — may
+        belong to a crashed writer OR to a commit still in flight (a
+        live writer's claim is empty until its data lands), so it is
+        only reclaimed once older than ``orphan_grace_seconds``
+        (Iceberg's remove-orphan-files makes the same age-gated call
+        for the same reason; mtime/last-modified is the one timestamp
+        an object store exposes for this).  A NON-empty manifest that
+        fails to parse is possible corruption of committed state:
+        expire refuses to run (CorruptSnapshotManifest) rather than
+        ever garbage-collecting it."""
         now = time.time()
         ids = self.snapshot_ids()
-        valid = self._valid_ids()
+        manifests = dict(self._valid_manifests())  # corrupt => raises
+        valid = sorted(manifests)
         keep = set(valid[-keep_last:]) if keep_last else set()
         if self._published():
             keep.add(self.latest_id())
         live: set[str] = set()
         for s in keep:
-            live.update(self.manifest(s)["files"])
+            if s not in manifests:
+                raise SnapshotNotFound(
+                    f"published snapshot {s} has no readable manifest"
+                    f" at {self.path}"
+                )
+            live.update(manifests[s]["files"])
         deleted = []
         dead: set[str] = set()  # files of manifests removed below
         for s in valid:
             if s not in keep:
-                dead.update(self.manifest(s)["files"])
+                dead.update(manifests[s]["files"])
                 os.remove(self._manifest_path(s))
                 deleted.append(self._manifest_path(s))
         for s in ids:
-            if s in valid or s in keep:
+            if s in valid:
                 continue  # torn claims only from here
             p = self._manifest_path(s)
             if now - os.path.getmtime(p) >= orphan_grace_seconds:

@@ -136,7 +136,8 @@ def _base_tag() -> str:
     tags = [
         parquet_footer_tag(os.path.join(BASE, t + ".parquet"))
         for t in ("documents", "embeddings", "customer", "orders",
-                  "lineitem", "events")
+                  "lineitem", "events", "supplier", "nation", "region",
+                  "part")
     ]
     return hashlib.md5("|".join(tags).encode()).hexdigest()
 

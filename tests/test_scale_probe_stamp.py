@@ -30,7 +30,8 @@ def fake_base(tmp_path, monkeypatch):
     derived.mkdir()
     con = duckdb.connect()
     for t in ("documents", "embeddings", "customer", "orders",
-              "lineitem", "events"):
+              "lineitem", "events", "supplier", "nation", "region",
+              "part"):
         con.execute(
             f"COPY (SELECT range AS id, '{t}' AS name FROM range(10))"
             f" TO '{base}/{t}.parquet' (FORMAT parquet)"
@@ -71,6 +72,20 @@ def test_base_rotation_invalidates_stamp(fake_base):
     con.execute(
         f"COPY (SELECT range AS id, 'rotated' AS name FROM range(20))"
         f" TO '{base}/events.parquet' (FORMAT parquet)"
+    )
+    assert scale_probe._stale(str(derived))
+
+
+def test_dim_only_rotation_invalidates_stamp(fake_base):
+    """The fingerprint covers the COPIED dims too (review finding): a
+    rotation touching only supplier/nation/region/part must flag the
+    derived corpora stale."""
+    base, derived, con = fake_base
+    _touch_corpus(derived)
+    scale_probe._stamp(str(derived))
+    con.execute(
+        f"COPY (SELECT range AS id, 'rotated-dim' AS name FROM range(7))"
+        f" TO '{base}/part.parquet' (FORMAT parquet)"
     )
     assert scale_probe._stale(str(derived))
 

@@ -209,22 +209,65 @@ def test_torn_claim_is_invisible_and_never_blocks_commits(spark, docs, tmp_path)
     assert t.read().count() == 80
 
 
-def test_torn_claim_as_staging_parent_is_skipped(spark, docs, tmp_path):
+def test_torn_claim_as_staging_parent_aged_vs_live(spark, docs, tmp_path):
     """On an UNPUBLISHED table the append chain walks staged
-    snapshots; a torn claim in the middle must not become the parent
-    (its manifest has no file list)."""
+    snapshots.  A YOUNG torn claim may be a LIVE writer mid-commit —
+    chaining past it would silently omit its rows, so the commit
+    aborts loudly (and releases its own claim).  Once the claim ages
+    past the orphan grace it is a crashed writer: skipped, never the
+    parent (its manifest has no file list)."""
     import os
+    import time
+
+    from decision_tree_analytics_spark.sources.snapshots import (
+        ConcurrentStagedCommit,
+    )
 
     t = SnapshotTable(spark, str(tmp_path / "t"))
     s1 = t.append(docs.filter(F.col("doc_id") < 10), publish=False)
-    open(os.path.join(t.meta_dir, "snap-00002.json"), "w").close()
-    s3 = t.append(
-        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
-        publish=False,
-    )
+    torn = os.path.join(t.meta_dir, "snap-00002.json")
+    open(torn, "w").close()
+    second = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    with pytest.raises(ConcurrentStagedCommit):
+        t.append(second, publish=False)
+    # The aborted commit released its own id-3 claim.
+    assert t.snapshot_ids() == [s1, 2]
+    # Age the torn claim past the grace: now it is a crashed writer.
+    old = time.time() - 2 * 86400
+    os.utime(torn, (old, old))
+    s3 = t.append(second, publish=False)
     assert s3 == 3
     assert t.manifest(s3)["parent_id"] == s1
     assert t.read(s3).count() == 20  # chained s1's files + its own
+
+
+def test_corrupt_manifest_raises_and_is_never_expired(spark, docs, tmp_path):
+    """A NON-empty manifest that fails to parse may be a damaged
+    COMMITTED snapshot — unlike an empty torn claim it must surface
+    loudly everywhere and expire() must refuse to garbage-collect
+    anything rather than destroy state that might be repairable."""
+    import os
+
+    from decision_tree_analytics_spark.sources.snapshots import (
+        CorruptSnapshotManifest,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(docs.filter(F.col("doc_id") < 30))
+    s2 = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    corrupt = os.path.join(t.meta_dir, "snap-00001.json")
+    with open(corrupt, "w") as fh:
+        fh.write('{"snapshot_id": 1, "files": [')  # truncated write
+    with pytest.raises(CorruptSnapshotManifest):
+        t.read(1)
+    with pytest.raises(CorruptSnapshotManifest):
+        t.history()
+    with pytest.raises(CorruptSnapshotManifest):
+        t.expire(keep_last=1, orphan_grace_seconds=0.0)
+    # Nothing was reclaimed; the published snapshot still reads.
+    assert os.path.exists(corrupt)
+    assert t.latest_id() == s2
+    assert t.read().count() == 10
 
 
 def test_expire_age_gates_unreferenced_orphans(spark, docs, tmp_path):
