@@ -188,41 +188,61 @@ class SnapshotTable:
                 base: list[str] = []
                 if self._published():
                     parent = self.latest_id()
+                    if operation == "append":
+                        base = self.manifest(parent)["files"]
                 else:
-                    # Chain from the last VALID staged snapshot.  A
-                    # torn claim below us is either a CRASHED writer
-                    # (skip it — its manifest has no file list) or a
-                    # LIVE one mid-commit; chaining past a live racer
-                    # would silently omit its rows, so a YOUNG torn
-                    # claim aborts loudly instead (retryable once the
-                    # racer finishes or ages out as crashed).
-                    valid = {
-                        s for s, _m in self._valid_manifests() if s < sid
-                    }
-                    parent = max(valid) if valid else None
-                    now = time.time()
-                    for other in ids:
-                        if other in valid or other >= sid or (
-                            parent is not None and other < parent
-                        ):
-                            # A torn claim BELOW the last valid parent
-                            # is already superseded by the chain; only
-                            # one above it could hold rows this commit
-                            # would silently omit.
-                            continue
-                        p_other = self._manifest_path(other)
-                        if (
-                            os.path.exists(p_other)
-                            and now - os.path.getmtime(p_other)
-                            < ORPHAN_GRACE_SECONDS
-                        ):
-                            raise ConcurrentStagedCommit(
-                                f"staged snapshot {other} at {self.path} "
-                                f"is claimed but unwritten — another "
-                                f"writer is likely mid-commit"
-                            )
-                if parent is not None and operation == "append":
-                    base = self.manifest(parent)["files"]
+                    # Chain from the last VALID staged snapshot — a
+                    # torn claim (crashed writer) must not be the
+                    # parent (its manifest has no file list).  Only an
+                    # APPEND additionally refuses young torn claims
+                    # above its parent: an append incorporates the
+                    # parent's files, so chaining past a LIVE racer
+                    # mid-commit would silently omit its rows; an
+                    # overwrite contains only df's files, and blocking
+                    # it would turn any crashed first build of the
+                    # self-healing WAP tables into a grace-long outage
+                    # (review finding).
+                    while True:
+                        staged = {
+                            s: m
+                            for s, m in self._valid_manifests()
+                            if s < sid
+                        }
+                        parent = max(staged) if staged else None
+                        if parent is not None and operation == "append":
+                            base = staged[parent]["files"]
+                        if operation != "append":
+                            break
+                        now = time.time()
+                        racer_finished = False
+                        for other in ids:
+                            if other in staged or (
+                                parent is not None and other < parent
+                            ):
+                                # Torn claims BELOW the parent are
+                                # already superseded by the chain.
+                                continue
+                            p_other = self._manifest_path(other)
+                            # Re-check torn-ness at decision time: the
+                            # racer may have aborted (claim gone) or
+                            # finished (content landed) since the
+                            # listing (review finding).
+                            try:
+                                st = os.stat(p_other)
+                            except FileNotFoundError:
+                                continue  # racer aborted, claim freed
+                            if st.st_size > 0:
+                                racer_finished = True  # now a valid parent
+                                break
+                            if now - st.st_mtime < ORPHAN_GRACE_SECONDS:
+                                raise ConcurrentStagedCommit(
+                                    f"staged snapshot {other} at "
+                                    f"{self.path} is claimed but "
+                                    f"unwritten — another writer is "
+                                    f"likely mid-commit"
+                                )
+                        if not racer_finished:
+                            break  # parent selection is stable
                 new_files = self._write_files(df, sid)
                 manifest = {
                     "snapshot_id": sid,
@@ -356,7 +376,15 @@ class SnapshotTable:
             if s in valid:
                 continue  # torn claims only from here
             p = self._manifest_path(s)
-            if now - os.path.getmtime(p) >= orphan_grace_seconds:
+            # Re-check at decision time: a racing writer may have
+            # aborted (claim gone) or finished (content landed) since
+            # the listing — tolerate both instead of crashing
+            # mid-maintenance or deleting a just-committed snapshot.
+            try:
+                st = os.stat(p)
+            except FileNotFoundError:
+                continue
+            if st.st_size == 0 and now - st.st_mtime >= orphan_grace_seconds:
                 os.remove(p)
                 deleted.append(p)
         for root, _dirs, files in os.walk(self.data_dir):

@@ -220,6 +220,7 @@ def test_torn_claim_as_staging_parent_aged_vs_live(spark, docs, tmp_path):
     import time
 
     from decision_tree_analytics_spark.sources.snapshots import (
+        ORPHAN_GRACE_SECONDS,
         ConcurrentStagedCommit,
     )
 
@@ -233,12 +234,30 @@ def test_torn_claim_as_staging_parent_aged_vs_live(spark, docs, tmp_path):
     # The aborted commit released its own id-3 claim.
     assert t.snapshot_ids() == [s1, 2]
     # Age the torn claim past the grace: now it is a crashed writer.
-    old = time.time() - 2 * 86400
+    old = time.time() - 2 * ORPHAN_GRACE_SECONDS
     os.utime(torn, (old, old))
     s3 = t.append(second, publish=False)
     assert s3 == 3
     assert t.manifest(s3)["parent_id"] == s1
     assert t.read(s3).count() == 20  # chained s1's files + its own
+
+
+def test_crashed_first_build_self_heals_for_overwrite(spark, docs, tmp_path):
+    """The WAP publishers (dedup component labels, the IVF index)
+    stage OVERWRITE commits whose snapshots contain only df's files —
+    a crashed first build's YOUNG torn claim must not block the next
+    build for the orphan grace (review finding: that would turn every
+    self-healing path into a day-long outage)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # Simulate a first build SIGKILLed mid-_write_files: a fresh torn
+    # claim on a never-published table.
+    open(os.path.join(t.meta_dir, "snap-00001.json"), "w").close()
+    sid = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    assert sid == 2
+    assert t.latest_id() == 2
+    assert t.read().count() == 10
 
 
 def test_corrupt_manifest_raises_and_is_never_expired(spark, docs, tmp_path):
