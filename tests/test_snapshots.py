@@ -372,3 +372,62 @@ def test_concurrent_appends_all_commit_with_distinct_ids(spark, docs, tmp_path):
     # The pointer landed on one winner, and the table reads cleanly.
     assert t.latest_id() in sids
     assert t.read().count() >= 15  # base 5 + at least the winner's 10
+
+
+def test_real_driver_sigkill_mid_commit_self_heals(spark, docs, tmp_path, sf_dir):
+    """End-to-end crash proof (not a hand-made empty file): a REAL
+    writer process is SIGKILLed between its O_EXCL claim and commit
+    completion, then the same store must (a) show the torn claim and
+    no published pointer, (b) accept a fresh overwrite that burns past
+    the dead id, and (c) reclaim the leftovers under a zero grace."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    store = str(tmp_path / "t")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = f"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+from decision_tree_analytics_spark.sources.snapshots import SnapshotTable
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+t = SnapshotTable(spark, {store!r})
+def slow(batches):
+    import time as _t
+    _t.sleep(30)
+    for b in batches:
+        yield b
+df = spark.range(0, 1000, 1, 4).mapInPandas(slow, "id long")
+t.overwrite(df)  # never completes — parent SIGKILLs us mid-write
+"""
+    proc = subprocess.Popen([sys.executable, "-c", code])
+    claim = os.path.join(store, "metadata", "snap-00001.json")
+    try:
+        for _ in range(1200):  # wait for the O_EXCL claim, then kill
+            if os.path.exists(claim):
+                break
+            time.sleep(0.1)
+        assert os.path.exists(claim), "writer never claimed an id"
+        os.kill(proc.pid, signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+    # (a) torn claim on disk, nothing published, nothing readable yet
+    assert os.path.getsize(claim) == 0
+    t = SnapshotTable(spark, store)
+    with pytest.raises(NoPublishedSnapshot):
+        t.read()
+    assert t.history() == []
+    # (b) the next build self-heals: burns past id 1, publishes id 2
+    sid = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    assert sid == 2 and t.latest_id() == 2
+    assert t.read().count() == 10
+    # (c) zero-grace maintenance reclaims the dead writer's leftovers
+    t.expire(keep_last=1, orphan_grace_seconds=0.0)
+    assert not os.path.exists(claim)
+    assert t.snapshot_ids() == [2]
+    assert t.read().count() == 10
