@@ -23,6 +23,7 @@ from decision_tree_analytics_spark.operators import (  # noqa: F401
     ml_inventory,
     multimodal,
     pending_r12,
+    pending_r14,
     relational,
     retrieval,
     similarity,
@@ -52,9 +53,12 @@ ALL_MODULES = (
     stats_ext,
     retrieval,
     source_io,
-    # r12: the five registered round-12 operators (the module also
-    # holds the two r14-pending candidates, NOT in its QUERIES).
+    # r12: the five round-12 operators + mm_video_frame_plan (r14);
+    # the module also holds the one still-pending candidate
+    # (rel_hodges_lehmann), NOT in its QUERIES.
     pending_r12,
+    # r14: the arrow-optimized Python UDTF lane (udf_token_spans).
+    pending_r14,
 )
 
 # Extra bench queries beyond bench.py's HEADLINE set.

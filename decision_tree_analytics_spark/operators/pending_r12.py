@@ -1,13 +1,16 @@
 """Round-12 operators (built and pre-verified during round 11).
 
 CORRECTNESS_r11 landed 50/50 green, lifting the lifetime floor to r06
-— so r12 has exactly 5 fresh slots (5 + the 45 r06-stale names = the
-driver's 50-sample window, zero slack).  The five names in ``QUERIES``
-/ ``ORACLES`` below are REGISTERED into the contract via
-operators.__init__.ALL_MODULES; the remaining two stay in
-``PENDING_QUERIES`` / ``PENDING_ORACLES`` for r14's 2 fresh slots
-(r13's window is the 50-name r07 tail with ZERO slack — CLAUDE.md
-window math).
+— so r12 had exactly 5 fresh slots (5 + the 45 r06-stale names = the
+driver's 50-sample window, zero slack).  ``QUERIES`` / ``ORACLES``
+below are REGISTERED into the contract via
+operators.__init__.ALL_MODULES: the five r12 names plus
+mm_video_frame_plan, which filled one of r14's 2 fresh slots
+(together with pending_r14's udf_token_spans).  rel_hodges_lehmann
+stays in ``PENDING_QUERIES`` / ``PENDING_ORACLES`` until a driver
+window ever frees a slot — post-r14 every window is exactly a
+50-name re-verification tail with zero fresh slots (CLAUDE.md window
+math).
 
 All seven follow the repo's cross-engine determinism rules: integer
 ppm/cents/micro arithmetic, rule-3 floor rounding, rule-5 unique
@@ -814,13 +817,15 @@ WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
 GROUP BY 1
 """
 
-# Registered into the r12 contract (operators.__init__.ALL_MODULES).
+# Registered into the contract (operators.__init__.ALL_MODULES):
+# five names in r12, mm_video_frame_plan in r14.
 QUERIES = {
     "ns_rejection_sample": ns_rejection_sample,
     "snap_vacuum_plan": snap_vacuum_plan,
     "ml_quantile_reg": ml_quantile_reg,
     "rel_did": rel_did,
     "rel_mann_kendall": rel_mann_kendall,
+    "mm_video_frame_plan": mm_video_frame_plan,
 }
 
 ORACLES = {
@@ -829,16 +834,15 @@ ORACLES = {
     "ml_quantile_reg": _qreg_oracle(),
     "rel_did": _DID_ORACLE,
     "rel_mann_kendall": _MANN_KENDALL_ORACLE,
+    "mm_video_frame_plan": _VIDEO_ORACLE,
 }
 
-# Held for r14's 2 fresh slots (r13's window is the 50-name r07 tail
-# with zero slack):
+# Held until a driver window ever frees a slot (post-r14 every window
+# is exactly a 50-name re-verification tail with zero fresh slots):
 PENDING_QUERIES = {
-    "mm_video_frame_plan": mm_video_frame_plan,
     "rel_hodges_lehmann": rel_hodges_lehmann,
 }
 
 PENDING_ORACLES = {
-    "mm_video_frame_plan": _VIDEO_ORACLE,
     "rel_hodges_lehmann": _HL_ORACLE,
 }

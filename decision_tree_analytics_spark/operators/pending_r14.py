@@ -1,15 +1,12 @@
-"""Round-14 candidate: the Spark 4 arrow-optimized Python UDTF lane.
+"""The Spark 4 arrow-optimized Python UDTF lane — REGISTERED r14.
 
 VERDICT r11 identified the ``@udtf`` surface as the one uncovered
 Python-extension lane (the batch Python DataSource API is covered by
-src_python_datasource).  Built and oracle-verified NOW, registered
-later: r13's driver window is the 50-name r07 tail with zero slack,
-and r14 has exactly 2 fresh slots against THREE candidates (this one
-plus pending_r12's mm_video_frame_plan / rel_hodges_lehmann) — the
-recommended r14 pair is this + mm_video_frame_plan (two genuinely new
-surfaces: the UDTF lane and the multimodal video manifest), holding
-rel_hodges_lehmann (the stats family is already 30+ deep) for the
-next open slot.
+src_python_datasource).  Built and oracle-verified in r12-r13
+(3-SF oracle compare, 2-JVM cluster evidence, SIGKILL-mid-stage
+recovery, partition invariance, sf1+sf10 probe rows), then merged
+into the contract in r14 alongside pending_r12's
+mm_video_frame_plan, exactly filling r14's 2 fresh window slots.
 
 Follows the repo's cross-engine determinism rules: pure code-point
 string arithmetic (Python ``len``/``str.split`` ≡ DuckDB ``length``/
@@ -54,7 +51,7 @@ def udf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed cost, ns_text_subword lesson).  The plan must show
     ``ArrowEvalPythonUDTF`` (the Arrow lane), never
     ``BatchEvalPythonUDTF`` (row-pickling) — plan-locked in
-    tests/test_pending_r14.py.  Registration (``spark.udtf.register``
+    tests/test_plans.py.  Registration (``spark.udtf.register``
     + temp view) is idempotent per session, driver's vanilla session
     included."""
     from pyspark.sql.functions import udtf
@@ -107,10 +104,10 @@ SELECT doc_id, seg_idx,
 FROM m
 """
 
-PENDING_QUERIES = {
+QUERIES = {
     "udf_token_spans": udf_token_spans,
 }
 
-PENDING_ORACLES = {
+ORACLES = {
     "udf_token_spans": _TOKEN_SPANS_ORACLE,
 }

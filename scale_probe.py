@@ -320,11 +320,8 @@ def sf10_probe() -> None:
     from decision_tree_analytics_spark.operators.pending_r12 import (
         PENDING_QUERIES as PENDING_R12,
     )
-    from decision_tree_analytics_spark.operators.pending_r14 import (
-        PENDING_QUERIES as PENDING_R14,
-    )
 
-    queries = {**queries, **PENDING_R12, **PENDING_R14}
+    queries = {**queries, **PENDING_R12}
     names = SF10_NAMES
     if "--only" in sys.argv:  # probe a subset: --sf10 --only n1,n2
         # (without --full the sf10 corpus is documents/embeddings
@@ -536,17 +533,14 @@ def main() -> None:
     spark = get_spark(app_name="dta-spark-scale-probe")
     queries = operators.all_queries()
     # Pending candidates (operators/pending_r12.py PENDING_QUERIES —
-    # the r14 holds) are probe-able before they enter the contract —
-    # their sf1 rows land in BASELINE.md at build time so
-    # registration day has nothing left to measure.
+    # the held rel_hodges_lehmann) are probe-able before they enter
+    # the contract — their sf1 rows land in BASELINE.md at build time
+    # so registration day has nothing left to measure.
     from decision_tree_analytics_spark.operators.pending_r12 import (
         PENDING_QUERIES,
     )
-    from decision_tree_analytics_spark.operators.pending_r14 import (
-        PENDING_QUERIES as PENDING_R14,
-    )
 
-    queries = {**queries, **PENDING_QUERIES, **PENDING_R14}
+    queries = {**queries, **PENDING_QUERIES}
     names = NAMES
     if "--only" in sys.argv:  # probe a subset: --only name1,name2
         names = sys.argv[sys.argv.index("--only") + 1].split(",")

@@ -632,16 +632,16 @@ print("EXACT-MATCH-AFTER-LOSS", len(rows), flush=True)
 alive = wait_for_heal(killed["pid"], 2)
 print("EXECUTORS-AFTER-LOSS", len(alive), flush=True)
 
-# The pending UDTF contract candidate must oracle-match on the
+# The UDTF contract query (registered r14) must oracle-match on the
 # RECOVERED cluster (its eval stream re-planned across the healed
 # fleet).
 from tests.oracle_harness import compare, duckdb_connection
 from decision_tree_analytics_spark.operators.pending_r14 import (
-    PENDING_ORACLES, PENDING_QUERIES,
+    ORACLES, QUERIES,
 )
 con = duckdb_connection({sf!r})
-compare(PENDING_QUERIES["udf_token_spans"](spark, {sf!r}), con,
-        PENDING_ORACLES["udf_token_spans"], "udf_token_spans")
+compare(QUERIES["udf_token_spans"](spark, {sf!r}), con,
+        ORACLES["udf_token_spans"], "udf_token_spans")
 print("CLUSTER-MATCH udf_token_spans", flush=True)
 spark.stop()
 print("ALL-OK")
@@ -656,7 +656,7 @@ def test_arrow_udtf_survives_executor_sigkill(sf_dir):
     reproduce bit-identical fan-out, proven by an exact closed form
     over 400k output rows.  The driver asserts the plan really is
     ArrowEvalPythonUDTF, the kill landed (victim pid gone), the fleet
-    healed back to 2, and the pending udf_token_spans candidate
+    healed back to 2, and the registered udf_token_spans query
     oracle-matches on the recovered cluster."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _UDTF_DRIVER.format(repo=repo, repo_tests=repo, sf=sf_dir)

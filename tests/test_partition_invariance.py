@@ -34,13 +34,10 @@ INVARIANCE_QUERIES = [
     # exchange — the freshest window-on-preserved-partitioning shape
     "rel_mann_kendall",  # r12: grid self-join + signed pair sums —
     # sign aggregation must not depend on join task order
-]
-
-# r14 registrants get their invariance evidence BEFORE registration
-# day: the Arrow-UDTF fan-out must yield the same span manifest no
-# matter how the docs scan is split, and the map-only GOP planner
-# must be a pure function of each row.
-PENDING_INVARIANCE_QUERIES = [
+    # r14 registrants (evidence pre-dated registration): the
+    # Arrow-UDTF fan-out must yield the same span manifest no matter
+    # how the docs scan is split, and the map-only GOP planner must
+    # be a pure function of each row.
     "udf_token_spans",
     "mm_video_frame_plan",
 ]
@@ -72,17 +69,4 @@ def _assert_invariant(spark, sf_dir, qs, names):
 def test_results_invariant_under_partitioning(spark, sf_dir):
     _assert_invariant(
         spark, sf_dir, operators.all_queries(), INVARIANCE_QUERIES
-    )
-
-
-def test_pending_candidates_invariant_under_partitioning(spark, sf_dir):
-    from decision_tree_analytics_spark.operators.pending_r12 import (
-        PENDING_QUERIES as P12,
-    )
-    from decision_tree_analytics_spark.operators.pending_r14 import (
-        PENDING_QUERIES as P14,
-    )
-
-    _assert_invariant(
-        spark, sf_dir, {**P12, **P14}, PENDING_INVARIANCE_QUERIES
     )

@@ -1,13 +1,14 @@
-"""Round-14 candidate operators (operators/pending_r12.py's
-``PENDING_QUERIES``) — full oracle verification plus a pure-Python
-replay each, run NOW so r14 can register them into its 2 fresh slots
-already proven.  They are deliberately NOT in the contract yet: r13's
-driver window is the 50-name r07 tail with zero slack, and r14 has
-exactly 2 fresh slots (see the module docstring).
+"""The one still-pending candidate (operators/pending_r12.py's
+``PENDING_QUERIES`` — rel_hodges_lehmann) — full oracle verification,
+2-JVM cluster evidence, and a pure-Python replay, kept warm so the
+operator registers the moment a driver window ever frees a slot
+(post-r14 every window is a zero-slack 50-name re-verification tail).
 
-The five operators r12 DID register moved to the standard suites:
+The six operators the module DID register (five in r12,
+mm_video_frame_plan in r14) moved to the standard suites:
 tests/test_oracle_queries.py (oracle equality), tests/test_plans.py
-(plan locks), tests/test_round12_ops.py (invariants/replays)."""
+(plan locks), tests/test_round12_ops.py + tests/test_round14_ops.py
+(invariants/replays)."""
 
 from __future__ import annotations
 
@@ -57,11 +58,10 @@ print("ALL-OK")
 
 
 def test_pending_queries_match_on_real_cluster(sf_dir):
-    """Both r14 candidates oracle-checked on a REAL 2-JVM
-    local-cluster — pre-staging the multi-JVM evidence their r14
-    registration will claim (the video plan's integer explode split
-    across executors; the HL pseudomedian's grid join + rank window
-    on a real exchange)."""
+    """The held candidate oracle-checked on a REAL 2-JVM
+    local-cluster — keeping the multi-JVM evidence its eventual
+    registration will claim (the HL pseudomedian's grid join + rank
+    window on a real exchange)."""
     import subprocess
     import sys
 
@@ -78,42 +78,6 @@ def test_pending_queries_match_on_real_cluster(sf_dir):
     )
     for name in PENDING_QUERIES:
         assert f"CLUSTER-MATCH {name}" in proc.stdout
-
-
-def test_video_frame_plan_matches_replay(spark, sf_dir):
-    """Pure-Python GOP/byte-offset replay over every clip: the plan's
-    closed-form offsets must equal a frame-by-frame walk of the
-    modeled stream (I-frame at each GOP head, P-frames between)."""
-    pdf = (
-        PENDING_QUERIES["mm_video_frame_plan"](spark, sf_dir)
-        .toPandas()
-        .sort_values(["doc_id", "k"])
-    )
-    assert len(pdf) > 0
-    from decision_tree_analytics_spark.operators.pending_r12 import (
-        VIDEO_HEADER_BYTES,
-    )
-
-    for doc_id, g in pdf.groupby("doc_id"):
-        fps = 24 + (doc_id % 3) * 3
-        dur = doc_id % 19 + 2
-        gop = 12 + (doc_id % 2) * 3
-        pixels = 1280 * 720 if doc_id % 2 == 0 else 640 * 360
-        n_frames = fps * dur
-        i_b, p_b = pixels // 2, pixels // 10
-        # Walk the stream frame by frame, recording each GOP head.
-        offsets, off = [], VIDEO_HEADER_BYTES
-        for idx in range(n_frames):
-            if idx % gop == 0:
-                offsets.append(off)
-            off += i_b if idx % gop == 0 else p_b
-        assert list(g.byte_offset) == offsets
-        assert list(g.frame_idx) == [k * gop for k in range(len(offsets))]
-        assert list(g.ts_us) == [
-            k * gop * 1_000_000 // fps for k in range(len(offsets))
-        ]
-        assert g.gop_len.sum() == n_frames  # GOPs tile the clip exactly
-        assert list(g.is_last)[-1] == 1 and sum(g.is_last) == 1
 
 
 def test_hodges_lehmann_matches_replay(spark, sf_dir):

@@ -1399,3 +1399,41 @@ def test_mann_kendall_pairs_come_from_collapsed_grid(spark, sf_dir):
     # final HashAggregate.
     assert "Join" in plan
     assert plan.index("Join") < plan.rindex("HashAggregate")
+
+
+def test_token_spans_uses_arrow_udtf_lane(spark, sf_dir):
+    """udf_token_spans (registered r14): the plan must run the UDTF
+    through ArrowEvalPythonUDTF (Arrow batch transfer), never
+    BatchEvalPythonUDTF (per-row pickling), with the doc slice pushed
+    to the parquet scan and no shuffle before the Python stage."""
+    from decision_tree_analytics_spark.operators.pending_r14 import (
+        udf_token_spans,
+    )
+
+    plan = simple_plan(udf_token_spans(spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert plan.count("Scan parquet") == 1
+    # The slice reaches the scan (filter pushdown, not post-filter).
+    assert "PushedFilters" in plan and "IsNotNull(text)" in plan
+    # Narrow stage: the only exchange is the size-aware repartition
+    # (round-robin), no hash shuffle anywhere.
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_video_frame_plan_is_map_only_codegen(spark, sf_dir):
+    """mm_video_frame_plan (registered r14): the GOP manifest is pure
+    integer codegen + one explode over the doc_id projection — zero
+    shuffles, zero joins, zero Python, and the scan reads ONLY
+    doc_id (the decode-worker fan-out must stay metadata-sized)."""
+    from decision_tree_analytics_spark.operators.pending_r12 import (
+        mm_video_frame_plan,
+    )
+
+    plan = simple_plan(mm_video_frame_plan(spark, sf_dir))
+    assert count_shuffles(plan) == 0
+    assert "Join" not in plan
+    assert not has_python_eval(plan)
+    assert has_whole_stage_codegen(plan)
+    assert "Generate explode" in plan
+    assert scan_read_schemas(plan) == [["doc_id"]]

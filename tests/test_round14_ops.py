@@ -1,7 +1,10 @@
-"""Round-14 UDTF candidate (operators/pending_r14.py) — oracle
-verification, plan lock, pure-Python replay, and real-cluster
-evidence, run NOW so r14's registration is pure bookkeeping (the
-pending_r12 pattern)."""
+"""Round-14 registrations (udf_token_spans, mm_video_frame_plan) —
+pure-Python replays, real-cluster evidence, the UDTF TABLE-argument
+capability probe, and the hypothesis span-walk lock.
+
+Oracle equality for both names now runs through the standard contract
+suite (tests/test_oracle_queries.py); plan locks live in
+tests/test_plans.py (the r12 registration pattern)."""
 
 from __future__ import annotations
 
@@ -9,37 +12,15 @@ import os
 
 import pyspark.sql.functions as F
 
+from decision_tree_analytics_spark.operators.pending_r12 import (
+    VIDEO_HEADER_BYTES,
+    mm_video_frame_plan,
+)
 from decision_tree_analytics_spark.operators.pending_r14 import (
-    PENDING_ORACLES,
-    PENDING_QUERIES,
     UDTF_DOC_MOD,
     UDTF_DOC_REM,
+    udf_token_spans,
 )
-from tests.oracle_harness import compare
-
-
-def test_pending_r14_match_oracles(spark, sf_dir, oracle_con):
-    assert set(PENDING_QUERIES) == set(PENDING_ORACLES)
-    for name, fn in sorted(PENDING_QUERIES.items()):
-        compare(fn(spark, sf_dir), oracle_con, PENDING_ORACLES[name], name)
-
-
-def test_token_spans_uses_arrow_udtf_lane(spark, sf_dir):
-    """The lane claim itself: the plan must run the UDTF through
-    ArrowEvalPythonUDTF (Arrow batch transfer), never
-    BatchEvalPythonUDTF (per-row pickling), with the doc slice pushed
-    to the parquet scan and no shuffle before the Python stage."""
-    from decision_tree_analytics_spark.plans.inspect import simple_plan
-
-    plan = simple_plan(PENDING_QUERIES["udf_token_spans"](spark, sf_dir))
-    assert "ArrowEvalPythonUDTF" in plan
-    assert "BatchEvalPythonUDTF" not in plan
-    assert plan.count("Scan parquet") == 1
-    # The slice reaches the scan (filter pushdown, not post-filter).
-    assert "PushedFilters" in plan and "IsNotNull(text)" in plan
-    # Narrow stage: the only exchange is the size-aware repartition
-    # (round-robin), no hash shuffle anywhere.
-    assert plan.count("Exchange hashpartitioning") == 0
 
 
 def test_token_spans_matches_python_replay(spark, sf_dir):
@@ -48,7 +29,7 @@ def test_token_spans_matches_python_replay(spark, sf_dir):
     from decision_tree_analytics_spark.sources.tables import load_table
 
     got = (
-        PENDING_QUERIES["udf_token_spans"](spark, sf_dir)
+        udf_token_spans(spark, sf_dir)
         .toPandas()
         .sort_values(["doc_id", "seg_idx"])
         .reset_index(drop=True)
@@ -81,6 +62,38 @@ def test_token_spans_matches_python_replay(spark, sf_dir):
     )
 
 
+def test_video_frame_plan_matches_replay(spark, sf_dir):
+    """Pure-Python GOP/byte-offset replay over every clip: the plan's
+    closed-form offsets must equal a frame-by-frame walk of the
+    modeled stream (I-frame at each GOP head, P-frames between)."""
+    pdf = (
+        mm_video_frame_plan(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "k"])
+    )
+    assert len(pdf) > 0
+    for doc_id, g in pdf.groupby("doc_id"):
+        fps = 24 + (doc_id % 3) * 3
+        dur = doc_id % 19 + 2
+        gop = 12 + (doc_id % 2) * 3
+        pixels = 1280 * 720 if doc_id % 2 == 0 else 640 * 360
+        n_frames = fps * dur
+        i_b, p_b = pixels // 2, pixels // 10
+        # Walk the stream frame by frame, recording each GOP head.
+        offsets, off = [], VIDEO_HEADER_BYTES
+        for idx in range(n_frames):
+            if idx % gop == 0:
+                offsets.append(off)
+            off += i_b if idx % gop == 0 else p_b
+        assert list(g.byte_offset) == offsets
+        assert list(g.frame_idx) == [k * gop for k in range(len(offsets))]
+        assert list(g.ts_us) == [
+            k * gop * 1_000_000 // fps for k in range(len(offsets))
+        ]
+        assert g.gop_len.sum() == n_frames  # GOPs tile the clip exactly
+        assert list(g.is_last)[-1] == 1 and sum(g.is_last) == 1
+
+
 _CLUSTER_DRIVER = r"""
 import os, sys
 sys.path.insert(0, {repo!r})
@@ -90,10 +103,16 @@ os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
 os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
 from pyspark.sql import SparkSession
 from tests.oracle_harness import compare, duckdb_connection
-from decision_tree_analytics_spark.operators.pending_r14 import (
-    PENDING_ORACLES,
-    PENDING_QUERIES,
+from decision_tree_analytics_spark.operators.pending_r12 import (
+    QUERIES as Q12, ORACLES as O12,
 )
+from decision_tree_analytics_spark.operators.pending_r14 import (
+    QUERIES as Q14, ORACLES as O14,
+)
+
+NAMES = ["udf_token_spans", "mm_video_frame_plan"]
+QS = {{**Q12, **Q14}}
+OS = {{**O12, **O14}}
 
 spark = (
     SparkSession.builder.master("local-cluster[2,4,2048]")
@@ -103,18 +122,20 @@ spark = (
     .getOrCreate()
 )
 con = duckdb_connection({sf!r})
-for name in sorted(PENDING_QUERIES):
-    compare(PENDING_QUERIES[name](spark, {sf!r}), con, PENDING_ORACLES[name], name)
+for name in NAMES:
+    compare(QS[name](spark, {sf!r}), con, OS[name], name)
     print("CLUSTER-MATCH", name, flush=True)
 spark.stop()
 print("ALL-OK")
 """
 
 
-def test_pending_r14_match_on_real_cluster(sf_dir):
-    """The UDTF class must cloudpickle to REMOTE executor Arrow
-    workers (the src_python_datasource nested-class lesson) and each
-    executor's eval stream must cover exactly its partitions."""
+def test_r14_registrants_match_on_real_cluster(sf_dir):
+    """Both r14 registrants oracle-checked on a REAL 2-JVM
+    local-cluster: the UDTF class must cloudpickle to REMOTE executor
+    Arrow workers with each executor's eval stream covering exactly
+    its partitions, and the video plan's integer explode splits
+    across executors."""
     import subprocess
     import sys
 
@@ -129,7 +150,7 @@ def test_pending_r14_match_on_real_cluster(sf_dir):
     assert proc.returncode == 0 and "ALL-OK" in proc.stdout, (
         f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
     )
-    for name in PENDING_QUERIES:
+    for name in ("udf_token_spans", "mm_video_frame_plan"):
         assert f"CLUSTER-MATCH {name}" in proc.stdout
 
 
