@@ -94,10 +94,28 @@ def _events_tag(sf_dir: str) -> str:
     return parquet_footer_tag(os.path.join(sf_dir, "events.parquet"))
 
 
-def _events_tt_table(spark: SparkSession, sf_dir: str):
-    """The two-commit events SnapshotTable fixture (v1 = even
-    event_ids, v2 appends the odd half), self-healing from any crash
-    point: readiness = 2 snapshots + a fresh published pointer."""
+def _two_commit_events_table(
+    spark: SparkSession, sf_dir: str, prefix: str, first_pred, second_pred
+):
+    """Build/heal a two-commit events SnapshotTable fixture from
+    VALID manifests only (ADVICE r13): ``snapshot_ids()`` counts torn
+    claims from crashed writers, so deriving readiness / v1 / v2 from
+    it could publish a torn id (permanent SnapshotNotFound on every
+    later call) or skip the seed half entirely.  ``valid_ids()``
+    reads torn claims as absent, so every crash point rebuilds
+    exactly the missing pieces:
+
+    * no valid snapshot  -> seed via OVERWRITE (identical content to
+      an append for a first commit, but it burns past a young torn
+      claim that an unpublished-table append refuses with
+      ConcurrentStagedCommit), then append the second half;
+    * one valid snapshot -> re-point the pointer at it first if
+      missing/stale (same unpublished-append guard), then append;
+    * two or more        -> re-point the pointer at the newest valid
+      id if a crash separated commit from publish.
+
+    Returns ``(table, v1, v2)`` — the first two VALID snapshot ids
+    (never torn-claim ids, which stay burned but unreadable)."""
     import os
 
     from decision_tree_analytics_spark.sources.snapshots import (
@@ -106,24 +124,43 @@ def _events_tt_table(spark: SparkSession, sf_dir: str):
     )
 
     table = SnapshotTable(
-        spark, os.path.join(_snap_root(), f"events_tt_{_events_tag(sf_dir)}")
+        spark, os.path.join(_snap_root(), f"{prefix}_{_events_tag(sf_dir)}")
     )
-    snaps = table.snapshot_ids()
-    if len(snaps) < 2:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value"
-        )
-        if not snaps:
-            table.append(ev.filter(F.col("event_id") % 2 == 0))
-        table.append(ev.filter(F.col("event_id") % 2 == 1))
-    else:
+
+    def _republish(valid):
         try:
-            stale = table.latest_id() != snaps[-1]
+            stale = table.latest_id() != valid[-1]
         except NoPublishedSnapshot:
             stale = True
         if stale:  # commit landed, publish didn't — finish it
-            table.publish(snaps[-1])
-    return table
+            table.publish(valid[-1])
+
+    valid = table.valid_ids()
+    if len(valid) < 2:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        if not valid:
+            table.overwrite(ev.filter(first_pred))
+        else:
+            _republish(valid)
+        table.append(ev.filter(second_pred))
+        valid = table.valid_ids()
+    _republish(valid)
+    return table, valid[0], valid[1]
+
+
+def _events_tt_table(spark: SparkSession, sf_dir: str):
+    """The two-commit events SnapshotTable fixture (v1 = even
+    event_ids, v2 appends the odd half), self-healing from any crash
+    point — torn claims included (_two_commit_events_table)."""
+    return _two_commit_events_table(
+        spark,
+        sf_dir,
+        "events_tt",
+        F.col("event_id") % 2 == 0,
+        F.col("event_id") % 2 == 1,
+    )
 
 
 def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,34 +175,16 @@ def snap_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity (parquet footer md5), so a regenerated corpus misses and
     rebuilds; the oracle is the batch definition of the delta (the
     % 4 == 0 slice), proving manifest-diff planning returns exactly
-    the appended rows.  Readiness = 2 snapshots + fresh pointer, the
-    same crash-point self-healing as _events_tt_table."""
-    import os
-
-    from decision_tree_analytics_spark.sources.snapshots import (
-        NoPublishedSnapshot,
-        SnapshotTable,
+    the appended rows.  Readiness = 2 VALID snapshots + fresh
+    pointer, the same torn-claim-safe crash healing as
+    _events_tt_table (_two_commit_events_table)."""
+    table, v1, v2 = _two_commit_events_table(
+        spark,
+        sf_dir,
+        "events_incr",
+        F.col("event_id") % 4 != 0,
+        F.col("event_id") % 4 == 0,
     )
-
-    table = SnapshotTable(
-        spark, os.path.join(_snap_root(), f"events_incr_{_events_tag(sf_dir)}")
-    )
-    snaps = table.snapshot_ids()
-    if len(snaps) < 2:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value"
-        )
-        if not snaps:
-            table.append(ev.filter(F.col("event_id") % 4 != 0))
-        table.append(ev.filter(F.col("event_id") % 4 == 0))
-    else:
-        try:
-            stale = table.latest_id() != snaps[-1]
-        except NoPublishedSnapshot:
-            stale = True
-        if stale:  # commit landed, publish didn't — finish it
-            table.publish(snaps[-1])
-    v1, v2 = table.snapshot_ids()[:2]
     delta = table.read_incremental(v1, v2)
     return delta.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_new"),
@@ -191,8 +210,7 @@ def snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.  The oracle replays the parity arithmetic (v1 = even
     event_ids) on the raw table.  Fixture: _events_tt_table
     (self-healing two-commit table, footer-tag identity)."""
-    table = _events_tt_table(spark, sf_dir)
-    v1 = table.snapshot_ids()[0]
+    table, v1, _v2 = _events_tt_table(spark, sf_dir)
     old = table.read(v1).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_v1"),
         (F.floor(F.sum("value") * 1e6 + 0.5) / 1e6).alias("sum_v1"),
@@ -267,8 +285,7 @@ def snap_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src_bucketed_join is the demonstration).  On this append-only
     fixture deletes/changes are structurally zero — asserted by the
     oracle, which replays the parity arithmetic."""
-    table = _events_tt_table(spark, sf_dir)
-    v1 = table.snapshot_ids()[0]
+    table, v1, _v2 = _events_tt_table(spark, sf_dir)
     o = table.read(v1).select(
         F.col("event_id").alias("k"),
         F.col("event_type").alias("t_old"),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,6 +149,16 @@ class SnapshotTable:
                 continue
         return out
 
+    def valid_ids(self) -> list[int]:
+        """ids of every snapshot with a parseable manifest — the
+        READABLE history.  Torn claims (empty files from a crashed or
+        in-flight writer) are excluded; corrupt non-empty manifests
+        raise.  Anything deriving table STATE (readiness checks,
+        which version is v1/v2, what to publish) must use this, never
+        ``snapshot_ids()`` — the raw claim list exists only so id
+        allocation can never collide with a live writer."""
+        return [s for s, _m in self._valid_manifests()]
+
     def latest_id(self) -> int:
         p = os.path.join(self.meta_dir, _LATEST)
         if not os.path.exists(p):
@@ -161,6 +172,15 @@ class SnapshotTable:
     # -- commit -----------------------------------------------------
     def _write_files(self, df: DataFrame, sid: int) -> list[str]:
         out = os.path.join(self.data_dir, f"s{sid:05d}")
+        # The caller holds the O_EXCL claim on sid, so a pre-existing
+        # directory can only be debris from a crashed/aborted writer
+        # whose claim was released or reclaimed: no manifest can
+        # reference data/s<sid> unless claim sid committed, and a
+        # committed claim would have made our O_EXCL create fail.
+        # Without this, a reclaimed torn claim whose id gets reused
+        # fails every subsequent commit with PATH_ALREADY_EXISTS.
+        if os.path.isdir(out):
+            shutil.rmtree(out)
         df.write.mode("error").parquet(out)
         rel = []
         for root, _dirs, files in os.walk(out):
@@ -252,10 +272,33 @@ class SnapshotTable:
                     "files": base + new_files,
                     "summary": {"added_files": len(new_files)},
                 }
-                os.write(fd, json.dumps(manifest, indent=1).encode())
+                blob = json.dumps(manifest, indent=1).encode()
+                # Loop to completion + fsync: a SHORT write would
+                # leave a non-empty unparseable manifest, which the
+                # torn/corrupt split deliberately treats as damaged
+                # COMMITTED state — the blob must land whole or the
+                # except-path below must erase the claim entirely,
+                # preserving the empty-or-complete invariant.
+                off = 0
+                while off < len(blob):
+                    n = os.write(fd, blob[off:])
+                    if n <= 0:
+                        raise OSError(
+                            f"short write on snapshot {sid} manifest"
+                            f" at {self.path}"
+                        )
+                    off += n
+                os.fsync(fd)
             except BaseException:
                 os.close(fd)
                 os.remove(self._manifest_path(sid))  # release the claim
+                # Best-effort: drop any data this aborted commit
+                # already landed (its sid is freed with the claim, so
+                # leftovers would otherwise linger as orphan debris).
+                shutil.rmtree(
+                    os.path.join(self.data_dir, f"s{sid:05d}"),
+                    ignore_errors=True,
+                )
                 raise
             else:
                 os.close(fd)
@@ -346,7 +389,11 @@ class SnapshotTable:
         only reclaimed once older than ``orphan_grace_seconds``
         (Iceberg's remove-orphan-files makes the same age-gated call
         for the same reason; mtime/last-modified is the one timestamp
-        an object store exposes for this).  A NON-empty manifest that
+        an object store exposes for this).  Reclaiming an aged torn
+        claim also removes its whole ``data/s<NN>`` directory (same
+        age gate on the contents) so a later commit reusing the freed
+        id never collides with the dead writer's leftovers.  A
+        NON-empty manifest that
         fails to parse is possible corruption of committed state:
         expire refuses to run (CorruptSnapshotManifest) rather than
         ever garbage-collecting it."""
@@ -387,6 +434,33 @@ class SnapshotTable:
             if st.st_size == 0 and now - st.st_mtime >= orphan_grace_seconds:
                 os.remove(p)
                 deleted.append(p)
+                # The crashed writer's whole output directory goes
+                # with its claim (incl. _temporary/_SUCCESS/.crc
+                # debris the parquet-file walk below never touches) —
+                # but only under the SAME age gate on its contents: a
+                # >grace-old claim whose data files are still being
+                # written is a pathologically slow live writer, and
+                # its files must survive exactly like any other young
+                # unreferenced orphan.  No manifest can reference
+                # data/s<NN> while claim NN is torn (committing NN is
+                # the only way its paths enter a file list), so once
+                # reclaimed the directory is pure debris; leaving it
+                # would fail a later commit that reuses the freed id.
+                ddir = os.path.join(self.data_dir, f"s{s:05d}")
+                if os.path.isdir(ddir):
+                    newest = max(
+                        (
+                            os.path.getmtime(os.path.join(r, f))
+                            for r, _d, fs in os.walk(ddir)
+                            for f in fs
+                        ),
+                        default=st.st_mtime,
+                    )
+                    if now - newest >= orphan_grace_seconds:
+                        for r, _d, fs in os.walk(ddir):
+                            deleted.extend(os.path.join(r, f) for f in fs)
+                        shutil.rmtree(ddir)
+                        deleted.append(ddir)
         for root, _dirs, files in os.walk(self.data_dir):
             for f in files:
                 full = os.path.join(root, f)

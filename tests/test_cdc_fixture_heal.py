@@ -1,0 +1,103 @@
+"""The two-commit events fixtures must self-heal from TORN-CLAIM
+crash points (ADVICE r13): a writer SIGKILLed between its O_EXCL id
+claim and the manifest write leaves an empty claim file that
+``snapshot_ids()`` counts but no reader can serve.  The old fixture
+derived readiness and v1/v2 from ``snapshot_ids()``, so such a crash
+either published the torn id (permanent SnapshotNotFound) or skipped
+the seed half entirely.  ``_two_commit_events_table`` now derives
+everything from ``valid_ids()`` — these tests inject a torn claim at
+each crash point and assert the healed table serves the exact
+two-commit content."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from decision_tree_analytics_spark.operators import cdc
+from decision_tree_analytics_spark.sources.snapshots import SnapshotTable
+from decision_tree_analytics_spark.sources.tables import load_table
+
+
+def _counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    n_even = ev.filter(F.col("event_id") % 2 == 0).count()
+    return n_even, ev.count()
+
+
+def test_fixture_heals_when_first_writer_died_mid_claim(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash point: first build claimed id 1 then died (torn claim,
+    nothing valid).  The heal must seed v1 via overwrite — burning
+    past the young torn claim an unpublished-table append would
+    refuse — then append v2, and both versions must read exactly."""
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    store = os.path.join(
+        str(tmp_path / "snaps"), f"events_tt_{cdc._events_tag(sf_dir)}"
+    )
+    meta = os.path.join(store, "metadata")
+    os.makedirs(meta)
+    open(os.path.join(meta, "snap-00001.json"), "w").close()  # young torn
+
+    table, v1, v2 = cdc._events_tt_table(spark, sf_dir)
+    n_even, n_all = _counts(spark, sf_dir)
+    assert 1 not in table.valid_ids()  # the torn id stays burned
+    assert [v1, v2] == table.valid_ids()[:2]
+    assert table.latest_id() == v2
+    assert table.read(v1).count() == n_even
+    assert table.read().count() == n_all
+
+
+def test_fixture_heals_when_second_writer_died_mid_claim(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash point: v1 committed+published, the SECOND append claimed
+    an id then died.  The old snapshot_ids()-based heal called
+    publish(torn_id) here — raising SnapshotNotFound on every later
+    call, permanently.  The heal must instead append the missing odd
+    half and publish the VALID second commit."""
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    store = os.path.join(
+        str(tmp_path / "snaps"), f"events_tt_{cdc._events_tag(sf_dir)}"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    seed = SnapshotTable(spark, store)
+    s1 = seed.overwrite(ev.filter(F.col("event_id") % 2 == 0))
+    open(os.path.join(seed.meta_dir, "snap-00002.json"), "w").close()
+
+    table, v1, v2 = cdc._events_tt_table(spark, sf_dir)
+    n_even, n_all = _counts(spark, sf_dir)
+    assert v1 == s1 and v2 > 2  # healed past the burned torn id
+    assert table.latest_id() == v2
+    assert table.read(v1).count() == n_even
+    assert table.read().count() == n_all
+    # Idempotent: a second call finds the table ready and untouched.
+    table2, w1, w2 = cdc._events_tt_table(spark, sf_dir)
+    assert (w1, w2) == (v1, v2) and table2.valid_ids() == table.valid_ids()
+
+
+def test_fixture_heals_commit_without_publish(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash point: both commits landed but the publish pointer move
+    didn't (or a torn claim sits above the finished pair).  The heal
+    must re-point at the newest VALID id — never a torn one."""
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    table, v1, v2 = cdc._events_tt_table(spark, sf_dir)
+    # Simulate: a later writer claims an id and dies; the pointer is
+    # also lost.  snapshot_ids()[-1] is now the torn id.
+    open(
+        os.path.join(table.meta_dir, f"snap-{v2 + 1:05d}.json"), "w"
+    ).close()
+    os.remove(os.path.join(table.meta_dir, "_latest"))
+
+    healed, w1, w2 = cdc._events_tt_table(spark, sf_dir)
+    n_even, n_all = _counts(spark, sf_dir)
+    assert (w1, w2) == (v1, v2)
+    assert healed.latest_id() == v2  # republished the VALID tip
+    assert healed.read(w1).count() == n_even
+    assert healed.read().count() == n_all

@@ -845,3 +845,145 @@ def test_snapshot_publish_survives_executor_sigkill(sf_dir):
     assert "MANIFEST-DISK-CONSISTENT" in proc.stdout
     assert "EXECUTORS-AFTER-LOSS" in proc.stdout
     assert "CLUSTER-MATCH dedup_canonical_snapshot" in proc.stdout
+
+_BUCKETED_DRIVER = r"""
+import os, signal, sys, tempfile, threading, time
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo_tests!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+
+warehouse = tempfile.mkdtemp(prefix="cluster-loss-bucketed-wh-")
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.warehouse.dir", warehouse)
+    # Broadcast disabled on BOTH planner paths so the join really is
+    # the bucketed sort-merge join, never a broadcast fallback.
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .getOrCreate()
+)
+
+from tests.cluster_loss_util import executor_pids, wait_for_fleet, wait_for_heal
+
+wait_for_fleet(2)
+
+# Two tables bucketed+sorted on the join key: the join plans with ZERO
+# exchanges below it, so its tasks read SOURCE bucket files directly —
+# recovery of a lost task has no shuffle files to re-fetch and must
+# re-read its bucket splits (the one healing path the other six
+# scenarios never exercise).
+from decision_tree_analytics_spark.sources.bucketing import write_bucketed
+
+N, K, BUCKETS = 97 * 1600, 97, 32
+left = spark.range(N).select(
+    (F.col("id") % K).alias("k"), F.col("id").alias("v")
+)
+right = spark.range(K).select(
+    F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("w")
+)
+write_bucketed(left, "loss_fact", ["k"], n_buckets=BUCKETS)
+write_bucketed(right, "loss_dim", ["k"], n_buckets=BUCKETS)
+
+def slow_map(batches):
+    import time as _t
+    for b in batches:
+        _t.sleep(0.5)
+        yield b
+
+joined = (
+    spark.table("loss_fact")
+    .join(spark.table("loss_dim"), "k")
+    .mapInPandas(slow_map, "k long, v long, w long")  # same narrow stage
+)
+df = joined.groupBy("k").agg(
+    F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("w").alias("w")
+)
+
+from decision_tree_analytics_spark.plans.inspect import simple_plan
+plan = simple_plan(df)
+assert "SortMergeJoin" in plan, plan
+# The ONLY hash exchange is the groupBy ABOVE the python map — the
+# join itself consumes the bucketed layout with no shuffle below it.
+assert plan.count("Exchange hashpartitioning") == 1, plan
+assert plan.index("Exchange hashpartitioning") < plan.index("SortMergeJoin"), plan
+print("BUCKETED-ZERO-EXCHANGE-JOIN-CONFIRMED", flush=True)
+
+killed = {{}}
+def killer():
+    st = spark.sparkContext.statusTracker()
+    for _ in range(600):
+        if st.getActiveStageIds():
+            break
+        time.sleep(0.05)
+    time.sleep(1.0)  # land inside the 0.5 s-per-task bucket-scan stage
+    assert st.getActiveStageIds(), "job finished before the kill"
+    victim = executor_pids()[0]
+    os.kill(victim, signal.SIGKILL)
+    killed["pid"] = victim
+    print("KILLED-EXECUTOR", victim, flush=True)
+
+t = threading.Thread(target=killer); t.start()
+rows = {{r.k: (r.n, r.s, r.w) for r in df.collect()}}
+t.join()
+assert "pid" in killed, "killer thread never fired"
+
+# Exact expected answer, pure Python: key k holds ids k, k+97, ...
+per = N // K
+want = {{
+    k: (per, per * k + K * (per * (per - 1) // 2), 2 * k + 1)
+    for k in range(K)
+}}
+assert rows == want, "post-loss bucketed join diverged from the exact answer"
+print("EXACT-MATCH-AFTER-LOSS", len(rows), flush=True)
+
+alive = wait_for_heal(killed["pid"], 2)
+print("EXECUTORS-AFTER-LOSS", len(alive), flush=True)
+
+# The bucketed contract query must oracle-match on the healed fleet.
+from tests.oracle_harness import compare, duckdb_connection
+from decision_tree_analytics_spark import operators
+qs, osql = operators.all_queries(), operators.all_oracles()
+con = duckdb_connection({sf!r})
+compare(qs["src_bucketed_join"](spark, {sf!r}), con,
+        osql["src_bucketed_join"], "src_bucketed_join")
+print("CLUSTER-MATCH src_bucketed_join", flush=True)
+spark.stop()
+print("ALL-OK")
+"""
+
+
+def test_bucketed_scan_join_survives_executor_sigkill(sf_dir):
+    """SEVENTH loss scenario (VERDICT r13 item 5): an executor JVM is
+    SIGKILLed while a ZERO-EXCHANGE bucketed sort-merge join is
+    mid-stage.  Every other scenario's recovery re-fetches or
+    recomputes SHUFFLE map outputs; a bucketed join has none below it
+    — the lost tasks' inputs ARE the source bucket files, so recovery
+    must re-read source splits on the surviving/replacement executor
+    and reproduce the exact closed-form join result.  The plan is
+    asserted bucketed (one hash exchange total, and it sits ABOVE the
+    join), the kill is asserted mid-job, the fleet heals to 2, and
+    the bucketed contract query oracle-matches on the recovered
+    cluster."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _BUCKETED_DRIVER.format(repo=repo, repo_tests=repo, sf=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0 and "ALL-OK" in proc.stdout, (
+        f"stdout tail: {proc.stdout[-3000:]}\nstderr tail: {proc.stderr[-3000:]}"
+    )
+    assert "BUCKETED-ZERO-EXCHANGE-JOIN-CONFIRMED" in proc.stdout
+    assert "KILLED-EXECUTOR" in proc.stdout
+    assert "EXACT-MATCH-AFTER-LOSS 97" in proc.stdout
+    assert "EXECUTORS-AFTER-LOSS" in proc.stdout
+    assert "CLUSTER-MATCH src_bucketed_join" in proc.stdout

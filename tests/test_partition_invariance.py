@@ -40,6 +40,12 @@ INVARIANCE_QUERIES = [
     # be a pure function of each row.
     "udf_token_spans",
     "mm_video_frame_plan",
+    # r14 (VERDICT r13 item 6): the WAP surface — component labels
+    # are WRITTEN once at one partitioning, then READ BACK from the
+    # SnapshotTable manifest and joined at whatever partitioning the
+    # consumer session runs; the canonical keeper table must not
+    # depend on either side's physical split.
+    "dedup_canonical_snapshot",
 ]
 
 _CONFS = [

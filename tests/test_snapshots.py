@@ -431,3 +431,143 @@ t.overwrite(df)  # never completes — parent SIGKILLs us mid-write
     assert not os.path.exists(claim)
     assert t.snapshot_ids() == [2]
     assert t.read().count() == 10
+
+
+def test_valid_ids_excludes_torn_claims(spark, docs, tmp_path):
+    """valid_ids() is the READABLE history: torn (empty) claims are
+    absent from it while snapshot_ids() still lists them for id
+    allocation — state derivation must use the former (ADVICE r13)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    open(os.path.join(t.meta_dir, "snap-00002.json"), "w").close()
+    assert t.snapshot_ids() == [s1, 2]
+    assert t.valid_ids() == [s1]
+
+
+def test_manifest_blob_lands_whole_under_short_writes(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A short os.write would leave a NON-empty unparseable manifest —
+    which the torn/corrupt split deliberately refuses to GC — so the
+    commit path must loop the blob to completion (ADVICE r13).  Force
+    every JSON-looking write to land at most a third of its buffer
+    and the manifest must still read back complete."""
+    import os as _os
+
+    import decision_tree_analytics_spark.sources.snapshots as S
+
+    real_write = _os.write
+
+    def short_write(fd, data):
+        if isinstance(data, (bytes, bytearray)) and data[:1] == b"{":
+            return real_write(fd, data[: max(1, len(data) // 3)])
+        return real_write(fd, data)
+
+    monkeypatch.setattr(S.os, "write", short_write)
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    sid = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    monkeypatch.undo()
+    m = t.manifest(sid)  # parses => the blob landed whole
+    assert m["snapshot_id"] == sid and m["files"]
+    assert t.read().count() == 10
+
+
+def test_aborted_commit_releases_claim_and_data(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A commit that fails AFTER its data landed must release both the
+    claim and the data directory, so the freed id recommits cleanly
+    instead of dying on PATH_ALREADY_EXISTS (ADVICE r13)."""
+    import os
+
+    import decision_tree_analytics_spark.sources.snapshots as S
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+
+    def boom(*_a, **_k):
+        raise RuntimeError("abort-after-data-write")
+
+    monkeypatch.setattr(S.json, "dumps", boom)
+    with pytest.raises(RuntimeError, match="abort-after-data-write"):
+        t.overwrite(docs.filter(F.col("doc_id") < 10))
+    monkeypatch.undo()
+    assert t.snapshot_ids() == []  # claim released
+    assert not os.path.exists(os.path.join(t.data_dir, "s00001"))
+    sid = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    assert sid == 1 and t.read().count() == 10
+
+
+def test_write_files_clears_orphan_debris_dir(spark, docs, tmp_path):
+    """Leftover data/s<NN> debris from a crashed writer whose claim is
+    gone must not fail the next commit that reuses the id: the O_EXCL
+    claim proves no manifest can reference the directory, so the
+    writer clears it (ADVICE r13)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ddir = os.path.join(t.data_dir, "s00001")
+    os.makedirs(ddir)
+    open(os.path.join(ddir, "_SUCCESS"), "w").close()
+    with open(os.path.join(ddir, "part-0.parquet"), "wb") as fh:
+        fh.write(b"crashed-writer-debris")
+    sid = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    assert sid == 1 and t.read().count() == 10
+
+
+def test_expired_torn_claim_frees_id_and_its_data_dir(spark, docs, tmp_path):
+    """expire() reclaiming an aged torn claim must also remove the
+    crashed writer's data/s<NN> directory (incl. non-parquet debris
+    the file walk never touches) — otherwise the freed id's next
+    commit hits the leftover directory (ADVICE r13)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.overwrite(docs.filter(F.col("doc_id") < 10))
+    torn = os.path.join(t.meta_dir, "snap-00002.json")
+    open(torn, "w").close()
+    ddir = os.path.join(t.data_dir, "s00002")
+    os.makedirs(ddir)
+    open(os.path.join(ddir, "_SUCCESS"), "w").close()
+    part = os.path.join(ddir, "part-0.parquet")
+    with open(part, "wb") as fh:
+        fh.write(b"dead-writer-partial-output")
+    deleted = t.expire(keep_last=1, orphan_grace_seconds=0.0)
+    assert torn in deleted and part in deleted and ddir in deleted
+    assert not os.path.exists(ddir)
+    # max(existing) dropped from 2 back to 1 — the next commit REUSES
+    # id 2 and must succeed on the now-clean directory.
+    s2 = t.overwrite(docs.filter(F.col("doc_id") < 20))
+    assert s2 == 2
+    assert t.read().count() == 20 and t.read(s1).count() == 10
+
+
+def test_expire_keeps_torn_claim_dir_with_young_contents(
+    spark, docs, tmp_path
+):
+    """The data-dir reclaim obeys the SAME age gate on the directory
+    contents: an aged claim whose files are still fresh reads as a
+    pathologically slow live writer — the claim goes, its data
+    survives the grace like any other young unreferenced orphan."""
+    import os
+    import time
+
+    from decision_tree_analytics_spark.sources.snapshots import (
+        ORPHAN_GRACE_SECONDS,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(docs.filter(F.col("doc_id") < 10))
+    torn = os.path.join(t.meta_dir, "snap-00002.json")
+    open(torn, "w").close()
+    old = time.time() - 2 * ORPHAN_GRACE_SECONDS
+    os.utime(torn, (old, old))  # the claim is long dead...
+    ddir = os.path.join(t.data_dir, "s00002")
+    os.makedirs(ddir)
+    part = os.path.join(ddir, "part-0.parquet")
+    with open(part, "wb") as fh:
+        fh.write(b"still-landing")  # ...but data is landing NOW
+    deleted = t.expire(keep_last=1)
+    assert not os.path.exists(torn) and torn in deleted
+    assert os.path.exists(part) and part not in deleted
