@@ -168,6 +168,9 @@ BENCH_EXTRAS = [
     "ml_quantile_reg",
     "rel_did",
     "rel_mann_kendall",
+    # r14 registrations:
+    "udf_token_spans",
+    "mm_video_frame_plan",
 ]
 
 
