@@ -114,9 +114,17 @@ def _two_commit_events_table(
     * two or more        -> re-point the pointer at the newest valid
       id if a crash separated commit from publish.
 
+    The build itself runs under an O_EXCL ``_build.lock`` (stale
+    locks age out) so two sessions racing a FRESH store — different
+    sweep shards right after a corpus regeneration — cannot
+    double-build it (two first-half commits would make valid[:2] a
+    pair of duplicates forever; review finding).  The loser waits for
+    the winner and re-derives.
+
     Returns ``(table, v1, v2)`` — the first two VALID snapshot ids
     (never torn-claim ids, which stay burned but unreadable)."""
     import os
+    import time
 
     from decision_tree_analytics_spark.sources.snapshots import (
         NoPublishedSnapshot,
@@ -135,17 +143,47 @@ def _two_commit_events_table(
         if stale:  # commit landed, publish didn't — finish it
             table.publish(valid[-1])
 
-    valid = table.valid_ids()
-    if len(valid) < 2:
+    def _build_locked():
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
+        valid = table.valid_ids()  # re-derive UNDER the lock
+        if len(valid) >= 2:
+            return
         if not valid:
             table.overwrite(ev.filter(first_pred))
         else:
             _republish(valid)
         table.append(ev.filter(second_pred))
-        valid = table.valid_ids()
+
+    lock = os.path.join(table.meta_dir, "_build.lock")
+    deadline = time.time() + 600.0
+    while len(table.valid_ids()) < 2:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # Another session is building: wait for it — or for its
+            # corpse (a lock older than the build could ever take).
+            try:
+                if time.time() - os.stat(lock).st_mtime > 300.0:
+                    os.remove(lock)
+            except FileNotFoundError:
+                pass  # winner just finished/released
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"timed out waiting for a concurrent build of {table.path}"
+                )
+            time.sleep(0.2)
+            continue
+        try:
+            _build_locked()
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass  # a waiter aged us out mid-build; harmless
+    valid = table.valid_ids()
     _republish(valid)
     return table, valid[0], valid[1]
 

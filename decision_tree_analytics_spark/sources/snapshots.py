@@ -389,11 +389,14 @@ class SnapshotTable:
         only reclaimed once older than ``orphan_grace_seconds``
         (Iceberg's remove-orphan-files makes the same age-gated call
         for the same reason; mtime/last-modified is the one timestamp
-        an object store exposes for this).  Reclaiming an aged torn
-        claim also removes its whole ``data/s<NN>`` directory (same
-        age gate on the contents) so a later commit reusing the freed
-        id never collides with the dead writer's leftovers.  A
-        NON-empty manifest that
+        an object store exposes for this).  An aged torn claim and
+        its ``data/s<NN>`` directory reclaim AS A UNIT, the age gate
+        applied to both: if the directory's contents are still young
+        (or change mid-probe) the CLAIM is kept too, so the id can
+        never be freed while a pathologically slow live writer is
+        still landing data — and once both are cold they go together,
+        so a later commit reusing the freed id never collides with
+        the dead writer's leftovers.  A NON-empty manifest that
         fails to parse is possible corruption of committed state:
         expire refuses to run (CorruptSnapshotManifest) rather than
         ever garbage-collecting it."""
@@ -432,35 +435,49 @@ class SnapshotTable:
             except FileNotFoundError:
                 continue
             if st.st_size == 0 and now - st.st_mtime >= orphan_grace_seconds:
+                # Reclaim the claim and its data/s<NN> directory AS A
+                # UNIT, BOTH under the age gate (incl. _temporary/
+                # _SUCCESS/.crc debris the parquet-file walk below
+                # never touches).  The unit matters: freeing the ID
+                # while young data is still landing would hand the id
+                # to a new writer whose _write_files clears the LIVE
+                # writer's output (and could then walk the live
+                # writer's late-landed files into its own manifest) —
+                # a >grace-old claim whose files are fresh, or whose
+                # files vanish mid-probe (a rename out of _temporary
+                # IS a live task commit), keeps claim AND data until
+                # a later expire finds them both cold.  No manifest
+                # can reference data/s<NN> while claim NN is torn
+                # (committing NN is the only way its paths enter a
+                # file list), so once both pass the gate the
+                # directory is pure debris; leaving it would fail a
+                # later commit that reuses the freed id.
+                ddir = os.path.join(self.data_dir, f"s{s:05d}")
+                newest = st.st_mtime
+                contents: list[str] = []
+                live_writer = False
+                if os.path.isdir(ddir):
+                    for r, _d, fs in os.walk(ddir):
+                        for f in fs:
+                            full_f = os.path.join(r, f)
+                            contents.append(full_f)
+                            try:
+                                newest = max(
+                                    newest, os.path.getmtime(full_f)
+                                )
+                            except FileNotFoundError:
+                                live_writer = True
+                if live_writer or now - newest < orphan_grace_seconds:
+                    continue  # hands off claim AND data this run
+                if os.path.isdir(ddir):
+                    try:
+                        shutil.rmtree(ddir)
+                    except OSError:
+                        continue  # concurrent change — retry next run
+                    deleted.extend(contents)
+                    deleted.append(ddir)
                 os.remove(p)
                 deleted.append(p)
-                # The crashed writer's whole output directory goes
-                # with its claim (incl. _temporary/_SUCCESS/.crc
-                # debris the parquet-file walk below never touches) —
-                # but only under the SAME age gate on its contents: a
-                # >grace-old claim whose data files are still being
-                # written is a pathologically slow live writer, and
-                # its files must survive exactly like any other young
-                # unreferenced orphan.  No manifest can reference
-                # data/s<NN> while claim NN is torn (committing NN is
-                # the only way its paths enter a file list), so once
-                # reclaimed the directory is pure debris; leaving it
-                # would fail a later commit that reuses the freed id.
-                ddir = os.path.join(self.data_dir, f"s{s:05d}")
-                if os.path.isdir(ddir):
-                    newest = max(
-                        (
-                            os.path.getmtime(os.path.join(r, f))
-                            for r, _d, fs in os.walk(ddir)
-                            for f in fs
-                        ),
-                        default=st.st_mtime,
-                    )
-                    if now - newest >= orphan_grace_seconds:
-                        for r, _d, fs in os.walk(ddir):
-                            deleted.extend(os.path.join(r, f) for f in fs)
-                        shutil.rmtree(ddir)
-                        deleted.append(ddir)
         for root, _dirs, files in os.walk(self.data_dir):
             for f in files:
                 full = os.path.join(root, f)

@@ -101,3 +101,64 @@ def test_fixture_heals_commit_without_publish(
     assert healed.latest_id() == v2  # republished the VALID tip
     assert healed.read(w1).count() == n_even
     assert healed.read().count() == n_all
+
+
+def test_fixture_build_ages_out_a_stale_lock(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crashed builder's leftover _build.lock must not wedge the
+    fixture: locks older than the age-out are removed and the build
+    proceeds."""
+    import time
+
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    store = os.path.join(
+        str(tmp_path / "snaps"), f"events_tt_{cdc._events_tag(sf_dir)}"
+    )
+    meta = os.path.join(store, "metadata")
+    os.makedirs(meta)
+    lock = os.path.join(meta, "_build.lock")
+    open(lock, "w").close()
+    old = time.time() - 400.0
+    os.utime(lock, (old, old))
+
+    table, v1, v2 = cdc._events_tt_table(spark, sf_dir)
+    _n_even, n_all = _counts(spark, sf_dir)
+    assert table.read().count() == n_all
+    assert not os.path.exists(lock)  # released after the build
+
+
+def test_fixture_build_waits_for_a_live_lock_holder(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A FRESH lock means another session is mid-build: the caller
+    must wait (not double-build) and proceed once the lock is
+    released — proven by releasing it from a timer thread and
+    asserting the built table is the normal two-commit shape, not a
+    duplicated seed."""
+    import threading
+    import time
+
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_DIR", str(tmp_path / "snaps"))
+    store = os.path.join(
+        str(tmp_path / "snaps"), f"events_tt_{cdc._events_tag(sf_dir)}"
+    )
+    meta = os.path.join(store, "metadata")
+    os.makedirs(meta)
+    lock = os.path.join(meta, "_build.lock")
+    open(lock, "w").close()
+    released_at = {}
+
+    def release():
+        time.sleep(1.0)
+        released_at["t"] = time.time()
+        os.remove(lock)
+
+    threading.Thread(target=release).start()
+    t0 = time.time()
+    table, v1, v2 = cdc._events_tt_table(spark, sf_dir)
+    assert released_at["t"] - t0 >= 0.9  # it really waited
+    n_even, n_all = _counts(spark, sf_dir)
+    assert table.read(v1).count() == n_even  # one seed, not two
+    assert table.read().count() == n_all
+    assert len(table.valid_ids()) == 2

@@ -1,0 +1,99 @@
+"""Property fuzz over SnapshotTable op sequences — the generalization
+of the hand-picked crash-point tests: ANY interleaving of commits,
+torn-claim injections (crashed writers, young or aged), expiry, and
+id reuse must keep the published read exactly equal to a pure-Python
+model, keep torn claims invisible to valid_ids()/history(), and never
+wedge the store (the PATH_ALREADY_EXISTS class ADVICE r13 closed).
+
+Each op publishes, so the model is simple: overwrite sets the row
+count, append adds to it, everything else must leave reads unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from decision_tree_analytics_spark.sources.snapshots import (
+    ORPHAN_GRACE_SECONDS,
+    SnapshotTable,
+)
+from decision_tree_analytics_spark.sources.tables import load_table
+
+# Op alphabet: (kind, size).  Sizes are tiny — every commit is a real
+# Spark parquet write, so the fuzz budget goes to SEQUENCE diversity,
+# not data volume.
+_OPS = st.one_of(
+    st.tuples(st.just("overwrite"), st.integers(1, 4)),
+    st.tuples(st.just("append"), st.integers(1, 4)),
+    st.tuples(st.just("torn"), st.just(0)),  # young crashed writer
+    st.tuples(st.just("torn_aged"), st.just(0)),  # long-dead writer
+    st.tuples(st.just("torn_with_debris"), st.just(0)),  # died mid-write
+    st.tuples(st.just("expire"), st.integers(1, 2)),  # keep_last
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_OPS, min_size=1, max_size=7))
+def test_snapshot_store_invariants_under_op_sequences(
+    spark, sf_dir, tmp_path_factory, ops
+):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(8)
+    root = str(tmp_path_factory.mktemp("snap-fuzz"))
+    t = SnapshotTable(spark, os.path.join(root, "t"))
+    # Seed so the table is always published (every op below keeps it
+    # so) — the model is then one integer.
+    t.overwrite(docs.limit(2))
+    model_rows = 2
+    for kind, arg in ops:
+        if kind == "overwrite":
+            t.overwrite(docs.limit(arg))
+            model_rows = arg
+        elif kind == "append":
+            t.append(docs.limit(arg))
+            model_rows += arg
+        elif kind in ("torn", "torn_aged", "torn_with_debris"):
+            sid = (t.snapshot_ids() or [0])[-1] + 1
+            claim = os.path.join(t.meta_dir, f"snap-{sid:05d}.json")
+            open(claim, "w").close()
+            if kind == "torn_with_debris":
+                ddir = os.path.join(t.data_dir, f"s{sid:05d}")
+                os.makedirs(ddir, exist_ok=True)
+                open(os.path.join(ddir, "_SUCCESS"), "w").close()
+                with open(
+                    os.path.join(ddir, "part-0.parquet"), "wb"
+                ) as fh:
+                    fh.write(b"partial")
+            if kind == "torn_aged":
+                old = time.time() - 2 * ORPHAN_GRACE_SECONDS
+                os.utime(claim, (old, old))
+        elif kind == "expire":
+            t.expire(keep_last=arg, orphan_grace_seconds=0.0)
+        # Invariants after EVERY op:
+        # 1. The published read serves exactly the model.
+        assert t.read().count() == model_rows, (kind, arg, ops)
+        # 2. Torn claims are invisible to the readable history and
+        #    every valid manifest parses.
+        valid = t.valid_ids()
+        assert set(valid) <= set(t.snapshot_ids())
+        assert t.latest_id() in valid
+        for m in t.history():
+            assert isinstance(m["files"], list)
+        # 3. Every torn claim on disk is exactly empty (never a
+        #    partial manifest — the empty-or-complete invariant).
+        for s in set(t.snapshot_ids()) - set(valid):
+            assert (
+                os.path.getsize(t._manifest_path(s)) == 0
+            ), f"non-empty unreadable manifest for {s}"
+    # The store must never be wedged: one more commit always succeeds
+    # (id reuse after zero-grace expiry of torn claims included).
+    t.append(docs.limit(1))
+    assert t.read().count() == model_rows + 1

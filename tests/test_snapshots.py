@@ -543,13 +543,15 @@ def test_expired_torn_claim_frees_id_and_its_data_dir(spark, docs, tmp_path):
     assert t.read().count() == 20 and t.read(s1).count() == 10
 
 
-def test_expire_keeps_torn_claim_dir_with_young_contents(
+def test_expire_keeps_torn_claim_and_dir_with_young_contents(
     spark, docs, tmp_path
 ):
-    """The data-dir reclaim obeys the SAME age gate on the directory
-    contents: an aged claim whose files are still fresh reads as a
-    pathologically slow live writer — the claim goes, its data
-    survives the grace like any other young unreferenced orphan."""
+    """Claim + data dir reclaim AS A UNIT under one age gate: an aged
+    claim whose files are still fresh reads as a pathologically slow
+    LIVE writer — BOTH survive (freeing the id alone would hand it to
+    a new writer whose _write_files clears the live writer's output;
+    review finding).  Once the contents also age out, both go, and
+    the freed id recommits cleanly."""
     import os
     import time
 
@@ -569,5 +571,12 @@ def test_expire_keeps_torn_claim_dir_with_young_contents(
     with open(part, "wb") as fh:
         fh.write(b"still-landing")  # ...but data is landing NOW
     deleted = t.expire(keep_last=1)
-    assert not os.path.exists(torn) and torn in deleted
+    assert os.path.exists(torn) and torn not in deleted  # id stays burned
     assert os.path.exists(part) and part not in deleted
+    # Age the data too: now claim AND dir reclaim together.
+    os.utime(part, (old, old))
+    deleted2 = t.expire(keep_last=1)
+    assert torn in deleted2 and part in deleted2 and ddir in deleted2
+    assert not os.path.exists(torn) and not os.path.exists(ddir)
+    s2 = t.overwrite(docs.filter(F.col("doc_id") < 20))
+    assert s2 == 2 and t.read().count() == 20
