@@ -162,3 +162,89 @@ def test_fixture_build_waits_for_a_live_lock_holder(
     assert table.read(v1).count() == n_even  # one seed, not two
     assert table.read().count() == n_all
     assert len(table.valid_ids()) == 2
+
+
+_RACE_DRIVER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["SPARK_GRAFT_SNAPSHOT_DIR"] = {snaps!r}
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from decision_tree_analytics_spark.operators import cdc
+
+# Barrier: both racers signal ready, then wait for the parent's go —
+# maximizing the overlap window on the fresh store.
+open({ready!r}, "w").close()
+while not os.path.exists({go!r}):
+    time.sleep(0.05)
+
+table, v1, v2 = cdc._events_tt_table(spark, {sf!r})
+print("RACED", v1, v2, table.read(v1).count(), table.read().count(),
+      len(table.valid_ids()), flush=True)
+spark.stop()
+print("RACER-OK")
+"""
+
+
+def test_two_processes_racing_a_fresh_store_build_it_once(
+    spark, sf_dir, tmp_path
+):
+    """The build lock under a REAL race: two separate driver processes
+    (own JVMs, own SparkSessions) hit the SAME fresh fixture store at
+    the same instant, released by a shared go-file barrier.  Exactly
+    one may build; both must come back with the SAME (v1, v2), a
+    store holding exactly TWO valid snapshots, and exact two-commit
+    content — the double-build failure mode (two duplicated seed
+    commits as valid[:2], a permanent oracle mismatch) is what the
+    lock exists to prevent."""
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snaps = str(tmp_path / "snaps")
+    procs, readies = [], []
+    for i in (1, 2):
+        ready = str(tmp_path / f"ready{i}")
+        readies.append(ready)
+        code = _RACE_DRIVER.format(
+            repo=repo, snaps=snaps, sf=sf_dir,
+            ready=ready, go=str(tmp_path / "go"),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    deadline = time.time() + 300
+    while not all(os.path.exists(r) for r in readies):
+        assert time.time() < deadline, "racers never reached the barrier"
+        time.sleep(0.1)
+    open(str(tmp_path / "go"), "w").close()
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0 and "RACER-OK" in out, (
+            f"stdout tail: {out[-2000:]}\nstderr tail: {err[-2000:]}"
+        )
+        outs.append(
+            next(line for line in out.splitlines() if line.startswith("RACED"))
+        )
+    # Both racers agree on (v1, v2, counts, n_valid).
+    assert outs[0] == outs[1], outs
+    _tag, v1, v2, n_v1, n_all, n_valid = outs[0].split()
+    assert int(n_valid) == 2  # built ONCE, never double-seeded
+    ev = load_table(spark, sf_dir, "events")
+    assert int(n_v1) == ev.filter(F.col("event_id") % 2 == 0).count()
+    assert int(n_all) == ev.count()
