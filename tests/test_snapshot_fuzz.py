@@ -5,8 +5,11 @@ id reuse must keep the published read exactly equal to a pure-Python
 model, keep torn claims invisible to valid_ids()/history(), and never
 wedge the store (the PATH_ALREADY_EXISTS class ADVICE r13 closed).
 
-Each op publishes, so the model is simple: overwrite sets the row
-count, append adds to it, everything else must leave reads unchanged.
+Each op publishes, so the model is a per-version row-count dict:
+overwrite starts a version at its size, append extends the published
+tip, expire shrinks the model to the survivors — and TIME TRAVEL to
+every surviving version must serve its exact modeled count after
+every op (expiry must never break a kept snapshot).
 """
 
 from __future__ import annotations
@@ -49,17 +52,20 @@ def test_snapshot_store_invariants_under_op_sequences(
     docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(8)
     root = str(tmp_path_factory.mktemp("snap-fuzz"))
     t = SnapshotTable(spark, os.path.join(root, "t"))
-    # Seed so the table is always published (every op below keeps it
-    # so) — the model is then one integer.
-    t.overwrite(docs.limit(2))
-    model_rows = 2
+    # Per-version model: sid -> expected row count.  Every op below
+    # publishes, so `published` tracks the tip; expire() shrinks the
+    # model to the surviving valid ids, and TIME TRAVEL to any
+    # surviving version must still serve its exact model count.
+    published = t.overwrite(docs.limit(2))
+    model = {published: 2}
     for kind, arg in ops:
         if kind == "overwrite":
-            t.overwrite(docs.limit(arg))
-            model_rows = arg
+            published = t.overwrite(docs.limit(arg))
+            model[published] = arg
         elif kind == "append":
-            t.append(docs.limit(arg))
-            model_rows += arg
+            prev = model[published]
+            published = t.append(docs.limit(arg))
+            model[published] = prev + arg
         elif kind in ("torn", "torn_aged", "torn_with_debris"):
             sid = (t.snapshot_ids() or [0])[-1] + 1
             claim = os.path.join(t.meta_dir, f"snap-{sid:05d}.json")
@@ -77,14 +83,20 @@ def test_snapshot_store_invariants_under_op_sequences(
                 os.utime(claim, (old, old))
         elif kind == "expire":
             t.expire(keep_last=arg, orphan_grace_seconds=0.0)
+            model = {s: model[s] for s in t.valid_ids()}
         # Invariants after EVERY op:
-        # 1. The published read serves exactly the model.
-        assert t.read().count() == model_rows, (kind, arg, ops)
+        # 1. The published read serves exactly the model, and TIME
+        #    TRAVEL to every surviving valid version serves ITS exact
+        #    model count (expiry must never break a kept snapshot).
+        assert t.read().count() == model[published], (kind, arg, ops)
+        valid = t.valid_ids()
+        for s in valid:
+            assert t.read(s).count() == model[s], (s, kind, arg, ops)
         # 2. Torn claims are invisible to the readable history and
         #    every valid manifest parses.
-        valid = t.valid_ids()
         assert set(valid) <= set(t.snapshot_ids())
-        assert t.latest_id() in valid
+        assert set(valid) == set(model)
+        assert t.latest_id() == published and published in valid
         for m in t.history():
             assert isinstance(m["files"], list)
         # 3. Every torn claim on disk is exactly empty (never a
@@ -96,4 +108,4 @@ def test_snapshot_store_invariants_under_op_sequences(
     # The store must never be wedged: one more commit always succeeds
     # (id reuse after zero-grace expiry of torn claims included).
     t.append(docs.limit(1))
-    assert t.read().count() == model_rows + 1
+    assert t.read().count() == model[published] + 1
