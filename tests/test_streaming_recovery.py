@@ -314,3 +314,199 @@ def test_state_survives_shuffle_partition_conf_change(spark, sf_dir, tmp_path):
     )
     want = {(r.ws, r.event_type): r.n for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+_KILL_DRIVER_1 = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+from decision_tree_analytics_spark.session import prepare_session
+prepare_session(spark)
+
+landing, ckpt, store = {landing!r}, {ckpt!r}, {store!r}
+stream = (
+    spark.readStream.schema(spark.read.parquet(landing).schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(landing)
+    .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+)
+agg = stream.groupBy(
+    F.window("event_time", "1 hour"), "event_type"
+).agg(F.count(F.lit(1)).alias("n_events"))
+
+def upsert(bdf, batch_id):
+    import time as _t
+    _t.sleep(0.5)  # stretch the drain so the parent's kill lands inside
+    (bdf.select(F.col("window.start").alias("window_start"), "event_type",
+                "n_events", F.lit(batch_id).alias("batch_id"))
+        # OVERWRITE per batch dir: a replayed batch (its commit never
+        # landed before the kill) rewrites its own partial output —
+        # the idempotent-sink convention.
+        .write.mode("overwrite").parquet(f"{{store}}/b{{batch_id}}"))
+
+q = (agg.writeStream.foreachBatch(upsert).outputMode("update")
+     .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+q.awaitTermination()
+print("DRAIN-1-FINISHED", flush=True)  # parent should have killed us first
+"""
+
+_KILL_DRIVER_2 = r"""
+import glob, os, sys
+sys.path.insert(0, {repo!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+from decision_tree_analytics_spark.session import prepare_session
+prepare_session(spark)
+
+landing, ckpt, store = {landing!r}, {ckpt!r}, {store!r}
+stream = (
+    spark.readStream.schema(spark.read.parquet(landing).schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(landing)
+    .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+)
+agg = stream.groupBy(
+    F.window("event_time", "1 hour"), "event_type"
+).agg(F.count(F.lit(1)).alias("n_events"))
+
+def upsert(bdf, batch_id):
+    (bdf.select(F.col("window.start").alias("window_start"), "event_type",
+                "n_events", F.lit(batch_id).alias("batch_id"))
+        .write.mode("overwrite").parquet(f"{{store}}/b{{batch_id}}"))
+
+q = (agg.writeStream.foreachBatch(upsert).outputMode("update")
+     .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+q.awaitTermination()
+
+batch_dirs = sorted(glob.glob(os.path.join(store, "b*")))
+print("BATCH-DIRS", len(batch_dirs), flush=True)
+
+# Fold the update-mode upserts: latest batch wins per key.
+upserts = spark.read.option("basePath", store).parquet(*batch_dirs)
+import pyspark.sql.functions as F2
+from pyspark.sql import Window
+w = Window.partitionBy("window_start", "event_type").orderBy(
+    F2.col("batch_id").desc()
+)
+final = (upserts.withColumn("rn", F2.row_number().over(w))
+         .filter("rn = 1").select("window_start", "event_type", "n_events"))
+
+# Exact truth: the same aggregation as ONE batch query.
+truth = (
+    spark.read.parquet(landing)
+    .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    .groupBy(F.window("event_time", "1 hour"), "event_type")
+    .agg(F.count(F.lit(1)).alias("n_events"))
+    .select(F.col("window.start").alias("window_start"), "event_type",
+            "n_events")
+)
+got = {{(r.window_start, r.event_type): r.n_events for r in final.collect()}}
+want = {{(r.window_start, r.event_type): r.n_events for r in truth.collect()}}
+assert got == want and len(want) > 0, (
+    f"folded state diverged: {{len(got)}} vs {{len(want)}} keys"
+)
+print("FINAL-STATE-EXACT", len(want), flush=True)
+spark.stop()
+print("ALL-OK")
+"""
+
+
+def test_stream_survives_driver_process_sigkill_mid_drain(sf_dir, tmp_path):
+    """The crash variant of the two-instance recovery tests above:
+    the DRIVER PROCESS ITSELF is SIGKILLed mid-drain (no graceful
+    query stop, no JVM shutdown hooks — the whole process dies), and
+    a brand-new process over the same checkpointLocation must resume
+    from the write-ahead offsets, replay at most the uncommitted
+    batch into its idempotent sink dir, and fold to EXACTLY the batch
+    answer.  Graceful restarts exercise state restore; this exercises
+    the offset-log/commit-log atomicity that makes a mid-write crash
+    recoverable at all."""
+    import glob
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    # Write the landing files from the TEST session (driver 1 is then
+    # pure consumer).  8 files x maxFilesPerTrigger=1 => ~8 batches.
+    from decision_tree_analytics_spark.session import get_spark
+    from decision_tree_analytics_spark.sources.tables import load_table as lt
+
+    s = get_spark()
+    ev = lt(s, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev.select(cols).repartition(8).write.mode("overwrite").parquet(landing)
+
+    code1 = _KILL_DRIVER_1.format(
+        repo=repo, landing=landing, ckpt=ckpt, store=store
+    )
+    # File-backed stdio: a SIGKILLed child can't drain pipes, and
+    # Spark's stderr volume would fill a pipe buffer and stall the
+    # drain before the kill ever lands.
+    out1_path = str(tmp_path / "drain1.out")
+    with open(out1_path, "w") as out1_fh:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code1],
+            stdout=out1_fh,
+            stderr=subprocess.STDOUT,
+        )
+    # Kill once >= 2 batch dirs exist (mid-drain by construction: 8
+    # batches x >= 0.5 s each).
+    deadline = time.time() + 300
+    while len(glob.glob(os.path.join(store, "b*"))) < 2:
+        assert time.time() < deadline, "drain-1 never produced batches"
+        assert proc.poll() is None, (
+            f"drain-1 exited early: {open(out1_path).read()[-2000:]}"
+        )
+        time.sleep(0.1)
+    batches_at_kill = len(glob.glob(os.path.join(store, "b*")))
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=60)
+    assert "DRAIN-1-FINISHED" not in open(out1_path).read(), (
+        "kill landed after the drain"
+    )
+
+    code2 = _KILL_DRIVER_2.format(
+        repo=repo, landing=landing, ckpt=ckpt, store=store
+    )
+    proc2 = subprocess.run(
+        [sys.executable, "-c", code2],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc2.returncode == 0 and "ALL-OK" in proc2.stdout, (
+        f"stdout tail: {proc2.stdout[-3000:]}\nstderr tail: {proc2.stderr[-3000:]}"
+    )
+    assert "FINAL-STATE-EXACT" in proc2.stdout
+    # Non-vacuous: the restart actually processed NEW batches beyond
+    # the kill point (state + offsets restored, drain completed).
+    batches_total = len(glob.glob(os.path.join(store, "b*")))
+    assert batches_total > batches_at_kill, (
+        f"no new batches after restart ({batches_at_kill} -> {batches_total})"
+    )
