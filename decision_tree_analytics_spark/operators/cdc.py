@@ -156,7 +156,18 @@ def _two_commit_events_table(
             _republish(valid)
         table.append(ev.filter(second_pred))
 
+    import uuid
+
     lock = os.path.join(table.meta_dir, "_build.lock")
+    token = uuid.uuid4().hex
+
+    def _owns_lock() -> bool:
+        try:
+            with open(lock) as fh:
+                return fh.read() == token
+        except FileNotFoundError:
+            return False
+
     deadline = time.time() + 600.0
     while len(table.valid_ids()) < 2:
         try:
@@ -164,9 +175,20 @@ def _two_commit_events_table(
         except FileExistsError:
             # Another session is building: wait for it — or for its
             # corpse (a lock older than the build could ever take).
+            # Before breaking a stale lock, re-stat and require the
+            # SAME inode+mtime as the stale observation — the holder
+            # releasing and a successor re-creating between our stat
+            # and unlink must never cost the successor ITS lock
+            # (review finding).
             try:
-                if time.time() - os.stat(lock).st_mtime > 300.0:
-                    os.remove(lock)
+                st0 = os.stat(lock)
+                if time.time() - st0.st_mtime > 300.0:
+                    st1 = os.stat(lock)
+                    if (st1.st_ino, st1.st_mtime) == (
+                        st0.st_ino,
+                        st0.st_mtime,
+                    ):
+                        os.remove(lock)
             except FileNotFoundError:
                 pass  # winner just finished/released
             if time.time() > deadline:
@@ -176,13 +198,21 @@ def _two_commit_events_table(
             time.sleep(0.2)
             continue
         try:
-            _build_locked()
+            # Identity-stamp the lock, then verify we still hold it
+            # before committing anything: a waiter that aged us out
+            # during a stall must win cleanly, and our finally must
+            # never delete the successor's lock (review finding).
+            os.write(fd, token.encode())
+            os.fsync(fd)
+            if _owns_lock():
+                _build_locked()
         finally:
             os.close(fd)
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass  # a waiter aged us out mid-build; harmless
+            if _owns_lock():
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass  # a waiter aged us out mid-build; harmless
     valid = table.valid_ids()
     _republish(valid)
     return table, valid[0], valid[1]

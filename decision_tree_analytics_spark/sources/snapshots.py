@@ -422,6 +422,12 @@ class SnapshotTable:
                 dead.update(manifests[s]["files"])
                 os.remove(self._manifest_path(s))
                 deleted.append(self._manifest_path(s))
+        # Data dirs of torn claims the unit gate below decides to KEEP
+        # are off-limits to the final orphan-file walk too — otherwise
+        # the walk would delete a kept dir's aged files out from under
+        # the live slow writer the gate just protected (review
+        # finding).
+        protected_dirs: list[str] = []
         for s in ids:
             if s in valid:
                 continue  # torn claims only from here
@@ -434,60 +440,82 @@ class SnapshotTable:
                 st = os.stat(p)
             except FileNotFoundError:
                 continue
-            if st.st_size == 0 and now - st.st_mtime >= orphan_grace_seconds:
-                # Reclaim the claim and its data/s<NN> directory AS A
-                # UNIT, BOTH under the age gate (incl. _temporary/
-                # _SUCCESS/.crc debris the parquet-file walk below
-                # never touches).  The unit matters: freeing the ID
-                # while young data is still landing would hand the id
-                # to a new writer whose _write_files clears the LIVE
-                # writer's output (and could then walk the live
-                # writer's late-landed files into its own manifest) —
-                # a >grace-old claim whose files are fresh, or whose
-                # files vanish mid-probe (a rename out of _temporary
-                # IS a live task commit), keeps claim AND data until
-                # a later expire finds them both cold.  No manifest
-                # can reference data/s<NN> while claim NN is torn
-                # (committing NN is the only way its paths enter a
-                # file list), so once both pass the gate the
-                # directory is pure debris; leaving it would fail a
-                # later commit that reuses the freed id.
-                ddir = os.path.join(self.data_dir, f"s{s:05d}")
-                newest = st.st_mtime
-                contents: list[str] = []
-                live_writer = False
-                if os.path.isdir(ddir):
-                    for r, _d, fs in os.walk(ddir):
-                        for f in fs:
-                            full_f = os.path.join(r, f)
-                            contents.append(full_f)
-                            try:
-                                newest = max(
-                                    newest, os.path.getmtime(full_f)
-                                )
-                            except FileNotFoundError:
-                                live_writer = True
-                if live_writer or now - newest < orphan_grace_seconds:
-                    continue  # hands off claim AND data this run
-                if os.path.isdir(ddir):
-                    try:
-                        shutil.rmtree(ddir)
-                    except OSError:
-                        continue  # concurrent change — retry next run
-                    deleted.extend(contents)
-                    deleted.append(ddir)
+            ddir = os.path.join(self.data_dir, f"s{s:05d}")
+            if st.st_size > 0:
+                continue  # committed since the listing — not torn
+            if now - st.st_mtime < orphan_grace_seconds:
+                protected_dirs.append(ddir + os.sep)
+                continue
+            # Reclaim the claim and its data/s<NN> directory AS A
+            # UNIT, BOTH under the age gate (incl. _temporary/
+            # _SUCCESS/.crc debris the parquet-file walk below never
+            # touches).  The unit matters: freeing the ID while young
+            # data is still landing would hand the id to a new writer
+            # whose _write_files clears the LIVE writer's output (and
+            # could then walk the live writer's late-landed files
+            # into its own manifest) — a >grace-old claim whose files
+            # are fresh, or whose files vanish mid-probe (a rename
+            # out of _temporary IS a live task commit), keeps claim
+            # AND data until a later expire finds them both cold.  No
+            # manifest can reference data/s<NN> while claim NN is
+            # torn (committing NN is the only way its paths enter a
+            # file list), so once both pass the gate the directory is
+            # pure debris; leaving it would fail a later commit that
+            # reuses the freed id.
+            newest = st.st_mtime
+            contents: list[str] = []
+            live_writer = False
+            if os.path.isdir(ddir):
+                for r, _d, fs in os.walk(ddir):
+                    for f in fs:
+                        full_f = os.path.join(r, f)
+                        contents.append(full_f)
+                        try:
+                            newest = max(newest, os.path.getmtime(full_f))
+                        except FileNotFoundError:
+                            live_writer = True
+            if live_writer or now - newest < orphan_grace_seconds:
+                protected_dirs.append(ddir + os.sep)
+                continue  # hands off claim AND data this run
+            # The dir probe took real time: re-check the claim is
+            # STILL torn immediately before the destructive pair —
+            # only the original claim holder can turn it into a
+            # manifest (O_EXCL bars everyone else), and a slow holder
+            # may have finally committed (review finding; the same
+            # decision-time re-stat rule the claim listing uses).
+            try:
+                if os.path.getsize(p) > 0:
+                    continue  # it committed — a real snapshot now
+            except FileNotFoundError:
+                continue  # another maintenance run beat us to it
+            if os.path.isdir(ddir):
+                try:
+                    shutil.rmtree(ddir)
+                except OSError:
+                    continue  # concurrent change — retry next run
+                deleted.extend(contents)
+                deleted.append(ddir)
+            try:
                 os.remove(p)
-                deleted.append(p)
+            except FileNotFoundError:
+                continue  # concurrent expire already reclaimed it
+            deleted.append(p)
         for root, _dirs, files in os.walk(self.data_dir):
             for f in files:
                 full = os.path.join(root, f)
+                if any(full.startswith(d) for d in protected_dirs):
+                    continue  # a kept torn-claim dir — unit gate owns it
                 rel = os.path.relpath(full, self.path)
                 if not f.endswith(".parquet") or rel in live:
                     continue
-                if (
-                    rel in dead
-                    or now - os.path.getmtime(full) >= orphan_grace_seconds
-                ):
-                    os.remove(full)
+                try:
+                    aged = now - os.path.getmtime(full) >= orphan_grace_seconds
+                except FileNotFoundError:
+                    continue  # vanished mid-walk — someone live owns it
+                if rel in dead or aged:
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue
                     deleted.append(full)
         return deleted

@@ -316,8 +316,8 @@ def test_state_survives_shuffle_partition_conf_change(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
-_KILL_DRIVER_1 = r"""
-import os, sys, time
+_KILL_STREAM_COMMON = r"""
+import glob, os, sys, time
 sys.path.insert(0, {repo!r})
 os.environ["PYSPARK_PYTHON"] = sys.executable
 os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
@@ -344,70 +344,41 @@ agg = stream.groupBy(
     F.window("event_time", "1 hour"), "event_type"
 ).agg(F.count(F.lit(1)).alias("n_events"))
 
+UPSERT_SLEEP = {sleep}
 def upsert(bdf, batch_id):
-    import time as _t
-    _t.sleep(0.5)  # stretch the drain so the parent's kill lands inside
+    if UPSERT_SLEEP:
+        time.sleep(UPSERT_SLEEP)
     (bdf.select(F.col("window.start").alias("window_start"), "event_type",
                 "n_events", F.lit(batch_id).alias("batch_id"))
         # OVERWRITE per batch dir: a replayed batch (its commit never
-        # landed before the kill) rewrites its own partial output —
+        # landed before the kill) rewrites its own partial output -
         # the idempotent-sink convention.
         .write.mode("overwrite").parquet(f"{{store}}/b{{batch_id}}"))
 
 q = (agg.writeStream.foreachBatch(upsert).outputMode("update")
      .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
 q.awaitTermination()
+"""
+
+# ONE stream/agg/sink definition for both driver processes (the
+# cluster_loss_util single-definition lesson): driver 1 only stretches
+# each batch so the parent's kill lands inside the drain, driver 2
+# only appends the fold-and-verify tail.
+_KILL_DRIVER_1 = _KILL_STREAM_COMMON + r"""
 print("DRAIN-1-FINISHED", flush=True)  # parent should have killed us first
 """
 
-_KILL_DRIVER_2 = r"""
-import glob, os, sys
-sys.path.insert(0, {repo!r})
-os.environ["PYSPARK_PYTHON"] = sys.executable
-os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
-import pyspark.sql.functions as F
-from pyspark.sql import SparkSession
-
-spark = (
-    SparkSession.builder.master("local[4]")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.shuffle.partitions", "8")
-    .getOrCreate()
-)
-from decision_tree_analytics_spark.session import prepare_session
-prepare_session(spark)
-
-landing, ckpt, store = {landing!r}, {ckpt!r}, {store!r}
-stream = (
-    spark.readStream.schema(spark.read.parquet(landing).schema)
-    .option("maxFilesPerTrigger", 1)
-    .parquet(landing)
-    .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-)
-agg = stream.groupBy(
-    F.window("event_time", "1 hour"), "event_type"
-).agg(F.count(F.lit(1)).alias("n_events"))
-
-def upsert(bdf, batch_id):
-    (bdf.select(F.col("window.start").alias("window_start"), "event_type",
-                "n_events", F.lit(batch_id).alias("batch_id"))
-        .write.mode("overwrite").parquet(f"{{store}}/b{{batch_id}}"))
-
-q = (agg.writeStream.foreachBatch(upsert).outputMode("update")
-     .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
-q.awaitTermination()
-
+_KILL_DRIVER_2 = _KILL_STREAM_COMMON + r"""
 batch_dirs = sorted(glob.glob(os.path.join(store, "b*")))
 print("BATCH-DIRS", len(batch_dirs), flush=True)
 
 # Fold the update-mode upserts: latest batch wins per key.
-upserts = spark.read.option("basePath", store).parquet(*batch_dirs)
-import pyspark.sql.functions as F2
+upserts = spark.read.parquet(*batch_dirs)
 from pyspark.sql import Window
 w = Window.partitionBy("window_start", "event_type").orderBy(
-    F2.col("batch_id").desc()
+    F.col("batch_id").desc()
 )
-final = (upserts.withColumn("rn", F2.row_number().over(w))
+final = (upserts.withColumn("rn", F.row_number().over(w))
          .filter("rn = 1").select("window_start", "event_type", "n_events"))
 
 # Exact truth: the same aggregation as ONE batch query.
@@ -463,7 +434,7 @@ def test_stream_survives_driver_process_sigkill_mid_drain(sf_dir, tmp_path):
     ev.select(cols).repartition(8).write.mode("overwrite").parquet(landing)
 
     code1 = _KILL_DRIVER_1.format(
-        repo=repo, landing=landing, ckpt=ckpt, store=store
+        repo=repo, landing=landing, ckpt=ckpt, store=store, sleep=0.5
     )
     # File-backed stdio: a SIGKILLed child can't drain pipes, and
     # Spark's stderr volume would fill a pipe buffer and stall the
@@ -492,7 +463,7 @@ def test_stream_survives_driver_process_sigkill_mid_drain(sf_dir, tmp_path):
     )
 
     code2 = _KILL_DRIVER_2.format(
-        repo=repo, landing=landing, ckpt=ckpt, store=store
+        repo=repo, landing=landing, ckpt=ckpt, store=store, sleep=0
     )
     proc2 = subprocess.run(
         [sys.executable, "-c", code2],
