@@ -108,10 +108,18 @@ class SnapshotTable:
 
     def manifest(self, sid: int) -> dict:
         p = self._manifest_path(sid)
-        if not os.path.exists(p):
-            raise SnapshotNotFound(f"snapshot {sid} does not exist at {self.path}")
-        with open(p) as fh:
-            raw = fh.read()
+        # One open, no exists-probe: an exists-then-open pair has a
+        # window where concurrent maintenance (expire of this very
+        # manifest) turns the open into a raw FileNotFoundError that
+        # _valid_manifests()/readers would not recognize — map the
+        # absence at the only syscall that can observe it.
+        try:
+            with open(p) as fh:
+                raw = fh.read()
+        except FileNotFoundError:
+            raise SnapshotNotFound(
+                f"snapshot {sid} does not exist at {self.path}"
+            ) from None
         if not raw.strip():
             # An O_EXCL claim whose writer died (or is still writing)
             # before the manifest content landed — a TORN claim is not
@@ -161,10 +169,15 @@ class SnapshotTable:
 
     def latest_id(self) -> int:
         p = os.path.join(self.meta_dir, _LATEST)
-        if not os.path.exists(p):
-            raise NoPublishedSnapshot(f"no published snapshot at {self.path}")
-        with open(p) as fh:
-            return int(fh.read().strip())
+        # Same single-open rule as manifest(): no exists-then-open
+        # window for a pointer vanishing between the two calls.
+        try:
+            with open(p) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            raise NoPublishedSnapshot(
+                f"no published snapshot at {self.path}"
+            ) from None
 
     def history(self) -> list[dict]:
         return [m for _s, m in self._valid_manifests()]
@@ -419,8 +432,16 @@ class SnapshotTable:
         dead: set[str] = set()  # files of manifests removed below
         for s in valid:
             if s not in keep:
+                # The manifest's files are dead whether or not WE win
+                # the removal — a concurrent expire may have reclaimed
+                # the manifest between our listing and this remove, and
+                # crashing the loser mid-maintenance would leave its
+                # remaining expired manifests and orphan walk undone.
                 dead.update(manifests[s]["files"])
-                os.remove(self._manifest_path(s))
+                try:
+                    os.remove(self._manifest_path(s))
+                except FileNotFoundError:
+                    continue  # a racing expire reclaimed it first
                 deleted.append(self._manifest_path(s))
         # Data dirs of torn claims the unit gate below decides to KEEP
         # are off-limits to the final orphan-file walk too — otherwise

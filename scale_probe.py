@@ -13,6 +13,9 @@ Usage:
     python scale_probe.py --skew     # skewed-join probe (salted vs
                                      # unsalted vs AQE, 5M-row events
                                      # with the hot user owning 90%)
+    python scale_probe.py --skew --sf10
+                                     # second skew decade: 50M rows,
+                                     # 45M on the hot key
     python scale_probe.py --sf10     # 100x documents/embeddings probe
                                      # of the dedup/ANN family — the
                                      # two-decade scale curve
@@ -147,11 +150,11 @@ def _stamp(out_dir: str) -> None:
         f.write(_base_tag())
 
 
-def _stale(out_dir: str) -> bool:
+def _stale(out_dir: str, probe_file: str = "embeddings.parquet") -> bool:
     """True when the derived corpus is missing OR was generated from a
     different base-testdata generation (stamp absent/mismatched) —
     callers auto-regenerate instead of silently mixing generations."""
-    if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+    if not os.path.exists(os.path.join(out_dir, probe_file)):
         return True
     stamp = os.path.join(out_dir, ".base_tag")
     if not os.path.exists(stamp):
@@ -365,22 +368,28 @@ def sf10_probe() -> None:
 SKEW_OUT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".scale", "skew"
 )
+SKEW10_OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".scale", "skew10"
+)
 SKEW_HOT_USER = 0
 
 
 SKEW_REPLICAS = 50  # 5M rows; the hot user owns 90% of them
+SKEW10_REPLICAS = 500  # 50M rows — the second decade of the skew curve
 
 
-def generate_skew() -> None:
-    """50x events (5M rows) with user 0 owning 90% of the stream — the
+def generate_skew(
+    replicas: int = SKEW_REPLICAS, out_dir: str = SKEW_OUT
+) -> None:
+    """``replicas``x events with user 0 owning 90% of the stream — the
     'one domain owns the firehose' failure mode.  Replicas offset
     event_id and user_id; 9 of 10 event_ids are then reassigned to
     the hot user.  (At 10x/50% the whole join fits inside ~2 s of
     scan+overhead and the stuck reducer is invisible; 50x/90% puts
-    4.5M rows on the hot key's single reducer.)"""
+    4.5M rows on the hot key's single reducer, 500x puts 45M.)"""
     import duckdb
 
-    os.makedirs(SKEW_OUT, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     me, mu = con.sql(
         f"SELECT max(event_id)+1, max(user_id)+1"
@@ -392,9 +401,10 @@ def generate_skew() -> None:
         CASE WHEN (event_id + r * {me}) % 10 != 0 THEN {SKEW_HOT_USER}
              ELSE user_id + r * {mu} END AS user_id,
         event_type, value, props
-      FROM read_parquet('{BASE}/events.parquet'), range({SKEW_REPLICAS}) t(r)
+      FROM read_parquet('{BASE}/events.parquet'), range({replicas}) t(r)
       ORDER BY event_id
-    ) TO '{SKEW_OUT}/events.parquet' (FORMAT parquet)""")
+    ) TO '{out_dir}/events.parquet' (FORMAT parquet)""")
+    _stamp(out_dir)
 
 
 def skew_probe() -> None:
@@ -424,10 +434,17 @@ def skew_probe() -> None:
     from decision_tree_analytics_spark.session import get_spark
     from decision_tree_analytics_spark.sources.tables import load_table
 
-    if "--generate" in sys.argv or not os.path.exists(
-        os.path.join(SKEW_OUT, "events.parquet")
-    ):
-        generate_skew()
+    # --sf10 probes the SECOND decade (50M rows, 45M on the hot key):
+    # the stuck reducer's share of wall should GROW with scale while
+    # the salted plan keeps every core busy — the claim that matters
+    # at 100 TB.  Both corpora are base-tag-stamped like every other
+    # derived tier (a base rotation regenerates instead of mixing).
+    sf10 = "--sf10" in sys.argv
+    skew_dir = SKEW10_OUT if sf10 else SKEW_OUT
+    if "--generate" in sys.argv or _stale(skew_dir, "events.parquet"):
+        generate_skew(
+            SKEW10_REPLICAS if sf10 else SKEW_REPLICAS, skew_dir
+        )
     if "--cluster" in sys.argv:
         # Real 2-JVM executors (tests/test_local_cluster.py gotchas:
         # pin the interpreter + repo path for the executor workers).
@@ -449,7 +466,7 @@ def skew_probe() -> None:
         )
     else:
         spark = get_spark(app_name="dta-spark-skew-probe")
-    load_table(spark, SKEW_OUT, "events").count()  # warm FS cache
+    load_table(spark, skew_dir, "events").count()  # warm FS cache
     tier = (
         F.when(F.col("user_events") >= HEAVY_USER_EVENTS, "heavy")
         .otherwise("light")
@@ -508,7 +525,7 @@ def skew_probe() -> None:
         best = rows = None
         for _ in range(2):
             t0 = time.perf_counter()
-            rows = fn(spark, SKEW_OUT).count()
+            rows = fn(spark, skew_dir).count()
             dt = round(time.perf_counter() - t0, 2)
             best = dt if best is None or dt < best else best
         out[tag] = {"sec": best, "rows": rows}

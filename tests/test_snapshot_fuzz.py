@@ -37,6 +37,7 @@ _OPS = st.one_of(
     st.tuples(st.just("torn_aged"), st.just(0)),  # long-dead writer
     st.tuples(st.just("torn_with_debris"), st.just(0)),  # died mid-write
     st.tuples(st.just("expire"), st.integers(1, 2)),  # keep_last
+    st.tuples(st.just("rollback"), st.integers(0, 7)),  # index into valid
 )
 
 
@@ -84,6 +85,13 @@ def test_snapshot_store_invariants_under_op_sequences(
         elif kind == "expire":
             t.expire(keep_last=arg, orphan_grace_seconds=0.0)
             model = {s: model[s] for s in t.valid_ids()}
+        elif kind == "rollback":
+            # Atomically move the pointer to any surviving version —
+            # a later append must chain from IT, and expire must keep
+            # protecting the (now older) published snapshot.
+            versions = sorted(model)
+            published = versions[arg % len(versions)]
+            t.publish(published)
         # Invariants after EVERY op:
         # 1. The published read serves exactly the model, and TIME
         #    TRAVEL to every surviving valid version serves ITS exact
