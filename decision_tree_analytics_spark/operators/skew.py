@@ -56,6 +56,65 @@ def salt_column(n_salts: int) -> Column:
     return (F.rand(seed=42) * n_salts).cast("int")
 
 
+def hot_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    fact_salt: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inner equi-join where ONLY the hot keys fan out over salts.
+
+    Blanket salting (skew_salted_join's shape) replicates the WHOLE
+    dim ``n_salts`` times — fine while the dim is small, but the
+    replication cost is O(|dim| x n_salts), and at large dim
+    cardinality it swamps the win: measured at 50M facts / ~5M dim
+    keys, the blanket-salted join is no faster than the stuck reducer
+    unless AQE re-splits it (BASELINE.md skew table, second decade).
+    The production form replicates only the keys that are actually
+    hot: ``hot_keys`` is a BOUNDED one-column DataFrame (keys above a
+    frequency threshold — at most corpus/threshold keys can exceed
+    it, so the broadcast is bounded by construction); cold keys keep
+    salt 0 and a single dim row, hot keys fan out over ``n_salts``
+    reducers.  Both sides tag hotness via the same broadcast, so the
+    pre-salting adds NO shuffle of its own.
+
+    ``fact_salt`` must be content-derived (e.g. pmod(event_id, n)),
+    never rand(): the join stays referentially deterministic
+    (determinism rule 6) and re-executions of a lost task salt
+    identically.
+    """
+    hot = F.broadcast(
+        hot_keys.select(key).distinct().withColumn("__hot__", F.lit(True))
+    )
+    f = (
+        fact.join(hot, key, "left")
+        .withColumn(
+            "__salt__",
+            F.when(F.col("__hot__"), F.pmod(fact_salt, F.lit(n_salts)))
+            .otherwise(F.lit(0)),
+        )
+        .drop("__hot__")
+    )
+    d = (
+        dim.join(hot, key, "left")
+        .withColumn(
+            "__salt__",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.col("__hot__"), F.lit(n_salts - 1)).otherwise(
+                        F.lit(0)
+                    ),
+                )
+            ),
+        )
+        .drop("__hot__")
+    )
+    return f.join(d, [key, "__salt__"]).drop("__salt__")
+
+
 # ---- contract queries -------------------------------------------------
 
 N_JOIN_SALTS = 16

@@ -430,6 +430,7 @@ def skew_probe() -> None:
     from decision_tree_analytics_spark.operators.skew import (
         HEAVY_USER_EVENTS,
         N_JOIN_SALTS,
+        hot_salted_join,
     )
     from decision_tree_analytics_spark.session import get_spark
     from decision_tree_analytics_spark.sources.tables import load_table
@@ -508,11 +509,38 @@ def skew_probe() -> None:
             )
         )
 
+    def hotsalted(sp, sf_dir):
+        # The production form at large dim cardinality: only keys
+        # above corpus/1000 fan out (bounded to <=1000 keys by
+        # construction, so the hotness broadcast is bounded too);
+        # cold keys join unsalted.  Blanket salting pays
+        # O(|dim| x n_salts) replication, which at the second decade
+        # (5M dim keys) costs more than the stuck reducer it avoids.
+        ev = load_table(sp, sf_dir, "events")
+        n = ev.count()  # parquet footer count — no data scan
+        dim = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("user_events")
+        )
+        hot = dim.filter(F.col("user_events") * 1000 > n).select("user_id")
+        fact = ev.select("event_id", "user_id", "event_type", "props")
+        return (
+            hot_salted_join(
+                fact, dim, "user_id", hot, F.col("event_id"), N_JOIN_SALTS
+            )
+            .groupBy("event_type", tier)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.length("props")).alias("payload"),
+            )
+        )
+
     runs = [
         ("unsalted/noaqe", unsalted, {"spark.sql.adaptive.skewJoin.enabled": "false"}),
         ("unsalted/aqe", unsalted, {"spark.sql.adaptive.skewJoin.enabled": "true"}),
         ("salted/noaqe", salted, {"spark.sql.adaptive.skewJoin.enabled": "false"}),
         ("salted/aqe", salted, {"spark.sql.adaptive.skewJoin.enabled": "true"}),
+        ("hotsalted/noaqe", hotsalted, {"spark.sql.adaptive.skewJoin.enabled": "false"}),
+        ("hotsalted/aqe", hotsalted, {"spark.sql.adaptive.skewJoin.enabled": "true"}),
     ]
     out = {}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -46,6 +46,13 @@ INVARIANCE_QUERIES = [
     # consumer session runs; the canonical keeper table must not
     # depend on either side's physical split.
     "dedup_canonical_snapshot",
+    # late r14: the mergeable-sketch family — partial sketches merge
+    # in whatever order the partitioning dictates, so a 3-partition
+    # and a 64-partition build must collapse to the SAME cells; any
+    # non-commutative merge (or engine-seeded hash) would diverge
+    # here before it ever reached the oracle.
+    "rel_countmin_sketch",
+    "rel_hll_sketch",
 ]
 
 _CONFS = [

@@ -44,3 +44,68 @@ def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         salted_agg(ev, ["event_type"], {"a": ("value", "avg")})
+
+
+def test_hot_salted_join_equals_plain(spark, sf_dir):
+    """hot_salted_join must equal the plain key join exactly, while
+    replicating ONLY the hot keys' dim rows — the bounded-broadcast,
+    bounded-replication form of skew mitigation."""
+    from decision_tree_analytics_spark.operators.skew import hot_salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    hot = dim.filter(F.col("user_events") >= 67).select("user_id")
+    n_hot = hot.count()
+    assert n_hot > 0  # non-vacuous: the fixture has heavy users
+    fact = ev.select("event_id", "user_id", "event_type")
+    joined = hot_salted_join(
+        fact, dim, "user_id", hot, F.col("event_id"), n_salts=8
+    )
+    plain = fact.join(dim, "user_id")
+    cols = sorted(plain.columns)
+    assert joined.select(*cols).exceptAll(plain.select(*cols)).count() == 0
+    assert plain.select(*cols).exceptAll(joined.select(*cols)).count() == 0
+    assert joined.count() == plain.count()
+
+
+def test_hot_salted_join_replicates_only_hot_keys(spark, sf_dir):
+    """The salted dim side carries dim + (n_salts-1) x |hot| rows —
+    never O(|dim| x n_salts) — and hot facts really spread over
+    multiple salts."""
+    from decision_tree_analytics_spark.operators.skew import hot_salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    hot = dim.filter(F.col("user_events") >= 67).select("user_id")
+    n_dim, n_hot, n_salts = dim.count(), hot.count(), 8
+    # Reproduce the dim-side expansion exactly as the combinator does.
+    hot_b = F.broadcast(hot.withColumn("__hot__", F.lit(True)))
+    d = dim.join(hot_b, "user_id", "left").withColumn(
+        "__salt__",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("__hot__"), F.lit(n_salts - 1)).otherwise(
+                    F.lit(0)
+                ),
+            )
+        ),
+    )
+    assert d.count() == n_dim + (n_salts - 1) * n_hot
+    # Hot facts spread: a hot user's joined rows occupy >1 salt.
+    fact = ev.select("event_id", "user_id", "event_type")
+    joined = hot_salted_join(
+        fact, dim, "user_id", hot, F.col("event_id"), n_salts=n_salts
+    )
+    one_hot = hot.limit(1).collect()[0][0]
+    spread = (
+        fact.filter(F.col("user_id") == one_hot)
+        .select(F.pmod("event_id", F.lit(n_salts)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+    assert (
+        joined.filter(F.col("user_id") == one_hot).count()
+        == fact.filter(F.col("user_id") == one_hot).count()
+    )

@@ -234,3 +234,118 @@ def test_compact_crash_between_stage_and_publish_self_heals(
     t.expire(keep_last=1, orphan_grace_seconds=0.0)
     assert crashed not in t.valid_ids()
     assert t.read().count() == 25
+
+
+_LABEL_RACER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+os.environ["SPARK_GRAFT_SNAPSHOT_DIR"] = {snaps!r}
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from decision_tree_analytics_spark.operators import dedup
+
+open({ready!r}, "w").close()
+while not os.path.exists({go!r}):
+    time.sleep(0.05)
+
+labels = dedup.component_labels_snapshot(spark, {sf!r})
+row = labels.select(
+    F.sum(F.crc32(F.concat_ws("|", "doc_id", "component_id"))).alias("c"),
+    F.count(F.lit(1)).alias("n"),
+    F.countDistinct("component_id").alias("k"),
+).first()
+print("RACED", row["c"], row["n"], row["k"], flush=True)
+spark.stop()
+print("RACER-OK")
+"""
+
+
+def test_two_processes_racing_label_publish_converge(spark, sf_dir, tmp_path):
+    """The single-version WAP consumers (dedup component labels, the
+    IVF index) deliberately have NO build lock — the r14 audit's claim
+    is that racers CONVERGE: the labeling is content-derived (md5
+    minhash over the corpus), so two sessions that both miss, both
+    compute, and both overwrite-publish must serve bit-identical
+    labels whoever wins the pointer.  Proven here with two REAL driver
+    processes released onto one fresh snapshot root by a go-file
+    barrier: same label checksum from both, the published table passes
+    the coverage audit, and the parent session reads the same content
+    through the normal query path."""
+    import subprocess
+    import sys
+    import time
+
+    from decision_tree_analytics_spark.operators import dedup
+    from decision_tree_analytics_spark.sources.tables import (
+        parquet_footer_tag,
+    )
+    from decision_tree_analytics_spark.sources.snapshots import SnapshotTable
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snaps = str(tmp_path / "snaps")
+    procs, readies = [], []
+    for i in (1, 2):
+        ready = str(tmp_path / f"ready{i}")
+        readies.append(ready)
+        code = _LABEL_RACER.format(
+            repo=repo, snaps=snaps, sf=sf_dir,
+            ready=ready, go=str(tmp_path / "go"),
+        )
+        # Spark's stderr volume can fill a pipe buffer while the OTHER
+        # racer is being drained — route stderr to files (the
+        # driver-kill-stream gotcha applies to any multi-child drain).
+        errf = open(str(tmp_path / f"err{i}.log"), "w")
+        procs.append(
+            (
+                subprocess.Popen(
+                    [sys.executable, "-c", code],
+                    stdout=subprocess.PIPE,
+                    stderr=errf,
+                    text=True,
+                ),
+                errf,
+            )
+        )
+    deadline = time.time() + 300
+    while not all(os.path.exists(r) for r in readies):
+        assert time.time() < deadline, "racers never reached the barrier"
+        time.sleep(0.1)
+    open(str(tmp_path / "go"), "w").close()
+    outs = []
+    for p, errf in procs:
+        out, _ = p.communicate(timeout=600)
+        errf.close()
+        assert p.returncode == 0 and "RACER-OK" in out, out[-2000:]
+        outs.append(
+            next(line for line in out.splitlines() if line.startswith("RACED"))
+        )
+    # CONVERGENCE: both racers computed the identical labeling.
+    assert outs[0] == outs[1], outs
+    _tag, chk, n, _k = outs[0].split()
+    # The published table passes the coverage audit in the parent too.
+    import pyspark.sql.functions as F2
+
+    tag = parquet_footer_tag(os.path.join(sf_dir, "documents.parquet"))
+    t = SnapshotTable(spark, os.path.join(snaps, f"dedup_labels_{tag}"))
+    # Racers may both have committed (distinct ids, O_EXCL) — one or
+    # two valid versions, identical content; the pointer names one.
+    assert 1 <= len(t.valid_ids()) <= 2
+    assert t.latest_id() in t.valid_ids()
+    got = t.read().select(
+        F2.sum(
+            F2.crc32(F2.concat_ws("|", "doc_id", "component_id"))
+        ).alias("c"),
+        F2.count(F2.lit(1)).alias("n"),
+        F2.countDistinct("doc_id").alias("d"),
+    ).first()
+    assert str(got["c"]) == chk and str(got["n"]) == n
+    assert got["n"] == got["d"]  # every doc labeled exactly once
