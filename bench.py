@@ -24,6 +24,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def corpus_tag(sf_dir: str) -> str:
+    """Content identity of the benchmarked corpus generation: md5 over
+    the parquet FOOTER tags of every base table, truncated to 12 hex.
+    The testdata is regenerated between rounds (observed mid-r14:
+    dedup_minhash_lsh_pairs moved 1.1 s -> 1.4 s warm purely from new
+    document contents), so a bench record must self-identify its
+    generation — totals from different corpus tags are NOT comparable
+    and must not be read as regressions."""
+    import hashlib
+
+    from decision_tree_analytics_spark.sources.tables import (
+        parquet_footer_tag,
+    )
+
+    tags = [
+        parquet_footer_tag(os.path.join(sf_dir, t + ".parquet"))
+        for t in TABLES
+    ]
+    return hashlib.md5("|".join(tags).encode()).hexdigest()[:12]
+
 # Headline set: the BASELINE.md M5 contract (agg, join, window-dedup,
 # top-k) plus one representative of each extension family.
 HEADLINE = [
@@ -59,10 +85,7 @@ def main() -> None:
     # touch first — a session constant, not a per-query cost at scale.
     from decision_tree_analytics_spark.sources.tables import load_table
 
-    for t in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ):
+    for t in TABLES:
         load_table(spark, SF_DIR, t).count()
     queries[names[0]](spark, SF_DIR).count()
     # Warm the Python/Arrow lane too: the first pandas-UDF query in a
@@ -93,7 +116,11 @@ def main() -> None:
     # load on the record, not archaeology — annotate the parsed line
     # with the 1-min load average at timing start and end.
     line, full = emit(
-        timings, names, sf, loads=(load_start, os.getloadavg()[0])
+        timings,
+        names,
+        sf,
+        loads=(load_start, os.getloadavg()[0]),
+        corpus=corpus_tag(SF_DIR),
     )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
@@ -118,13 +145,17 @@ def main() -> None:
 LINE_BUDGET = 1900
 
 
-def emit(timings: dict, names: list, sf, loads=None) -> tuple[str, dict]:
+def emit(
+    timings: dict, names: list, sf, loads=None, corpus=None
+) -> tuple[str, dict]:
     """Build (printed line, full record) — pure, unit-testable.
 
     ``loads`` = (load1_start, load1_end) box load averages bracketing
     the timed passes; they ride BOTH the full record and the printed
     line's tail so cross-round floor comparisons carry their own
-    load context (VERDICT r11 item 7)."""
+    load context (VERDICT r11 item 7).  ``corpus`` = corpus_tag() of
+    the benchmarked data generation — totals across different tags
+    are not comparable (the testdata rotates between rounds)."""
     ordered = {n: round(timings[n], 2) for n in reversed(names)}
     total = round(sum(timings.values()), 2)
     full = {
@@ -139,6 +170,8 @@ def emit(timings: dict, names: list, sf, loads=None) -> tuple[str, dict]:
     if loads is not None:
         full["load1_start"] = round(loads[0], 2)
         full["load1_end"] = round(loads[1], 2)
+    if corpus is not None:
+        full["corpus"] = corpus
     payload = dict(full)
     # ADVICE r10: 'value' duplicates 'total_s' — keep it only in
     # BENCH_FULL.json and spend the ~25 line bytes on query entries

@@ -82,3 +82,26 @@ def test_load_annotation_survives_truncation():
     # Omitting loads keeps the legacy shape (pure-function contract).
     line2, full2 = bench.emit(timings, names, "0.1")
     assert "load1_start" not in json.loads(line2) and "load1_start" not in full2
+
+
+def test_corpus_tag_rides_line_and_record():
+    """The corpus-generation tag must survive line truncation at any
+    inventory size (it identifies which testdata generation the totals
+    were measured on — cross-generation totals are not comparable),
+    and corpus_tag() itself must be deterministic 12-hex derived from
+    the parquet footers."""
+    import json
+    import os
+
+    timings = {f"q{i:03d}": 1.0 for i in range(300)}
+    names = list(timings)
+    line, full = bench.emit(
+        timings, names, "0.1", loads=(0.1, 2.0), corpus="abc123def456"
+    )
+    parsed = json.loads(line)
+    assert parsed["corpus"] == "abc123def456"
+    assert full["corpus"] == "abc123def456"
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    t1, t2 = bench.corpus_tag(sf_dir), bench.corpus_tag(sf_dir)
+    assert t1 == t2 and len(t1) == 12
+    assert all(c in "0123456789abcdef" for c in t1)

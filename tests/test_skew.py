@@ -109,3 +109,44 @@ def test_hot_salted_join_replicates_only_hot_keys(spark, sf_dir):
         joined.filter(F.col("user_id") == one_hot).count()
         == fact.filter(F.col("user_id") == one_hot).count()
     )
+
+
+def test_hot_salted_join_property_fuzz(spark):
+    """Property lock over tiny synthetic frames: for ANY fact/dim key
+    multiset, ANY hot set (empty, duplicated, containing keys absent
+    from the dim or the fact), and ANY n_salts >= 1, hot_salted_join
+    equals the plain inner join exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from decision_tree_analytics_spark.operators.skew import hot_salted_join
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        fact_keys=st.lists(st.integers(0, 5), max_size=20),
+        dim_keys=st.sets(st.integers(0, 5)),
+        hot=st.lists(st.integers(0, 7), max_size=6),
+        n_salts=st.integers(1, 5),
+    )
+    def check(fact_keys, dim_keys, hot, n_salts):
+        fact = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(fact_keys)], "event_id long, k long"
+        )
+        dim = spark.createDataFrame(
+            [(k, k * 10) for k in dim_keys], "k long, v long"
+        )
+        hot_df = spark.createDataFrame([(k,) for k in hot], "k long")
+        got = hot_salted_join(
+            fact, dim, "k", hot_df, F.col("event_id"), n_salts
+        )
+        cols = sorted(got.columns)
+        want = fact.join(dim, "k").select(*cols)
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    check()
