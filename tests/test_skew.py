@@ -150,3 +150,41 @@ def test_hot_salted_join_property_fuzz(spark):
         )
 
     check()
+
+
+def test_hot_salted_join_plan_hot_tag_stays_broadcast(spark, sf_dir):
+    """With auto-broadcast disabled on both planner paths (the 100 TB
+    regime: the dim no longer broadcasts), the hotness tagging must
+    STILL be broadcast joins (the explicit hint on the bounded hot set
+    overrides the thresholds) and the main join must shuffle on the
+    salted key — never a broadcast of the full dim, never an extra
+    exchange for the tagging."""
+    from decision_tree_analytics_spark.operators.skew import hot_salted_join
+    from decision_tree_analytics_spark.plans.inspect import simple_plan
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        ev = load_table(spark, sf_dir, "events")
+        dim = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("user_events")
+        )
+        hot = dim.filter(F.col("user_events") >= 67).select("user_id")
+        fact = ev.select("event_id", "user_id", "event_type")
+        plan = simple_plan(
+            hot_salted_join(
+                fact, dim, "user_id", hot, F.col("event_id"), 8
+            )
+        )
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    # Exactly the two hot-tag joins are broadcast; the salted main
+    # join is a shuffle join (SortMergeJoin) on (user_id, __salt__).
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("BroadcastExchange") == 2, plan
