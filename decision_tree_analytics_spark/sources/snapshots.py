@@ -75,6 +75,16 @@ class ConcurrentStagedCommit(RuntimeError):
     racer finishes (or its claim ages past the orphan grace)."""
 
 
+class StaleCompaction(RuntimeError):
+    """compact() found the published snapshot moved while it was
+    rewriting — publishing the rewrite would clobber a newer commit's
+    rows from the published view.  The staged rewrite is left
+    unpublished (expire ages it out); retry compaction against the
+    new tip.  Iceberg's RewriteFiles makes the same validate-current-
+    snapshot check: peer WRITERS may race last-publish-wins, but
+    MAINTENANCE must never un-publish data."""
+
+
 # One age threshold decides 'crashed writer, reclaim/skip' vs 'maybe
 # still in flight, hands off' everywhere (expire + staged-parent
 # selection) — Iceberg's remove-orphan-files makes the same
@@ -374,14 +384,32 @@ class SnapshotTable:
         rewrite is a shuffle-free coalesce (compaction is IO-bound);
         prior snapshots keep their original files, so time travel
         across the compaction boundary still works until expire()
-        reclaims them."""
-        self.latest_id()  # must have a published snapshot
+        reclaims them.
+
+        The base snapshot is pinned ONCE: sizing, the rewrite read,
+        and the publish all refer to the same version (three separate
+        latest_id() reads would let a concurrent publish mix versions
+        mid-compaction).  If the published tip moved while the rewrite
+        ran, publishing would drop the newer commit's rows from the
+        published view — StaleCompaction instead; the staged rewrite
+        stays unpublished for expire() to age out, and the caller
+        retries against the new tip.  (The residual check-to-rename
+        window is microseconds vs the rewrite's duration; full
+        serialization would need a compare-and-swap pointer, which is
+        the catalog's job in real Iceberg.)"""
+        base = self.latest_id()  # must have a published snapshot
         total = sum(
             os.path.getsize(os.path.join(self.path, f))
-            for f in self.manifest(self.latest_id())["files"]
+            for f in self.manifest(base)["files"]
         )
         n_files = max(1, round(total / target_file_bytes))
-        sid = self.overwrite(self.read().coalesce(n_files), publish=False)
+        sid = self.overwrite(self.read(base).coalesce(n_files), publish=False)
+        if self.latest_id() != base:
+            raise StaleCompaction(
+                f"published snapshot moved {base} -> {self.latest_id()} "
+                f"during compaction at {self.path}; staged rewrite "
+                f"{sid} left unpublished — retry against the new tip"
+            )
         self.publish(sid)
         return sid
 

@@ -349,3 +349,52 @@ def test_two_processes_racing_label_publish_converge(spark, sf_dir, tmp_path):
     ).first()
     assert str(got["c"]) == chk and str(got["n"]) == n
     assert got["n"] == got["d"]  # every doc labeled exactly once
+
+
+def test_compact_refuses_to_clobber_a_concurrent_publish(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A writer publishing BETWEEN compact()'s rewrite and its publish
+    must not lose its rows: compact detects the moved tip and raises
+    StaleCompaction (Iceberg's validate-current-snapshot semantics for
+    RewriteFiles — peer writers race last-publish-wins, maintenance
+    never un-publishes data).  The staged rewrite stays unpublished
+    and a retried compact against the new tip succeeds."""
+    from decision_tree_analytics_spark.sources.snapshots import (
+        StaleCompaction,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(docs.filter(F.col("doc_id") < 25))
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    late = docs.filter(F.col("doc_id") >= 90)
+    n_late = late.count()
+    state = {"fired": False, "staged": None}
+    real = SnapshotTable.overwrite
+
+    def racing(self, df, publish=True):
+        sid = real(self, df, publish=publish)
+        if not state["fired"] and not publish:
+            # The rewrite just staged: a concurrent writer lands and
+            # publishes before compact()'s currency check.
+            state["fired"] = True
+            state["staged"] = sid
+            t2.append(late)
+        return sid
+
+    monkeypatch.setattr(SnapshotTable, "overwrite", racing)
+    with pytest.raises(StaleCompaction):
+        t.compact()
+    assert state["fired"]
+    # The concurrent append's rows are still published — nothing lost.
+    assert t.read().count() == 25 + n_late
+    # The stale rewrite is staged-not-published and reclaimable.
+    assert state["staged"] in t.valid_ids()
+    assert t.latest_id() != state["staged"]
+    # Retry against the new tip: succeeds and preserves every row.
+    healed = t.compact()
+    assert t.latest_id() == healed
+    assert t.read().count() == 25 + n_late
+    t.expire(keep_last=1, orphan_grace_seconds=0.0)
+    assert state["staged"] not in t.valid_ids()
+    assert t.read().count() == 25 + n_late
