@@ -24,31 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
-
-
 def corpus_tag(sf_dir: str) -> str:
-    """Content identity of the benchmarked corpus generation: md5 over
-    the parquet FOOTER tags of every base table, truncated to 12 hex.
-    The testdata is regenerated between rounds (observed mid-r14:
-    dedup_minhash_lsh_pairs moved 1.1 s -> 1.4 s warm purely from new
-    document contents), so a bench record must self-identify its
-    generation — totals from different corpus tags are NOT comparable
-    and must not be read as regressions."""
-    import hashlib
-
+    """Content identity of the benchmarked corpus generation,
+    truncated to 12 hex.  The testdata is regenerated between rounds
+    (observed mid-r14: dedup_minhash_lsh_pairs moved 1.1 s -> 1.4 s
+    warm purely from new document contents), so a bench record must
+    self-identify its generation — totals from different corpus tags
+    are NOT comparable and must not be read as regressions.  One
+    shared definition with scale_probe's derived-corpus stamps
+    (sources/tables.py corpus_generation_tag)."""
     from decision_tree_analytics_spark.sources.tables import (
-        parquet_footer_tag,
+        corpus_generation_tag,
     )
 
-    tags = [
-        parquet_footer_tag(os.path.join(sf_dir, t + ".parquet"))
-        for t in TABLES
-    ]
-    return hashlib.md5("|".join(tags).encode()).hexdigest()[:12]
+    return corpus_generation_tag(sf_dir)[:12]
 
 # Headline set: the BASELINE.md M5 contract (agg, join, window-dedup,
 # top-k) plus one representative of each extension family.
@@ -83,9 +72,12 @@ def main() -> None:
     # one pass over every input table, so no timed query pays the
     # one-off footer read / FS metadata cost for a table it happens to
     # touch first — a session constant, not a per-query cost at scale.
-    from decision_tree_analytics_spark.sources.tables import load_table
+    from decision_tree_analytics_spark.sources.tables import (
+        BASE_TABLES,
+        load_table,
+    )
 
-    for t in TABLES:
+    for t in BASE_TABLES:
         load_table(spark, SF_DIR, t).count()
     queries[names[0]](spark, SF_DIR).count()
     # Warm the Python/Arrow lane too: the first pandas-UDF query in a

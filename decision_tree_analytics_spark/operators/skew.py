@@ -92,8 +92,14 @@ def hot_salted_join(
         fact.join(hot, key, "left")
         .withColumn(
             "__salt__",
-            F.when(F.col("__hot__"), F.pmod(fact_salt, F.lit(n_salts)))
-            .otherwise(F.lit(0)),
+            # coalesce: a NULL fact_salt (null source column) must
+            # land on salt 0, not produce a NULL join key that
+            # silently drops the row from an equi-join the function
+            # is documented to equal exactly.
+            F.when(
+                F.col("__hot__"),
+                F.coalesce(F.pmod(fact_salt, F.lit(n_salts)), F.lit(0)),
+            ).otherwise(F.lit(0)),
         )
         .drop("__hot__")
     )

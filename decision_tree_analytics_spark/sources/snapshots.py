@@ -451,10 +451,21 @@ class SnapshotTable:
         live: set[str] = set()
         for s in keep:
             if s not in manifests:
-                raise SnapshotNotFound(
-                    f"published snapshot {s} has no readable manifest"
-                    f" at {self.path}"
-                )
+                # The published tip may have MOVED after the listing
+                # (a racing commit+publish lands in the gap): re-read
+                # its manifest at decision time instead of crashing on
+                # the stale dict — and, crucially, count its files as
+                # live so the orphan walk below can never reclaim a
+                # just-published snapshot's data.  A sid that is truly
+                # absent (pointer to an expired/never-existed id)
+                # still raises.
+                try:
+                    manifests[s] = self.manifest(s)
+                except SnapshotNotFound:
+                    raise SnapshotNotFound(
+                        f"published snapshot {s} has no readable"
+                        f" manifest at {self.path}"
+                    ) from None
             live.update(manifests[s]["files"])
         deleted = []
         dead: set[str] = set()  # files of manifests removed below

@@ -120,6 +120,34 @@ def parquet_footer_tag(path: str) -> str:
     return hashlib.md5(footer).hexdigest()[:12]
 
 
+# The ten base tables of one testdata generation, in the order the
+# generation tag hashes them.  The ORDER is part of the tag encoding:
+# it matches the original scale_probe stamp order, so every .base_tag
+# already on disk stays valid.
+BASE_TABLES = (
+    "documents", "embeddings", "customer", "orders", "lineitem",
+    "events", "supplier", "nation", "region", "part",
+)
+
+
+def corpus_generation_tag(sf_dir: str) -> str:
+    """Content identity of one testdata GENERATION: md5 hex over the
+    footer tags of every base table in ``sf_dir``.  The ONE
+    definition shared by bench.py (the ``corpus`` stamp on bench
+    records) and scale_probe.py (the ``.base_tag`` staleness stamp on
+    derived corpora): two hand-maintained copies of the table list
+    could drift and make the two consumers disagree about whether two
+    runs saw the same generation — the silent-mixing failure the tag
+    exists to prevent."""
+    import hashlib
+
+    tags = [
+        parquet_footer_tag(os.path.join(sf_dir, t + ".parquet"))
+        for t in BASE_TABLES
+    ]
+    return hashlib.md5("|".join(tags).encode()).hexdigest()
+
+
 def size_aware_parallelism(
     spark: SparkSession, sf_dir: str, name: str,
     per_partition_bytes: int = 2 << 20,

@@ -122,27 +122,18 @@ NAMES = [
 
 
 def _base_tag() -> str:
-    """Identity of the CURRENT base testdata generation: md5 over the
-    parquet FOOTER tags of every base table a derived corpus replicates
-    (ADVICE r12 — the testdata rotates between rounds, and a derived
-    tier generated from an older base makes the scale curve silently
-    inconsistent: sf0.1 reads current data while sf1/sf10 read stale).
-    Footer tags are content-derived tail reads (sources/tables.py
-    parquet_footer_tag), so this is object-storage-safe and costs
-    microseconds."""
-    import hashlib
-
+    """Identity of the CURRENT base testdata generation (ADVICE r12 —
+    the testdata rotates between rounds, and a derived tier generated
+    from an older base makes the scale curve silently inconsistent:
+    sf0.1 reads current data while sf1/sf10 read stale).  One shared
+    definition with bench.py's ``corpus`` stamp
+    (sources/tables.py corpus_generation_tag); footer tags are
+    content-derived tail reads, object-storage-safe, microseconds."""
     from decision_tree_analytics_spark.sources.tables import (
-        parquet_footer_tag,
+        corpus_generation_tag,
     )
 
-    tags = [
-        parquet_footer_tag(os.path.join(BASE, t + ".parquet"))
-        for t in ("documents", "embeddings", "customer", "orders",
-                  "lineitem", "events", "supplier", "nation", "region",
-                  "part")
-    ]
-    return hashlib.md5("|".join(tags).encode()).hexdigest()
+    return corpus_generation_tag(BASE)
 
 
 def _stamp(out_dir: str) -> None:

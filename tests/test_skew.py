@@ -181,10 +181,38 @@ def test_hot_salted_join_plan_hot_tag_stays_broadcast(spark, sf_dir):
         )
     finally:
         for k, v in saved.items():
+            # unset, don't skip: leaving '-1' behind on a conf whose
+            # saved value was None would disable AQE broadcast
+            # conversion for every later test in the shared session.
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     # Exactly the two hot-tag joins are broadcast; the salted main
     # join is a shuffle join (SortMergeJoin) on (user_id, __salt__).
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" in plan, plan
     assert plan.count("BroadcastExchange") == 2, plan
+
+
+def test_hot_salted_join_null_fact_salt_keeps_rows(spark):
+    """A NULL fact_salt source on a HOT key must land on salt 0, not
+    become a NULL join key that silently drops the row (review
+    finding): the function is documented to equal the plain join
+    exactly, and equi-joins never match NULL."""
+    from decision_tree_analytics_spark.operators.skew import hot_salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (None, 10), (2, 20), (None, 20)],
+        "event_id long, k long",
+    )
+    dim = spark.createDataFrame([(10, 100), (20, 200)], "k long, v long")
+    hot = spark.createDataFrame([(10,)], "k long")
+    got = hot_salted_join(fact, dim, "k", hot, F.col("event_id"), 8)
+    cols = sorted(got.columns)
+    plain = fact.join(dim, "k").select(*cols)
+    rows = lambda df: sorted(
+        (tuple(r) for r in df.select(*cols).collect()), key=repr
+    )
+    assert rows(got) == rows(plain)
+    assert got.count() == 4  # the two null-salt rows survive

@@ -398,3 +398,37 @@ def test_compact_refuses_to_clobber_a_concurrent_publish(
     t.expire(keep_last=1, orphan_grace_seconds=0.0)
     assert state["staged"] not in t.valid_ids()
     assert t.read().count() == 25 + n_late
+
+
+def test_expire_tolerates_commit_published_after_listing(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A commit+publish landing BETWEEN expire()'s manifest listing
+    and its keep-set resolution must neither crash maintenance (the
+    published sid is missing from the stale dict) nor — worse, under
+    zero grace — let the orphan walk reclaim the just-published
+    snapshot's data files: expire re-reads the published manifest at
+    decision time and counts its files live (review finding)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(docs.filter(F.col("doc_id") < 10))
+    t.overwrite(docs.filter(F.col("doc_id") < 20))
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    late = docs.filter(F.col("doc_id") >= 90)
+    n_late = late.count()
+    state = {"fired": False, "new": None}
+    real = SnapshotTable._valid_manifests
+
+    def racing(self):
+        out = real(self)
+        if not state["fired"]:
+            state["fired"] = True
+            state["new"] = t2.append(late)  # lands AND publishes
+        return out
+
+    monkeypatch.setattr(SnapshotTable, "_valid_manifests", racing)
+    t.expire(keep_last=1, orphan_grace_seconds=0.0)
+    monkeypatch.setattr(SnapshotTable, "_valid_manifests", real)
+    assert state["fired"]
+    # The just-published snapshot is intact and fully readable.
+    assert t.latest_id() == state["new"]
+    assert t.read().count() == 20 + n_late
