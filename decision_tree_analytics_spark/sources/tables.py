@@ -197,6 +197,15 @@ TABLES = (
     "embeddings",
 )
 
+# The generation tag must cover EXACTLY the load registry: an
+# eleventh table added to one tuple but not the other would let a
+# rotation of the new table produce an UNCHANGED tag — bench records
+# would read as same-generation and the derived-corpus staleness
+# check would never fire (the silent-mixing failure the tag exists
+# to prevent).  Membership is tied here; only the hash ORDER is
+# allowed to differ (it is part of the tag encoding).
+assert frozenset(BASE_TABLES) == frozenset(TABLES)
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 

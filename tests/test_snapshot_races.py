@@ -408,7 +408,15 @@ def test_expire_tolerates_commit_published_after_listing(
     published sid is missing from the stale dict) nor — worse, under
     zero grace — let the orphan walk reclaim the just-published
     snapshot's data files: expire re-reads the published manifest at
-    decision time and counts its files live (review finding)."""
+    decision time and counts its files live (review finding).
+
+    keep_last=0 makes the live-counting half LOAD-BEARING (second
+    review pass): every pre-race snapshot is expired, so the racing
+    append's inherited parent files land in `dead` — only the fresh
+    re-read's live set keeps the orphan walk off them.  With
+    keep_last=1 the parent stays in keep and the walk could never
+    reach those files, so a regression that merely skipped the
+    missing sid would pass."""
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.overwrite(docs.filter(F.col("doc_id") < 10))
     t.overwrite(docs.filter(F.col("doc_id") < 20))
@@ -426,9 +434,14 @@ def test_expire_tolerates_commit_published_after_listing(
         return out
 
     monkeypatch.setattr(SnapshotTable, "_valid_manifests", racing)
-    t.expire(keep_last=1, orphan_grace_seconds=0.0)
+    t.expire(keep_last=0, orphan_grace_seconds=0.0)
     monkeypatch.setattr(SnapshotTable, "_valid_manifests", real)
     assert state["fired"]
-    # The just-published snapshot is intact and fully readable.
+    # The just-published snapshot is intact and FULLY readable — its
+    # file list includes the expired parent's files, which survive
+    # the zero-grace orphan walk only because the re-read counted
+    # them live.
     assert t.latest_id() == state["new"]
     assert t.read().count() == 20 + n_late
+    t.append(docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25)))
+    assert t.read().count() == 25 + n_late
