@@ -18,7 +18,7 @@ import os
 import time
 
 import pyspark.sql.functions as F
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from decision_tree_analytics_spark.sources.snapshots import (
@@ -38,6 +38,11 @@ _OPS = st.one_of(
     st.tuples(st.just("torn_with_debris"), st.just(0)),  # died mid-write
     st.tuples(st.just("expire"), st.integers(1, 2)),  # keep_last
     st.tuples(st.just("rollback"), st.integers(0, 7)),  # index into valid
+    st.tuples(st.just("compact"), st.just(0)),  # OPTIMIZE rewrite
+    # The race class found twice in r14 review: a commit+publish
+    # landing INSIDE expire's listing-to-keep-resolution gap, under
+    # zero grace, composed with arbitrary prior store states.
+    st.tuples(st.just("expire_vs_publish"), st.integers(1, 2)),
 )
 
 
@@ -47,6 +52,20 @@ _OPS = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(_OPS, min_size=1, max_size=7))
+# Pinned example: every maintenance op composed with the r14 race
+# injection runs on EVERY test execution, independent of what the
+# generated examples happen to cover.
+@example(
+    ops=[
+        ("overwrite", 3),
+        ("expire_vs_publish", 1),
+        ("compact", 0),
+        ("append", 2),
+        ("torn_aged", 0),
+        ("expire_vs_publish", 2),
+        ("rollback", 1),
+    ]
+)
 def test_snapshot_store_invariants_under_op_sequences(
     spark, sf_dir, tmp_path_factory, ops
 ):
@@ -92,6 +111,38 @@ def test_snapshot_store_invariants_under_op_sequences(
             versions = sorted(model)
             published = versions[arg % len(versions)]
             t.publish(published)
+        elif kind == "compact":
+            # Content-preserving maintenance rewrite: a new published
+            # version with the SAME row count.
+            prev = model[published]
+            published = t.compact()
+            model[published] = prev
+        elif kind == "expire_vs_publish":
+            # Deterministic injection of the r14 race: an append
+            # commits AND publishes between expire's manifest listing
+            # and its keep-set resolution.  expire must re-read the
+            # moved tip at decision time and count its files live —
+            # under zero grace, a stale live set would let the orphan
+            # walk eat files the new tip inherits, and every
+            # time-travel invariant below would catch it.
+            prev = model[published]
+            race: dict = {}
+            real = SnapshotTable._valid_manifests
+
+            def racing(self):
+                out = real(self)
+                if "new" not in race:
+                    race["new"] = t.append(docs.limit(1))
+                return out
+
+            SnapshotTable._valid_manifests = racing
+            try:
+                t.expire(keep_last=arg, orphan_grace_seconds=0.0)
+            finally:
+                SnapshotTable._valid_manifests = real
+            published = race["new"]
+            model[published] = prev + 1
+            model = {s: model[s] for s in t.valid_ids()}
         # Invariants after EVERY op:
         # 1. The published read serves exactly the model, and TIME
         #    TRAVEL to every surviving valid version serves ITS exact
