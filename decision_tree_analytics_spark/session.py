@@ -33,6 +33,20 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-size the output partitioning of persisted sub-plans
+    # (off by default).  Nearly every iterative/self-joining query here
+    # persists a small aggregate (edge lists, postings, band stores)
+    # whose cached layout otherwise freezes at the static
+    # shuffle.partitions count — every downstream scan of a KB-sized
+    # cached table then schedules 32-96 tasks, once per round in the
+    # unrolled graph loops.  With AQE sizing the cached plan, those
+    # scans collapse to byte-sized partition counts at ANY scale (a
+    # 100 TB cached intermediate still gets advisory-sized partitions,
+    # a KB one gets 1) — measured 1.5x on the graph family at sf0.1
+    # (OPTIMIZATION_r14.md).  Trade-off: a consumer that needed the
+    # cached hash partitioning re-shuffles; no declared plan does
+    # (tests/test_plans.py locks shuffle counts — all green).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
