@@ -513,6 +513,27 @@ def _ivf_l2(vec: str, cen: str) -> Column:
     return _round6(sum(terms[1:], terms[0]))
 
 
+def _enc_argmin(d: Column, aid: Column, enc_k: int) -> Column:
+    """Encode the (rounded distance, candidate id) argmin pair as ONE
+    BIGINT: floor(d*1e6+0.5) * enc_k + aid.
+
+    ``min(struct(d, aid))`` compiles to SortAggregate (struct agg
+    buffers are not UnsafeRow-mutable), which full-sorts the corpus
+    per assignment pass; a plain ``min(BIGINT)`` is a HashAggregate
+    with map-side partial min — measured 2x on the sf0.1 assignment
+    pass (OPTIMIZATION_r14.md).  The encoding is order-isomorphic to
+    the struct: d is ALREADY rounded to 1e-6 (every call site rounds
+    before the argmin — the cross-engine contract), so
+    floor(d*1e6+0.5) recovers its exact integer micro value, and with
+    0 <= aid < enc_k (callers pass a by-construction compile-time
+    bound) lexicographic (d, aid) order equals integer order.  Bounds:
+    micro must stay below 2^63/enc_k (~8e16 at enc_k=112), i.e.
+    distances below ~8e10 — astronomically above any rounded L2
+    between bounded-norm embeddings.  Decode: aid = enc % enc_k,
+    micro = enc div enc_k."""
+    return F.floor(d * 1e6 + 0.5).cast("long") * enc_k + aid
+
+
 def _ivf_build(spark: SparkSession, sf_dir: str):
     """The deterministic IVF index build (seed sample → one unrolled
     Lloyd step → re-assign), extracted so sim_ivf_oracled (inline)
@@ -529,22 +550,26 @@ def _ivf_build(spark: SparkSession, sf_dir: str):
     ).select(F.col("vec_id").alias("aid"), F.col("v").alias("cv"))
 
     def assign(cent: DataFrame) -> DataFrame:
-        # nearest-cell argmin: conditional min(struct(d, aid)) per
-        # vector — partial agg collapses the |cells| rows map-side.
+        # nearest-cell argmin: min over the (d, aid) pair encoded as
+        # one BIGINT (_enc_argmin) per vector — a HashAggregate whose
+        # partial min collapses the |cells| rows map-side (the struct
+        # formulation compiled to a corpus-wide SortAggregate).  ``v``
+        # rides the grouping key (single-valued per vec_id) so no
+        # array-typed agg buffer blocks the hash path; aid < STEP*CELLS
+        # by the seed filter, and refined centroids keep their seed ids.
+        enc_k = IVF_SEED_STEP * IVF_CELLS
         return (
             emb.crossJoin(F.broadcast(cent))
             .select(
                 "vec_id",
                 "v",
-                F.struct(
-                    _ivf_l2("v", "cv").alias("d"), F.col("aid").alias("aid")
-                ).alias("e"),
+                _enc_argmin(_ivf_l2("v", "cv"), F.col("aid"), enc_k).alias(
+                    "enc"
+                ),
             )
-            .groupBy("vec_id")
-            .agg(
-                F.min("e")["aid"].alias("cluster"),
-                F.first("v").alias("v"),  # single-valued per vec_id
-            )
+            .groupBy("vec_id", "v")
+            .agg(F.min("enc").alias("menc"))
+            .select("vec_id", (F.col("menc") % enc_k).alias("cluster"), "v")
         )
 
     a1 = assign(seeds)
@@ -784,20 +809,21 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("aid"), F.col("v").alias("cv"))
 
     def assign(rows: DataFrame, cent: DataFrame) -> DataFrame:
+        # Encoded-BIGINT argmin (see _enc_argmin / _ivf_build.assign):
+        # HashAggregate instead of the struct-min SortAggregate.
+        enc_k = IVF_SEED_STEP * IVF_CELLS
         return (
             rows.crossJoin(F.broadcast(cent))
             .select(
                 "vec_id",
                 "v",
-                F.struct(
-                    _ivf_l2("v", "cv").alias("d"), F.col("aid").alias("aid")
-                ).alias("e"),
+                _enc_argmin(_ivf_l2("v", "cv"), F.col("aid"), enc_k).alias(
+                    "enc"
+                ),
             )
-            .groupBy("vec_id")
-            .agg(
-                F.min("e")["aid"].alias("cluster"),
-                F.first("v").alias("v"),
-            )
+            .groupBy("vec_id", "v")
+            .agg(F.min("enc").alias("menc"))
+            .select("vec_id", (F.col("menc") % enc_k).alias("cluster"), "v")
         )
 
     a1 = assign(base, seeds)
@@ -1587,15 +1613,29 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("aid"), F.col("v").alias("cv"))
 
     def assign(cent: DataFrame) -> DataFrame:
-        e = F.struct(_ivf_l2("v", "cv").alias("d"), F.col("aid").alias("aid"))
+        # Encoded-BIGINT argmin (see _enc_argmin): HashAggregate with
+        # map-side partial min instead of the struct-min corpus
+        # SortAggregate.  aid < KM_SEED_STEP*KM_K by the seed filter
+        # (mean rounds keep their seed ids); the winner's distance
+        # decodes as enc div k, whose /1e6 is the IDENTICAL rounded
+        # double the struct carried (floor(d*1e6+0.5) inverts exactly).
+        enc_k = KM_SEED_STEP * KM_K
         return (
             emb.crossJoin(F.broadcast(cent))
-            .select("vec_id", "v", e.alias("e"))
-            .groupBy("vec_id")
-            .agg(
-                F.min("e").getField("aid").alias("cluster"),
-                F.min("e").getField("d").alias("d"),
-                F.first("v").alias("v"),
+            .select(
+                "vec_id",
+                "v",
+                _enc_argmin(_ivf_l2("v", "cv"), F.col("aid"), enc_k).alias(
+                    "enc"
+                ),
+            )
+            .groupBy("vec_id", "v")
+            .agg(F.min("enc").alias("menc"))
+            .select(
+                "vec_id",
+                (F.col("menc") % enc_k).alias("cluster"),
+                (F.expr(f"menc div {enc_k}") / 1e6).alias("d"),
+                "v",
             )
         )
 
