@@ -73,19 +73,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_w = edges.groupBy(F.col("src").alias("ow_src")).agg(
         F.sum("weight").alias("out_weight")
     )
-    e = edges.join(out_w, edges.src == out_w.ow_src).select(
-        "src", "dst", (F.col("weight") / F.col("out_weight")).alias("norm_w")
+    # The per-iteration checkpoints below turn each iteration into its
+    # own action, and Catalyst reuses NO exchange across actions — so
+    # the shared loop inputs (normalized edges, node list; both bounded
+    # by the contracted graph) are checkpointed once up front, or every
+    # iteration job would re-run their distinct/groupBy exchanges.
+    e = (
+        edges.join(out_w, edges.src == out_w.ow_src)
+        .select(
+            "src", "dst", (F.col("weight") / F.col("out_weight")).alias("norm_w")
+        )
+        .coalesce(8)
+        .localCheckpoint()
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .coalesce(8)
+        .localCheckpoint()
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    for _ in range(PR_ITERS):
+    for it in range(PR_ITERS):
         contrib = e.join(ranks, e.src == ranks.node).select(
             F.col("dst").alias("cn"), (F.col("rank") * F.col("norm_w")).alias("c")
         )
@@ -101,6 +113,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        # Per-iteration lineage truncation of the one-rank-per-node
+        # state (all but the last iteration) — the graph_shortest_path
+        # rule: Catalyst otherwise re-plans the whole unrolled chain
+        # (a 4.9k-line formatted plan at PR_ITERS=3) on every run.
+        if it < PR_ITERS - 1:
+            ranks = ranks.coalesce(8).localCheckpoint()
     result = ranks.select(
         F.col("node").alias("nation"),
         (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("pagerank"),
@@ -175,16 +193,26 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("c"),
         )
     )
-    bd = sparse.unionByName(self_loops)
+    # Checkpoint the bounded edge table once: the per-round
+    # checkpoints below make each round its own action, and the
+    # self-loop distinct's exchange would otherwise re-run per round
+    # (no cross-action exchange reuse in Catalyst).
+    bd = sparse.unionByName(self_loops).coalesce(8).localCheckpoint()
     seed = bd.agg(F.min("src").alias("node"))
     reach = seed.select("node", F.lit(0).alias("hop"))
-    for _ in range(KHOP_ROUNDS):
+    for i in range(KHOP_ROUNDS):
         reach = (
             bd.join(reach, bd.src == reach.node)
             .groupBy("dst")
             .agg(F.min(F.col("hop") + F.col("c")).alias("hop"))
             .select(F.col("dst").alias("node"), "hop")
         )
+        # Per-round lineage truncation of the ≤|nations|-row frontier
+        # (all but the last round) — the graph_shortest_path rule:
+        # the unrolled chain is linear but Catalyst re-plans all of it
+        # on every run, and driver-side plan work dominated the wall.
+        if i < KHOP_ROUNDS - 1:
+            reach = reach.coalesce(8).localCheckpoint()
     result = reach.select("node", F.col("hop").cast("long").alias("hop"))
     return tether_cache(result, edges)
 
@@ -297,16 +325,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.sum("weight").cast("long").alias("w"))
     )
-    bd = und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
-    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    # Checkpointed once: the per-round checkpoints below make each
+    # round its own action, and und's groupBy exchange would otherwise
+    # re-run per round (no cross-action exchange reuse in Catalyst).
+    bd = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
+        .coalesce(8)
+        .localCheckpoint()
+    )
     labels = bd.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     argmax = Window.partitionBy("dst").orderBy(
         F.col("wsum").desc(), F.col("label").asc()
     )
-    for _ in range(LPA_ROUNDS):
+    for rnd in range(LPA_ROUNDS):
         cand = (
             bd.join(labels, bd.src == labels.node)
             .groupBy("dst", "label")
@@ -317,6 +353,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("node"), "label")
         )
+        # Per-round lineage truncation of the one-label-per-node state
+        # (all but the last round) — the graph_shortest_path rule: the
+        # unrolled chain is a 3.9k-line formatted plan that Catalyst
+        # otherwise re-plans on every run.
+        if rnd < LPA_ROUNDS - 1:
+            labels = labels.coalesce(8).localCheckpoint()
     wlab = Window.partitionBy("label")
     result = labels.select(
         F.col("node").alias("nation"),
@@ -512,20 +554,37 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("c"),
         )
     )
-    bd = both.unionByName(self_loops).persist()
+    # Checkpointed (not persisted): the per-round checkpoints below
+    # make each round its own action, and a persisted bd re-enters
+    # every round's plan as a full InMemoryRelation subtree that
+    # Catalyst re-analyzes per round — the checkpoint serves the same
+    # bounded edge table as a plain ExistingRDD scan (the graph_khop
+    # form: 3.3k-line final plan → 67 lines).
+    bd = both.unionByName(self_loops).coalesce(8).localCheckpoint()
     seed = bd.agg(F.min("src").alias("node"))
     reach = seed.select("node", F.lit(0).cast("long").alias("dist"))
-    for _ in range(SP_ROUNDS):
+    for i in range(SP_ROUNDS):
         reach = (
             bd.join(reach, bd.src == reach.node)
             .groupBy("dst")
             .agg(F.min(F.col("dist") + F.col("c")).alias("dist"))
             .select(F.col("dst").alias("node"), "dist")
         )
+        # Truncate the unrolled lineage per round (all but the last,
+        # which the caller's action materializes): the linear plan is
+        # correct but Catalyst re-analyzes/re-optimizes the WHOLE
+        # round chain on every run — measured ~60-70% of this query's
+        # wall was driver-side plan work, and per-round checkpoints of
+        # the ≤|nations|-row frontier cut the query 5.4-6.1 s →
+        # 2.6-4.0 s warm at sf0.1 (OPTIMIZATION_r14.md).  coalesce(8)
+        # keeps the materialized partition count at the frontier's
+        # size, not shuffle.partitions (the graph_closeness rule).
+        if i < SP_ROUNDS - 1:
+            reach = reach.coalesce(8).localCheckpoint()
     result = reach.select(
         F.col("node").alias("nation"), F.col("dist").cast("long").alias("dist_cost")
     )
-    return tether_cache(result, edges, bd)
+    return tether_cache(result, edges)
 
 
 QUERIES["graph_shortest_path"] = graph_shortest_path
@@ -629,7 +688,7 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eagerly materializes the ≤n² bottleneck matrix per round
     # (CLAUDE.md iterative-loop rule), keeping every squaring a
     # join of two tiny cached tables.
-    m = bd.unionByName(self_loops).localCheckpoint()
+    m = bd.unionByName(self_loops).coalesce(8).localCheckpoint()
     for _ in range(MST_SQUARINGS):
         l = m.select(F.col("src").alias("ls"), F.col("dst").alias("mid"), F.col("cd").alias("lc"))
         r = m.select(F.col("dst").alias("rd"), F.col("src").alias("mid"), F.col("cd").alias("rc"))
@@ -638,6 +697,7 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("ls", "rd")
             .agg(F.min(F.greatest("lc", "rc")).alias("cd"))
             .select(F.col("ls").alias("src"), F.col("rd").alias("dst"), "cd")
+            .coalesce(8)
             .localCheckpoint()
         )
     result = (
@@ -735,6 +795,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         )
         .distinct()
+        .coalesce(8)
         .localCheckpoint()
     )
     for _ in range(SCC_SQUARINGS):
@@ -744,6 +805,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             l.join(rr, "mid")
             .select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .distinct()
+            .coalesce(8)
             .localCheckpoint()
         )
     rev = r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -844,7 +906,7 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("t"),
         F.lit(0).alias("dist"),
         F.lit(1).cast("long").alias("cnt"),
-    ).localCheckpoint()
+    ).coalesce(8).localCheckpoint()
     for k in range(1, BC_ROUNDS + 1):
         frontier = r.filter(F.col("dist") == k - 1)
         ext = (
@@ -855,7 +917,7 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = ext.join(
             r.select("s", F.col("t").alias("v")), ["s", "v"], "left_anti"
         ).select("s", F.col("v").alias("t"), F.lit(k).alias("dist"), "cnt")
-        r = r.unionByName(new).localCheckpoint()
+        r = r.unionByName(new).coalesce(8).localCheckpoint()
     p = r.filter((F.col("dist") > 0) & (F.col("s") < F.col("t"))).select(
         F.col("s").alias("ps"),
         F.col("t").alias("pt"),
@@ -1370,7 +1432,10 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "walk_id"
         ),
         F.col("node").alias("node"),
-    )
+        # Checkpointed once (|nodes × WALKS_PER_NODE| rows): the
+        # per-step checkpoints make each step its own action, and the
+        # node-distinct exchange would otherwise re-run per step.
+    ).localCheckpoint()
     out = walks.select(
         "start_node", "walk_id", F.lit(0).cast("long").alias("step"), "node"
     )
@@ -1396,6 +1461,17 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("start_node", "walk_id", F.col("nxt").alias("node"))
         )
+        # ``cur`` is referenced TWICE per step (next hop's candidates
+        # AND the output union), so the unrolled lineage doubles per
+        # step — truncate it each step.  NO coalesce here: Dataset
+        # checkpoints preserve the child's output partitioning, so the
+        # (start_node, walk_id) window exchange stays established once
+        # and every later step window reuses it (plan-locked); a
+        # coalesce would erase that partitioning and re-shuffle per
+        # step.  The walk state is |nodes × WALKS_PER_NODE| rows on
+        # the contracted graph — bounded at any corpus size.
+        if step < WALK_STEPS:
+            cur = cur.localCheckpoint()
         out = out.unionByName(
             cur.select(
                 "start_node",

@@ -80,6 +80,35 @@ def has_python_eval(plan: str) -> bool:
     return "BatchEvalPython" in plan or "ArrowEvalPython" in plan
 
 
+def uncached_scans(plan: str, table: str) -> int:
+    """Number of parquet scans of ``table`` that are NOT inside a
+    cached (InMemoryRelation) subtree — i.e. scans that would really
+    re-read the file at execution time.
+
+    explain() reprints the cached child plan under every
+    InMemoryRelation consumer (and, once the cache is materialized
+    under AQE, prints BOTH the initial and the final adaptive plan),
+    so raw FileScan counts over-report.  This walks the tree prefix
+    indentation instead: a scan line is "cached" iff an
+    InMemoryRelation line above it sits at a strictly smaller
+    indentation depth and no intervening line closed that subtree."""
+    active: int | None = None
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"[A-Za-z*]", line)
+        if not m:
+            continue
+        offset = m.start()
+        if active is not None and offset <= active:
+            active = None
+        if "InMemoryRelation" in line and active is None:
+            active = offset
+            continue
+        if "FileScan" in line and table in line and active is None:
+            n += 1
+    return n
+
+
 def uses_top_k_sort(plan: str) -> bool:
     """orderBy().limit() should plan as TakeOrderedAndProject — a
     per-partition heap + driver merge, never a global sort."""

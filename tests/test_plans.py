@@ -17,6 +17,7 @@ from decision_tree_analytics_spark.plans.inspect import (
     pushed_filters,
     scan_read_schemas,
     simple_plan,
+    uncached_scans,
     uses_top_k_sort,
 )
 
@@ -792,15 +793,20 @@ def test_graph_queries_scan_the_fact_join_once(spark, sf_dir):
         G.graph_triangles,
     ):
         plan = simple_plan(fn(spark, sf_dir))
-        # .explain reprints the cached child plan under every
-        # InMemoryTableScan consumer, so "one real scan" asserts as:
-        # every lineitem mention is inside a cached subtree (count
-        # parity), and at least one cached consumer exists.  An
-        # unpersisted edge build adds lineitem mentions with no
-        # matching InMemoryTableScan and fails the parity.
-        n_imts = plan.count("InMemoryTableScan")
-        assert n_imts >= 1, fn.__name__
-        assert plan.count("lineitem") == n_imts, fn.__name__
+        # "One real scan" asserts as: zero lineitem scans outside a
+        # cached subtree (indentation-aware uncached_scans — .explain
+        # reprints cached children under every consumer, and a
+        # materialized cache adds an "== Initial Plan ==" copy), plus
+        # the edge build visibly served from a cache or a checkpoint.
+        # The iterative queries checkpoint their bounded loop inputs
+        # (r14 lineage-truncation optimization), so their final plan
+        # reads ExistingRDDs — the fact join ran exactly ONCE at
+        # build time; triangles keeps the persisted-edge IMTS form.
+        assert uncached_scans(plan, "lineitem") == 0, fn.__name__
+        assert (
+            plan.count("InMemoryTableScan") >= 1
+            or "Scan ExistingRDD" in plan
+        ), fn.__name__
 
 
 def test_pit_features_single_user_shuffle(spark, sf_dir):
@@ -866,15 +872,21 @@ def test_changelog_compact_single_exchange(spark, sf_dir):
 
 def test_shortest_path_rounds_are_linear_not_exponential(spark, sf_dir):
     # Each Bellman-Ford round must reference the previous frontier
-    # exactly once (zero-cost self-loops), so the unrolled plan holds
-    # exactly SP_ROUNDS round-aggregates plus the seed's min — the
-    # union(frontier, relaxed) formulation doubles the lineage per
-    # round (1+2+4+8 aggregates at 4 rounds, measured ~2x wall).
+    # exactly once (zero-cost self-loops), and rounds 1..R-1 are
+    # checkpointed (lineage truncation — the r14 optimization), so the
+    # FINAL plan holds exactly ONE round-aggregate reading the
+    # checkpointed round-(R-1) frontier as an ExistingRDD scan; the
+    # union(frontier, relaxed) formulation would instead nest a
+    # doubling lineage per round, and an un-truncated linear chain
+    # re-plans all SP_ROUNDS aggregates per run (measured: 60-70% of
+    # wall was driver-side plan work).  The persisted bd edge table
+    # must still be the only lineitem reader (zero uncached scans).
     from decision_tree_analytics_spark.operators import graph as G
 
     plan = simple_plan(G.graph_shortest_path(spark, sf_dir))
-    assert plan.count("partial_min") == G.SP_ROUNDS + 1
-    assert plan.count("InMemoryTableScan") >= G.SP_ROUNDS + 1  # cached bd
+    assert plan.count("partial_min") == 1  # the last relaxation only
+    assert "Scan ExistingRDD" in plan  # checkpointed bd + prior frontier
+    assert uncached_scans(plan, "lineitem") == 0
     assert not has_python_eval(plan)
 
 
