@@ -32,6 +32,7 @@ from decision_tree_analytics_spark.operators._cache import tether_cache
 from decision_tree_analytics_spark.sources.tables import (
     load_table,
     parquet_footer_tag,
+    size_aware_parallelism,
 )
 
 MINHASH_K = 16  # signature length
@@ -272,11 +273,16 @@ def dedup_components(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> Da
         F.col("doc_id").cast("long").alias("doc_id")
     )
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    return connected_components(docs, pairs, max_iter=max_iter)
+    # Checkpoint width scales with the corpus' on-disk size (one label
+    # partition per ~32 MB of source text, floored at 8 for local
+    # parallelism) — never a core-count constant.
+    parts = max(8, size_aware_parallelism(spark, sf_dir, "documents", 32 << 20))
+    return connected_components(docs, pairs, max_iter=max_iter, parts=parts)
 
 
 def connected_components(
-    docs: DataFrame, pairs: DataFrame, max_iter: int = 15
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 15,
+    parts: int | None = None,
 ) -> DataFrame:
     """Min-label propagation with pointer jumping over an undirected
     pair graph; see dedup_components.  ``docs``: (doc_id); ``pairs``:
@@ -287,11 +293,24 @@ def connected_components(
     O(log diameter) rounds, not O(diameter) — a 2^15-long chain closes
     within the default cap.  Exhausting the cap without reaching the
     fixpoint raises instead of silently returning a partial labeling
-    (a wrong answer must never look like a converged one)."""
-    edges = (
+    (a wrong answer must never look like a converged one).
+
+    ``parts``: materialized partition count for the checkpoints.  A
+    checkpoint otherwise materializes the full
+    ``spark.sql.shuffle.partitions`` width (AQE's coalescing does not
+    apply on the checkpoint path — the graph_closeness measurement),
+    so a vanilla 200-partition session pays 200 micro-tasks per round
+    per consumer for a KB-scale label table.  Callers derive it from
+    the input's ON-DISK size (size_aware_parallelism), so it scales
+    with the corpus instead of encoding a local core count."""
+    _ck = (
+        (lambda df: df.coalesce(parts).localCheckpoint(eager=True))
+        if parts
+        else (lambda df: df.localCheckpoint(eager=True))
+    )
+    edges = _ck(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
     )
     # Lineage control: each round's labels are materialized with
     # ``localCheckpoint`` (eager), which both caches the rows AND
@@ -299,9 +318,7 @@ def connected_components(
     # an iterative self-join — the analyzed plan still nests the whole
     # history, so analysis cost (and driver heap) grows exponentially
     # with rounds; Spark 4.1's analyzer OOMs on it within ~4 rounds.
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("component_id")
-    ).localCheckpoint(eager=True)
+    labels = _ck(docs.select("doc_id", F.col("doc_id").alias("component_id")))
     prev_sum = labels.agg(F.sum("component_id")).first()[0]
     converged = False
     for _ in range(max_iter):
@@ -320,10 +337,9 @@ def connected_components(
         parents = stepped.select(
             F.col("doc_id").alias("p_doc"), F.col("component_id").alias("p_label")
         )
-        new_labels = (
+        new_labels = _ck(
             stepped.join(parents, stepped.component_id == parents.p_doc)
             .select("doc_id", F.col("p_label").alias("component_id"))
-            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("component_id")).first()[0]
         labels.unpersist()
@@ -699,7 +715,9 @@ def dedup_semantic_components(
     pairs = dedup_embedding_neardup(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    comp = connected_components(vecs, pairs, max_iter=max_iter)
+    # Size-derived checkpoint width — the dedup_components rule.
+    parts = max(8, size_aware_parallelism(spark, sf_dir, "embeddings", 32 << 20))
+    comp = connected_components(vecs, pairs, max_iter=max_iter, parts=parts)
     return comp.select(
         F.col("doc_id").alias("vec_id"),
         F.col("component_id").alias("cluster_id"),
