@@ -1034,6 +1034,12 @@ def ml_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
 
     def sqdist(a, b):
+        # HOF form kept deliberately: an unrolled 64-term codegen
+        # variant (the _ivf_l2 shape) was A/B-measured 4x SLOWER here
+        # — k members × 64 getItem terms explode Python-side plan
+        # construction and analysis (the similarity.py mean-stage
+        # lesson), while the interpreted HOF eval is trivial on the
+        # |corpus × k| rows of this pass (jobwall ~0.8 s).
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -1067,6 +1073,13 @@ def ml_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        # Truncate the greedy trajectory's lineage per step (all but
+        # the last): the 1-row selected-set table otherwise nests
+        # every prior corpus pass, and Catalyst re-plans the whole
+        # unrolled chain (933 formatted lines) on every run.  Each
+        # step's corpus pass reads the persisted emb either way.
+        if k < KCENTER_PICKS:
+            S = S.coalesce(1).localCheckpoint()
     stack_args = ", ".join(
         f"{k}, s_id{k}, s_d{k}" for k in range(1, KCENTER_PICKS + 1)
     )

@@ -350,6 +350,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(step).cast("long").alias("step"), "vec_id", "mmr")
         )
         sel = sel.unionByName(nxt)
+        # ``sel`` is referenced TWICE per greedy step (the anti-join's
+        # chosen set AND the output union), so the unrolled lineage
+        # doubles per step — a 10k-line formatted plan for 5 rows of
+        # state.  Truncate it per step (all but the last); the
+        # persisted cand_vec/pairs stay the only non-trivial inputs.
+        if step < 5:
+            sel = sel.coalesce(1).localCheckpoint()
     result = sel.orderBy("step")
     return tether_cache(result, cand_vec, pairs)
 
