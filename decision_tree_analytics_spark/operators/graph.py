@@ -33,6 +33,22 @@ PR_ITERS = 3
 PR_DAMPING = 0.85
 
 
+def _ckpt1(df: DataFrame) -> DataFrame:
+    """Eager SINGLE-PARTITION checkpoint whose SinglePartition stays
+    visible to consumers.  The contracted graph state is ≤n² ≤625
+    rows at ANY corpus scale, and SinglePartition satisfies every
+    downstream join/groupBy clustering, so loop rounds over these
+    tables plan with ZERO exchanges (one single-task stage per
+    round).  The trailing coalesce(1) is load-bearing: when the
+    checkpointed plan contains an exchange it is AQE-wrapped, and
+    Dataset.localCheckpoint then returns an ExistingRDD with UNKNOWN
+    partitioning — consumers would re-shuffle the KB-scale table to
+    spark.sql.shuffle.partitions micro-tasks.  Coalescing the
+    1-partition RDD is a free narrow op that re-establishes the
+    partitioning property."""
+    return df.coalesce(1).localCheckpoint().coalesce(1)
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, weight) = (customer nation, supplier nation,
     lineitem count); bounded dims broadcast."""
@@ -688,17 +704,20 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eagerly materializes the ≤n² bottleneck matrix per round
     # (CLAUDE.md iterative-loop rule), keeping every squaring a
     # join of two tiny cached tables.
-    m = bd.unionByName(self_loops).coalesce(8).localCheckpoint()
+    # Single partition (_ckpt1): the bottleneck matrix is ≤n² ≤625
+    # rows at ANY corpus scale (contract-then-solve), and a visible
+    # SinglePartition on both self-join sides satisfies the join and
+    # the groupBy clustering, so each squaring plans with ZERO
+    # exchanges and runs as one single-task job.
+    m = _ckpt1(bd.unionByName(self_loops))
     for _ in range(MST_SQUARINGS):
         l = m.select(F.col("src").alias("ls"), F.col("dst").alias("mid"), F.col("cd").alias("lc"))
         r = m.select(F.col("dst").alias("rd"), F.col("src").alias("mid"), F.col("cd").alias("rc"))
-        m = (
+        m = _ckpt1(
             l.join(r, "mid")
             .groupBy("ls", "rd")
             .agg(F.min(F.greatest("lc", "rc")).alias("cd"))
             .select(F.col("ls").alias("src"), F.col("rd").alias("dst"), "cd")
-            .coalesce(8)
-            .localCheckpoint()
         )
     result = (
         ce.join(
@@ -897,16 +916,27 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    # The sparsified edge list is checkpointed ONCE: every BFS round's
+    # eager checkpoint job otherwise re-derives it from the persisted
+    # fact edges (mean-weight scalar broadcast + distinct exchange,
+    # re-paid BC_ROUNDS times).  With sym and the BFS state both on a
+    # visible single partition (_ckpt1), every round — frontier join,
+    # count aggregate, first-reached anti-join, union — plans with
+    # ZERO exchanges and runs as one single-task job.
+    sym = _ckpt1(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    r = nodes.select(
-        F.col("node").alias("s"),
-        F.col("node").alias("t"),
-        F.lit(0).alias("dist"),
-        F.lit(1).cast("long").alias("cnt"),
-    ).coalesce(8).localCheckpoint()
+    r = _ckpt1(
+        nodes.select(
+            F.col("node").alias("s"),
+            F.col("node").alias("t"),
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
     for k in range(1, BC_ROUNDS + 1):
         frontier = r.filter(F.col("dist") == k - 1)
         ext = (
@@ -917,7 +947,7 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = ext.join(
             r.select("s", F.col("t").alias("v")), ["s", "v"], "left_anti"
         ).select("s", F.col("v").alias("t"), F.lit(k).alias("dist"), "cnt")
-        r = r.unionByName(new).coalesce(8).localCheckpoint()
+        r = _ckpt1(r.unionByName(new))
     p = r.filter((F.col("dist") > 0) & (F.col("s") < F.col("t"))).select(
         F.col("s").alias("ps"),
         F.col("t").alias("pt"),

@@ -1335,79 +1335,92 @@ def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
-    state = li.agg(r6(F.avg("y")).alias("f0"))
+    # All scalar expressions are built as SQL text and parsed in ONE
+    # F.expr round-trip each.  The Column-operator form issued ~20k
+    # py4j calls constructing this query's expression trees (every
+    # `*`/`when`/`col` is a JVM round-trip) — 8.2 s of driver-side
+    # build vs 1.8 s of execution warm at sf0.1.  The parsed Catalyst
+    # operators are the identical nodes the Column API builds (double
+    # literals via the D suffix), so every trained value is bit-equal
+    # and the oracle hash is unchanged.  Each candidate's split score
+    # is also computed ONCE as a named column (sc_t) — the inline form
+    # re-expanded the score tree 3×|cands|+|cands| times per round and
+    # re-analysis of that nested tree was most of the remaining build.
+    r6s = lambda s: f"floor(({s}) * 1e6 + 0.5) / 1e6"  # noqa: E731
+    state = li.agg(F.expr(r6s("avg(y)")).alias("f0"))
 
-    def fhat(m: int) -> Column:
-        e = F.col("f0")
+    def fhat_sql(m: int) -> str:
+        e = "f0"
         for i in range(1, m + 1):
-            e = e + GBT_LR * F.when(
-                F.col("x") <= F.col(f"t{i}"), F.col(f"l{i}")
-            ).otherwise(F.col(f"r{i}"))
+            e += (
+                f" + {GBT_LR}D * (CASE WHEN x <= t{i} THEN l{i}"
+                f" ELSE r{i} END)"
+            )
         return e
 
-    def score(t: int) -> Column:
-        return r6(
-            F.col(f"sl_{t}") * F.col(f"sl_{t}")
-            / F.nullif(F.col(f"cl_{t}"), F.lit(0)).cast("double")
-            + F.col(f"sr_{t}") * F.col(f"sr_{t}")
-            / F.nullif(F.col(f"cr_{t}"), F.lit(0)).cast("double")
+    def score_sql(t: int) -> str:
+        return r6s(
+            f"sl_{t} * sl_{t} / CAST(nullif(cl_{t}, 0) AS DOUBLE)"
+            f" + sr_{t} * sr_{t} / CAST(nullif(cr_{t}, 0) AS DOUBLE)"
         )
 
     for m in range(1, GBT_ROUNDS + 1):
         carry_cols = list(state.columns)
         j = li.crossJoin(F.broadcast(state)).withColumn(
-            "res", F.col("y") - fhat(m - 1)
+            "res", F.expr(f"y - ({fhat_sql(m - 1)})")
         )
-        aggs = [F.max(c).alias(c) for c in carry_cols]
+        aggs = [F.expr(f"max({c}) AS {c}") for c in carry_cols]
         for t in GBT_CANDS:
-            left = F.when(F.col("x") <= t, F.col("res"))
-            right = F.when(F.col("x") > t, F.col("res"))
             aggs += [
-                F.sum(left).alias(f"sl_{t}"),
-                F.count(left).alias(f"cl_{t}"),
-                F.sum(right).alias(f"sr_{t}"),
-                F.count(right).alias(f"cr_{t}"),
+                F.expr(f"sum(CASE WHEN x <= {t} THEN res END) AS sl_{t}"),
+                F.expr(f"count(CASE WHEN x <= {t} THEN res END) AS cl_{t}"),
+                F.expr(f"sum(CASE WHEN x > {t} THEN res END) AS sr_{t}"),
+                F.expr(f"count(CASE WHEN x > {t} THEN res END) AS cr_{t}"),
             ]
-        g = j.agg(*aggs).withColumn(
-            "best", F.greatest(*[score(t) for t in GBT_CANDS])
+        g = j.agg(*aggs).select(
+            "*",
+            *[F.expr(f"{score_sql(t)} AS sc_{t}") for t in GBT_CANDS],
+        ).withColumn(
+            "best",
+            F.expr("greatest(" + ", ".join(f"sc_{t}" for t in GBT_CANDS) + ")"),
         )
-        pick = lambda val: F.coalesce(  # noqa: E731
-            *[
-                F.when(score(t) == F.col("best"), val(t))
-                for t in GBT_CANDS
-            ]
-        )
+        pick = lambda val: "COALESCE(" + ", ".join(  # noqa: E731
+            f"CASE WHEN sc_{t} = best THEN {val(t)} END" for t in GBT_CANDS
+        ) + ")"
         state = g.select(
             *carry_cols,
-            pick(lambda t: F.lit(float(t))).alias(f"t{m}"),
-            pick(
-                lambda t: r6(
-                    F.col(f"sl_{t}")
-                    / F.nullif(F.col(f"cl_{t}"), F.lit(0)).cast("double")
+            F.expr(pick(lambda t: f"{t}.0D")).alias(f"t{m}"),
+            F.expr(
+                pick(
+                    lambda t: r6s(
+                        f"sl_{t} / CAST(nullif(cl_{t}, 0) AS DOUBLE)"
+                    )
                 )
             ).alias(f"l{m}"),
-            pick(
-                lambda t: r6(
-                    F.col(f"sr_{t}")
-                    / F.nullif(F.col(f"cr_{t}"), F.lit(0)).cast("double")
+            F.expr(
+                pick(
+                    lambda t: r6s(
+                        f"sr_{t} / CAST(nullif(cr_{t}, 0) AS DOUBLE)"
+                    )
                 )
             ).alias(f"r{m}"),
         )
+        # Eagerly truncate the 1-row state per round: every DataFrame
+        # op re-analyzes its whole nested tree driver-side, so round
+        # m's ops otherwise pay for rounds 1..m-1 again (analysis was
+        # 3-4x the execution time).  The checkpoint job runs the same
+        # corpus pass the one-shot plan ran inside the final job.
+        state = state.coalesce(1).localCheckpoint()
     final = li.crossJoin(F.broadcast(state))
     out_cols = [c for c in state.columns if c != "f0"]
+    fh = fhat_sql(GBT_ROUNDS)
     result = final.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.max("f0").alias("f0"),
-        *[F.max(c).alias(c) for c in out_cols],
-        r6(
-            F.sqrt(
-                F.avg(
-                    (F.col("y") - fhat(GBT_ROUNDS))
-                    * (F.col("y") - fhat(GBT_ROUNDS))
-                )
-            )
-        ).alias("train_rmse"),
+        *[F.expr(f"max({c}) AS {c}") for c in out_cols],
+        F.expr(r6s(f"sqrt(avg((y - ({fh})) * (y - ({fh}))))")).alias(
+            "train_rmse"
+        ),
     )
     return tether_cache(result, li)
 

@@ -59,6 +59,8 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 RRF_K = 60
 MMR_LAMBDA = 0.7
+MMR_PICKS = 5  # greedy selections; the loop bound and the last-step
+# truncation guard both derive from this one constant (ADVICE r14)
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,7 +329,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round6(lam * F.col("rel")).alias("mmr"),
         )
     )
-    for step in range(2, 6):
+    for step in range(2, MMR_PICKS + 1):
         chosen = sel.select("vec_id")
         remaining = cand_vec.select("vec_id", "rel").join(
             chosen, "vec_id", "left_anti"
@@ -355,7 +357,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doubles per step — a 10k-line formatted plan for 5 rows of
         # state.  Truncate it per step (all but the last); the
         # persisted cand_vec/pairs stay the only non-trivial inputs.
-        if step < 5:
+        if step < MMR_PICKS:
             sel = sel.coalesce(1).localCheckpoint()
     result = sel.orderBy("step")
     return tether_cache(result, cand_vec, pairs)
@@ -382,7 +384,7 @@ s1 AS (
   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
     ]
     prev_sets = ["SELECT vec_id FROM s1"]
-    for step in range(2, 6):
+    for step in range(2, MMR_PICKS + 1):
         chosen = " UNION ALL ".join(prev_sets)
         parts.append(
             f""",

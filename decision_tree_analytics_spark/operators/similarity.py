@@ -1602,9 +1602,15 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape) over ONE persisted projection of the corpus — 5
     bounded-shuffle passes total, the Lloyd cost model; nothing
     quadratic, nothing driver-side."""
+    # Persisted PRE-PARTITIONED on vec_id: the means stage re-joins v
+    # by vec_id (see assign), and with emb cached on the same
+    # hashpartitioning as the argmin aggregate's output the join
+    # needs NO exchange — the vector payload is shuffled exactly once
+    # (at cache build) instead of riding every assignment exchange.
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _vecd("embedding").alias("v"))
+        .repartition("vec_id")
         .persist()
     )
     seeds = emb.filter(
@@ -1619,23 +1625,26 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (mean rounds keep their seed ids); the winner's distance
         # decodes as enc div k, whose /1e6 is the IDENTICAL rounded
         # double the struct carried (floor(d*1e6+0.5) inverts exactly).
+        # The vector payload stays OUT of the grouping key: the hash
+        # path would otherwise hash/compare 512 bytes per input row
+        # and the argmin exchange would carry it — means() re-joins v
+        # from the persisted emb instead, so every assignment exchange
+        # moves 16 bytes per vector.
         enc_k = KM_SEED_STEP * KM_K
         return (
             emb.crossJoin(F.broadcast(cent))
             .select(
                 "vec_id",
-                "v",
                 _enc_argmin(_ivf_l2("v", "cv"), F.col("aid"), enc_k).alias(
                     "enc"
                 ),
             )
-            .groupBy("vec_id", "v")
+            .groupBy("vec_id")
             .agg(F.min("enc").alias("menc"))
             .select(
                 "vec_id",
                 (F.col("menc") % enc_k).alias("cluster"),
                 (F.expr(f"menc div {enc_k}") / 1e6).alias("d"),
-                "v",
             )
         )
 
@@ -1646,9 +1655,12 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # warm / 2x slower cold at 32 (codegen compile of the 64
         # aggregates + inlined array extractions), and 3.5x slower in
         # the multi-consumer IVF build.  Config-dependent noise, not
-        # structure — keep the one stable shared shape.
+        # structure — keep the one stable shared shape.  v arrives by
+        # re-joining the persisted emb on vec_id (see assign).
         return (
-            a.select("cluster", F.posexplode("v").alias("i", "x"))
+            a.select("cluster", "vec_id")
+            .join(emb, "vec_id")
+            .select("cluster", F.posexplode("v").alias("i", "x"))
             .groupBy("cluster", "i")
             .agg(F.avg("x").alias("cx"))
             .groupBy("cluster")

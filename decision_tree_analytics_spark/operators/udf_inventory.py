@@ -320,8 +320,14 @@ def udf_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id", "value"
     )
+    # SIZE-AWARE worker count (the ns_text_subword rule): each Arrow
+    # task pays a fixed worker round-trip, so partitioning the ~2 MB
+    # test-scale input to defaultParallelism made that overhead the
+    # whole wall (32-core time 3-4x the 8-core time in PERF_r14's
+    # scaling block).  Bytes-derived counts stay unbounded at corpus
+    # scale, where they exceed the core count.
     part = ev.repartition(
-        spark.sparkContext.defaultParallelism, "user_id"
+        size_aware_parallelism(spark, sf_dir, "events"), "user_id"
     ).sortWithinPartitions("user_id", "ts_us", "event_id")
     return part.mapInPandas(_seq_batches, _SEQ_SCHEMA)
 

@@ -919,14 +919,18 @@ def test_curriculum_prefix_sum_stays_hierarchical(spark, sf_dir):
 
 def test_betweenness_final_phase_reads_checkpointed_state(spark, sf_dir):
     # The dependency phase must run on the CHECKPOINTED ≤n² BFS state
-    # (three readers: the pair table and both self-join sides) — and
-    # the closed-form join must stay an equi-join, never a cartesian.
+    # (three readers: the pair table and both self-join sides) plus
+    # the once-checkpointed sym edge list (nodes) — and the
+    # closed-form join must stay an equi-join, never a cartesian.
+    # The mean-weight BroadcastNestedLoopJoin no longer appears here:
+    # since r15 it runs once inside sym's checkpoint job instead of
+    # being re-derived by every BFS round (OPTIMIZATION_r15.md).
     from decision_tree_analytics_spark.operators import graph as G
 
     plan = simple_plan(G.graph_betweenness(spark, sf_dir))
-    assert plan.count("ExistingRDD") == 3  # p, r1, r2 off one checkpoint
+    assert plan.count("ExistingRDD") == 4  # p, r1, r2 + nodes(sym)
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # mean-weight scalar
+    assert "BroadcastNestedLoopJoin" not in plan  # edge build pre-checkpointed
     assert not has_python_eval(plan)
 
 
